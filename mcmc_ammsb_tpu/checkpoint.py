@@ -1,0 +1,104 @@
+"""Checkpoint / resume.
+
+The reference serializes every stateful object as length-prefixed
+protobufs wrapping raw device-buffer bytes — model arrays, all counters
+and timers, RNG seed arrays, the perplexity running averages, and the
+in-flight pipelined minibatch — and asserts bit-exact resume
+(/root/reference/mcmc/serialize.h, learner.cc:301-361,
+serialize-test.cc:90-134).
+
+TPU-native equivalent: the whole ``TrainState`` is a pytree of arrays, so
+a checkpoint is one ``savez`` of its leaves plus a JSON manifest of the
+config and host-sampler state. jax.random keys are counter-based arrays,
+so restoring them restores the exact noise streams; the host sampler's
+numpy RandomState pickles losslessly into bytes. Resume is bit-exact
+(asserted by tests/test_checkpoint.py, the EndToEnd pattern of
+serialize-test.cc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_ammsb_tpu.config import (Config, EdgeSetBackend, PhiImpl,
+                                   RngBackend, SampleStrategy)
+from mcmc_ammsb_tpu.learner import Learner, TrainState
+
+_FORMAT_VERSION = 1
+
+
+def _config_to_json(cfg: Config) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["strategy"] = cfg.strategy.value
+    d["phi_impl"] = cfg.phi_impl.value
+    d["edgeset_backend"] = cfg.edgeset_backend.value
+    d["rng_backend"] = cfg.rng_backend.value
+    return d
+
+
+def _config_from_json(d: dict) -> Config:
+    d = dict(d)
+    d["strategy"] = SampleStrategy.parse(d["strategy"])
+    d["phi_impl"] = PhiImpl(d["phi_impl"])
+    d["edgeset_backend"] = EdgeSetBackend(d["edgeset_backend"])
+    d["rng_backend"] = RngBackend(d["rng_backend"])
+    d["phi_seed"] = tuple(d["phi_seed"])
+    d["beta_seed"] = tuple(d["beta_seed"])
+    d["neighbor_seed"] = tuple(d["neighbor_seed"])
+    return Config(**d)
+
+
+def save_checkpoint(path: str, learner: Learner) -> None:
+    """Full-fidelity checkpoint: state pytree + config + sampler RNG."""
+    leaves, treedef = jax.tree_util.tree_flatten(learner.state)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "config": _config_to_json(learner.cfg),
+        "num_leaves": len(leaves),
+        "timers": {k: v for k, v in learner.timers.seconds.items()},
+        "timer_calls": {k: v for k, v in learner.timers.calls.items()},
+    }
+    sampler_rng = pickle.dumps(learner.sampler.rng.get_state())
+    np.savez_compressed(
+        path,
+        manifest=np.frombuffer(json.dumps(manifest).encode(), np.uint8),
+        sampler_rng=np.frombuffer(sampler_rng, np.uint8),
+        **arrays,
+    )
+
+
+def load_checkpoint(path: str, learner: Learner) -> Learner:
+    """Restore state into an already-constructed learner (same dataset).
+
+    The graph/split/edge-sets are rebuilt from data (the reference
+    likewise reloads the dataset and only restores learner state,
+    serialize-test.cc:90-134).
+    """
+    z = np.load(path, allow_pickle=False)
+    manifest = json.loads(bytes(z["manifest"]).decode())
+    if manifest["format_version"] != _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {manifest['format_version']}")
+    saved_cfg = _config_from_json(manifest["config"])
+    if saved_cfg.K != learner.cfg.K or saved_cfg.N != learner.cfg.N:
+        raise ValueError("checkpoint geometry mismatch")
+    _, treedef = jax.tree_util.tree_flatten(learner.state)
+    leaves = [z[f"leaf_{i}"] for i in range(manifest["num_leaves"])]
+    # restore key dtypes exactly (uint32 key arrays)
+    ref_leaves = jax.tree_util.tree_leaves(learner.state)
+    leaves = [jnp.asarray(l, r.dtype) for l, r in zip(leaves, ref_leaves)]
+    learner.state = jax.tree_util.tree_unflatten(treedef, leaves)
+    learner.sampler.rng.set_state(pickle.loads(bytes(z["sampler_rng"])))
+    for k, v in manifest.get("timers", {}).items():
+        learner.timers.seconds[k] = v
+    for k, v in manifest.get("timer_calls", {}).items():
+        learner.timers.calls[k] = v
+    return learner

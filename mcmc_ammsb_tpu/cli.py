@@ -1,0 +1,181 @@
+"""Flag-compatible CLI driver.
+
+Mirrors the reference binary's interface (/root/reference/main.cc:43-88):
+same flag names where meaningful on TPU, same log lines (config echo,
+``ppx[i] = ...`` series, final stats table), SIGINT-drains the loop, and
+supports the compressed dataset dump/load cache (main.cc:109-149).
+
+Usage:
+    python -m mcmc_ammsb_tpu.cli --file graph.txt -k 64 -x 10000 -i 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import sys
+import time
+
+import numpy as np
+
+from mcmc_ammsb_tpu.config import (Config, EdgeSetBackend, PhiImpl,
+                                   RngBackend, SampleStrategy)
+from mcmc_ammsb_tpu.data import (Graph, dump_dataset, generate_sets,
+                                 load_dataset, load_snap_edges,
+                                 synthetic_edges)
+from mcmc_ammsb_tpu.learner import Learner
+
+log = logging.getLogger("mcmc_ammsb_tpu")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcmc_ammsb_tpu",
+        description="TPU-native a-MMSB SG-MCMC sampler",
+    )
+    p.add_argument("--file", "-f", help="graph data file (SNAP edge list)")
+    p.add_argument("--synthetic", type=str, default=None,
+                   metavar="N,AVG_DEG",
+                   help="use a synthetic random graph instead of --file")
+    p.add_argument("--heldout-ratio", "-r", type=float, default=0.01)
+    p.add_argument("--alpha", type=float, default=0.0)
+    p.add_argument("-a", dest="a", type=float, default=0.0315)
+    p.add_argument("-b", dest="b", type=float, default=1024.0)
+    p.add_argument("-c", dest="c", type=float, default=0.5)
+    p.add_argument("--epsilon", "-e", type=float, default=1e-7)
+    p.add_argument("--eta0", type=float, default=1.0)
+    p.add_argument("--eta1", type=float, default=1.0)
+    p.add_argument("-k", dest="K", type=int, default=32)
+    p.add_argument("--mini_batch", "-m", type=int, default=32)
+    p.add_argument("--neighbors", "-n", type=int, default=32)
+    p.add_argument("--ppx-interval", "-i", type=int, default=100)
+    p.add_argument("--max-iters", "-x", type=int, default=100)
+    p.add_argument("--sample", "-s", default="Node",
+                   help="Node|NodeLink|NodeNonLink|BF|BFLink|BFNonLink")
+    p.add_argument("--phi-seed", type=int, nargs=2, default=(42, 43))
+    p.add_argument("--beta-seed", type=int, nargs=2, default=(44, 45))
+    p.add_argument("--neighbor-seed", type=int, nargs=2, default=(56, 57))
+    p.add_argument("--phi-disable-noise", action="store_true")
+    # TPU runtime knobs (replace the reference's wg/vector-width flags)
+    p.add_argument("--phi-impl", choices=[m.value for m in PhiImpl],
+                   default=PhiImpl.JNP.value)
+    p.add_argument("--edgeset", choices=[m.value for m in EdgeSetBackend],
+                   default=EdgeSetBackend.CSR.value)
+    p.add_argument("--rng", choices=[m.value for m in RngBackend],
+                   default=RngBackend.NATIVE.value)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="lax.scan fusion depth of the training loop")
+    # dataset cache (main.cc:77-80)
+    p.add_argument("--dump-data", action="store_true")
+    p.add_argument("--dump-file", type=str, default="")
+    p.add_argument("--load-data", action="store_true")
+    p.add_argument("--load-file", type=str, default="")
+    # checkpointing (the reference only exercises this in tests)
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="save checkpoint here at exit / SIGINT")
+    p.add_argument("--restore", type=str, default="",
+                   help="restore checkpoint before training")
+    return p
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        K=args.K,
+        alpha=args.alpha,
+        a=args.a, b=args.b, c=args.c,
+        epsilon=args.epsilon,
+        eta0=args.eta0, eta1=args.eta1,
+        mini_batch_size=args.mini_batch,
+        num_node_sample=args.neighbors,
+        strategy=SampleStrategy.parse(args.sample),
+        heldout_ratio=args.heldout_ratio,
+        ppx_interval=args.ppx_interval,
+        phi_seed=tuple(args.phi_seed),
+        beta_seed=tuple(args.beta_seed),
+        neighbor_seed=tuple(args.neighbor_seed),
+        phi_disable_noise=args.phi_disable_noise,
+        phi_impl=PhiImpl(args.phi_impl),
+        edgeset_backend=EdgeSetBackend(args.edgeset),
+        rng_backend=RngBackend(args.rng),
+        steps_per_call=args.steps_per_call,
+    )
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(levelname).1s %(asctime)s %(name)s] %(message)s",
+        stream=sys.stderr,
+    )
+    args = build_arg_parser().parse_args(argv)
+    log.info(" ".join(sys.argv if argv is None else argv))
+
+    # --- dataset ----------------------------------------------------------
+    if args.load_data:
+        if not args.load_file:
+            log.fatal("load-file is required with load-data")
+            return 1
+        n, ratio, u, v = load_dataset(args.load_file)
+        args.heldout_ratio = ratio
+    elif args.synthetic:
+        nn, deg = (int(x) for x in args.synthetic.split(","))
+        n, u, v = synthetic_edges(nn, deg, seed=1)
+    elif args.file:
+        n, u, v = load_snap_edges(args.file)
+    else:
+        log.fatal("one of --file / --synthetic / --load-data is required")
+        return 1
+
+    if args.dump_data:
+        if not args.dump_file:
+            log.fatal("dump-file is required with dump-data")
+            return 1
+        dump_dataset(args.dump_file, n, args.heldout_ratio, u, v)
+        return 0
+
+    split = generate_sets(n, u, v, args.heldout_ratio)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = config_from_args(args).finalize(n, split.total_edges,
+                                          graph.max_fan_out)
+    log.info("Loaded %s (N=%d, E=%d, training max fan out = %d)",
+             args.load_file or args.file or args.synthetic,
+             cfg.N, cfg.E, cfg.max_fan_out)
+    log.info("config: %s", cfg)
+
+    # --- SIGINT drain (main.cc:22-24,159-169) -----------------------------
+    signaled = {"flag": False}
+
+    def handler(_sig, _frm):
+        signaled["flag"] = True
+
+    signal.signal(signal.SIGINT, handler)
+
+    learner = Learner(cfg, graph, split)
+    if args.restore:
+        from mcmc_ammsb_tpu.checkpoint import load_checkpoint
+        load_checkpoint(args.restore, learner)
+        log.info("restored checkpoint %s (step=%d)", args.restore,
+                 int(learner.state.step_count))
+
+    log.info("ppx[0] = %s", learner.heldout_perplexity())
+    i = 0
+    while i < args.max_iters and not signaled["flag"]:
+        step = min(args.max_iters - i, cfg.ppx_interval)
+        learner.run(step)
+        i += step
+        if not signaled["flag"]:
+            log.info("ppx[%d] = %s", i, learner.heldout_perplexity())
+    if signaled["flag"]:
+        log.info("FORCED TERMINATE")
+    learner.print_stats(lambda s: log.info("%s", s))
+    if args.checkpoint:
+        from mcmc_ammsb_tpu.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, learner)
+        log.info("checkpoint saved to %s", args.checkpoint)
+    learner.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

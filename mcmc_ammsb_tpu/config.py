@@ -1,0 +1,157 @@
+"""Model / runtime configuration.
+
+Mirrors the hyperparameter surface of the reference ``Config`` struct
+(/root/reference/mcmc/config.h:25-102) and its CLI flags
+(/root/reference/main.cc:43-81), with GPU-specific knobs (workgroup sizes,
+vector widths, shared-memory placement) replaced by their TPU analogs
+(tile sizes, implementation selection, scan fusion depth).
+
+Where the reference freezes hyperparameters into kernels as ``-D`` compile
+flags (/root/reference/mcmc/config.cc:66-83), we close over a frozen
+``Config`` at ``jit`` trace time — the XLA equivalent of compile-time
+constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class SampleStrategy(enum.Enum):
+    """Minibatch sampling strategies (/root/reference/mcmc/sample.h:94-123)."""
+
+    NODE_LINK = "NodeLink"
+    NODE_NON_LINK = "NodeNonLink"
+    NODE = "Node"
+    BF_LINK = "BFLink"
+    BF_NON_LINK = "BFNonLink"
+    BF = "BF"
+
+    @classmethod
+    def parse(cls, token: str) -> "SampleStrategy":
+        for s in cls:
+            if s.value.lower() == token.lower():
+                return s
+        raise ValueError(f"Invalid SampleStrategy: {token!r}")
+
+
+class PhiImpl(enum.Enum):
+    """Implementation of the phi updater.
+
+    The TPU analog of the reference's four codegen modes
+    (PHI_NODE_PER_THREAD / WG_NAIVE / WG_SHARED / WG_GEN,
+    /root/reference/mcmc/config.h:14-19): same math, different schedules,
+    cross-checked by golden equivalence tests.
+    """
+
+    JNP = "jnp"          # pure XLA (gathers + fused elementwise)
+    PALLAS = "pallas"    # hand-written Pallas kernel, streams neighbors
+
+
+class EdgeSetBackend(enum.Enum):
+    """Device edge-membership structure."""
+
+    CSR = "csr"          # binary search inside the node's sorted CSR row
+    SORTED = "sorted"    # lexicographic binary search over all sorted edges
+    CUCKOO = "cuckoo"    # reference cuckoo layout (2 buckets x 4 slots)
+
+
+class RngBackend(enum.Enum):
+    NATIVE = "native"        # jax.random (threefry); default
+    REFERENCE = "reference"  # bit-exact xorshift128+/Ziggurat/Marsaglia-Tsang
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All hyperparameters. Frozen: hashable, usable as a jit static arg.
+
+    Defaults follow /root/reference/mcmc/config.h:70-101 and
+    /root/reference/main.cc:50-76.
+    """
+
+    # --- model hyperparameters -------------------------------------------
+    K: int = 32                      # number of latent communities
+    alpha: float = 0.0               # Dirichlet prior on pi; 0 -> 1/K (main.cc:153)
+    epsilon: float = 1e-7            # background edge probability
+    eta0: float = 1.0                # Gamma prior shape on theta
+    eta1: float = 1.0                # Gamma prior scale on theta
+    # SGRLD step size schedule eps_t = a * (1 + t/b)^(-c)
+    # (/root/reference/mcmc/learner.cc:41-43)
+    a: float = 0.0315
+    b: float = 1024.0
+    c: float = 0.5
+
+    # --- sampling --------------------------------------------------------
+    mini_batch_size: int = 32        # m
+    num_node_sample: int = 32        # n: neighbors drawn per minibatch node
+    strategy: SampleStrategy = SampleStrategy.NODE
+    heldout_ratio: float = 0.01
+
+    # --- dataset geometry (filled in by `finalize`) ----------------------
+    N: int = 0                       # number of nodes
+    E: int = 0                       # number of unique undirected edges
+    max_fan_out: int = 0             # max degree in the training graph
+
+    # --- evaluation ------------------------------------------------------
+    ppx_interval: int = 100
+
+    # --- seeds (reference: main.cc:68-70) --------------------------------
+    phi_seed: Tuple[int, int] = (42, 43)
+    beta_seed: Tuple[int, int] = (44, 45)
+    neighbor_seed: Tuple[int, int] = (56, 57)
+    sample_seed: int = 0             # host minibatch sampler seed
+    init_seed: int = 6342455113      # theta/pi init (learner.cc:150)
+
+    # --- numerics / testing ----------------------------------------------
+    phi_disable_noise: bool = False  # golden-test mode (config.h:57)
+
+    # --- TPU runtime knobs (replace GPU wg/vector knobs) -----------------
+    phi_impl: PhiImpl = PhiImpl.JNP
+    edgeset_backend: EdgeSetBackend = EdgeSetBackend.CSR
+    rng_backend: RngBackend = RngBackend.NATIVE
+    steps_per_call: int = 1          # lax.scan fusion depth of the run loop
+    device_sampling: bool = False    # sample minibatches on-device inside scan
+    node_tile: int = 8               # Pallas: minibatch nodes per block
+    dtype: str = "float32"
+
+    # --- derived static batch shapes -------------------------------------
+    @property
+    def alpha_value(self) -> float:
+        return self.alpha if self.alpha != 0.0 else 1.0 / self.K
+
+    @property
+    def max_batch_edges(self) -> int:
+        """Device edge-buffer capacity.
+
+        NodeLink returns every edge of one node, so the buffer must hold
+        max(m, max_fan_out) edges (/root/reference/mcmc/sample.cc:129).
+        """
+        return max(self.mini_batch_size, max(self.max_fan_out, 1))
+
+    @property
+    def max_batch_nodes(self) -> int:
+        """Node-buffer capacity: max(2m, max_fan_out + 1)
+        (/root/reference/mcmc/sample.cc:130-131)."""
+        return max(2 * self.mini_batch_size, self.max_fan_out + 1)
+
+    def finalize(self, N: int, E: int, max_fan_out: int) -> "Config":
+        """Bind dataset geometry; resolve alpha=0 -> 1/K."""
+        return dataclasses.replace(
+            self,
+            N=int(N),
+            E=int(E),
+            max_fan_out=int(max_fan_out),
+            alpha=self.alpha if self.alpha != 0.0 else 1.0 / self.K,
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def eps_t(self, step_count) -> float:
+        """Step-size schedule a*(1 + t/b)^(-c) (learner.cc:41-43).
+
+        Works for Python ints and traced arrays alike.
+        """
+        return self.a * (1.0 + step_count / self.b) ** (-self.c)

@@ -1,0 +1,318 @@
+"""Learner: state container, fused train step, run loop, evaluation.
+
+The TPU re-design of /root/reference/mcmc/learner.{h,cc}. Key structural
+difference from the reference: where the reference's hot loop launches
+7+ kernels with a full queue sync after each (learner.cc:214-250,
+phi.cc:728-763, beta.cc:334-384), here one pure function
+
+    state' = train_step(state, batch)
+
+is traced once and compiled by XLA into a single fused device program;
+``run`` further folds ``steps_per_call`` consecutive steps into one
+``lax.scan`` dispatch, so per-step launch overhead amortizes to ~zero.
+Host minibatch sampling overlaps device compute through a producer
+thread (the analog of MCMC_SAMPLE_PARALLEL, learner.cc:216-246).
+
+State initialization follows learner.cc:149-155:
+  theta ~ Gamma(eta0, eta1), beta = pairwise-normalized copy;
+  pi rows ~ Gamma(eta0, eta1) then row-normalized, phi = raw row sums.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_ammsb_tpu.config import Config, PhiImpl
+from mcmc_ammsb_tpu.data import DataSplit, Graph
+from mcmc_ammsb_tpu.ops import beta as beta_ops
+from mcmc_ammsb_tpu.ops import perplexity as ppx_ops
+from mcmc_ammsb_tpu.ops import phi as phi_ops
+from mcmc_ammsb_tpu.ops.edgeset import EdgeSet, build_edge_set
+from mcmc_ammsb_tpu.ops.neighbor import sample_neighbors
+from mcmc_ammsb_tpu.rng import native as native_rng
+from mcmc_ammsb_tpu.sampling import (MiniBatch, MiniBatchSampler,
+                                     PrefetchingSampler, StackedBatches)
+from mcmc_ammsb_tpu.utils.timing import StageTimers
+
+
+class TrainState(NamedTuple):
+    """Full sampler state — a pytree; every leaf is a device array.
+
+    Mirrors the reference learner's device buffers + counters
+    (learner.h:40-88): pi/phi_sum/theta/beta, the global step counter,
+    the beta updater's own call counter (beta.cc:336), the perplexity
+    running-average state (perplexity.cc:52,194-203), and the RNG keys.
+    """
+
+    pi: jnp.ndarray            # [N, K] row-normalized memberships
+    phi_sum: jnp.ndarray       # [N] membership row sums
+    theta: jnp.ndarray         # [K, 2]
+    beta: jnp.ndarray          # [K]
+    step_count: jnp.ndarray    # scalar i32, starts at 1 (learner.cc:117)
+    beta_count: jnp.ndarray    # scalar i32, starts at 0
+    ppx_per_edge: jnp.ndarray  # [H] running per-edge likelihood averages
+    ppx_count: jnp.ndarray     # scalar i32, number of ppx calls so far
+    phi_key: jax.Array
+    beta_key: jax.Array
+    neighbor_key: jax.Array
+
+
+class DeviceBatch(NamedTuple):
+    """Device-resident minibatch (padded, static shapes)."""
+
+    edges_u: jnp.ndarray
+    edges_v: jnp.ndarray
+    edge_mask: jnp.ndarray
+    nodes: jnp.ndarray
+    node_mask: jnp.ndarray
+    weight: jnp.ndarray
+
+    @classmethod
+    def from_host(cls, b: MiniBatch) -> "DeviceBatch":
+        return cls(
+            jnp.asarray(b.edges_u), jnp.asarray(b.edges_v),
+            jnp.asarray(b.edge_mask), jnp.asarray(b.nodes),
+            jnp.asarray(b.node_mask), jnp.asarray(b.weight),
+        )
+
+    @classmethod
+    def from_stacked(cls, s: StackedBatches) -> "DeviceBatch":
+        return cls(
+            jnp.asarray(s.edges_u), jnp.asarray(s.edges_v),
+            jnp.asarray(s.edge_mask), jnp.asarray(s.nodes),
+            jnp.asarray(s.node_mask), jnp.asarray(s.weight),
+        )
+
+
+def init_state(cfg: Config, heldout_size: int,
+               dtype=jnp.float32) -> TrainState:
+    """Initialize model state (init laws of learner.cc:149-155)."""
+    root = native_rng.key_from_seed((cfg.init_seed & 0xFFFFFFFF,
+                                     cfg.init_seed >> 32))
+    k_theta, k_pi = jax.random.split(root)
+    theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1, dtype)
+    beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
+    phi_raw = native_rng.gamma(k_pi, (cfg.N, cfg.K), cfg.eta0, cfg.eta1, dtype)
+    phi_sum = jnp.sum(phi_raw, axis=-1)
+    pi = phi_raw / phi_sum[:, None]
+    return TrainState(
+        pi=pi,
+        phi_sum=phi_sum,
+        theta=theta,
+        beta=beta,
+        step_count=jnp.asarray(1, jnp.int32),
+        beta_count=jnp.asarray(0, jnp.int32),
+        ppx_per_edge=jnp.zeros(heldout_size, dtype),
+        ppx_count=jnp.asarray(0, jnp.int32),
+        phi_key=native_rng.key_from_seed(cfg.phi_seed),
+        beta_key=native_rng.key_from_seed(cfg.beta_seed),
+        neighbor_key=native_rng.key_from_seed(cfg.neighbor_seed),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The fused train step
+# ---------------------------------------------------------------------------
+
+def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
+               batch: DeviceBatch) -> TrainState:
+    """One SGRLD step: neighbor sampling + phi/pi update + theta/beta
+    update. Pure; jit/scan/shard_map compatible."""
+    step = state.step_count
+
+    # 1. device neighbor sampling (sample.cc:13-78's role)
+    k_nbr = jax.random.fold_in(state.neighbor_key, step)
+    neighbors = sample_neighbors(
+        k_nbr, batch.nodes, cfg.N, cfg.num_node_sample
+    )
+
+    # 2. phi/pi update (phi.cc:76-175)
+    b = batch.nodes.shape[0]
+    if cfg.phi_disable_noise:
+        phi_noise = jnp.ones((b, cfg.K), state.pi.dtype)
+    else:
+        phi_noise = native_rng.randn(
+            jax.random.fold_in(state.phi_key, step), (b, cfg.K),
+            state.pi.dtype,
+        )
+    if cfg.phi_impl == PhiImpl.PALLAS:
+        from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_rows_pallas
+        pi_rows, sums = phi_update_rows_pallas(
+            cfg, state.pi, state.phi_sum, state.beta, edge_set,
+            batch.nodes, neighbors, step, phi_noise,
+        )
+    else:
+        pi_rows, sums = phi_ops.phi_update_rows(
+            cfg, state.pi, state.phi_sum, state.beta, edge_set,
+            batch.nodes, neighbors, step, phi_noise,
+        )
+    pi, phi_sum = phi_ops.scatter_rows(
+        state.pi, state.phi_sum, batch.nodes, batch.node_mask, pi_rows, sums
+    )
+
+    # 3. theta/beta update (beta.cc:334-384); reads the *new* pi like the
+    # reference (its beta kernels run after update_pi in the same stream)
+    beta_count = state.beta_count + 1
+    beta_noise = native_rng.randn(
+        jax.random.fold_in(state.beta_key, step), (cfg.K, 2), state.pi.dtype
+    )
+    theta, beta = beta_ops.update_beta(
+        cfg, state.theta, state.beta, pi, edge_set,
+        batch.edges_u, batch.edges_v, batch.edge_mask,
+        batch.weight, beta_count, beta_noise,
+    )
+
+    return state._replace(
+        pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+        step_count=step + 1, beta_count=beta_count,
+    )
+
+
+def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
+                     batches: DeviceBatch) -> TrainState:
+    """Fold S pre-sampled steps into one device dispatch via lax.scan."""
+
+    def body(s, batch):
+        return train_step(cfg, edge_set, s, batch), None
+
+    state, _ = jax.lax.scan(body, state, batches)
+    return state
+
+
+def heldout_perplexity_step(
+    cfg: Config, heldout_set: EdgeSet,
+    heldout_u: jnp.ndarray, heldout_v: jnp.ndarray,
+    state: TrainState,
+) -> Tuple[TrainState, ppx_ops.PpxResult]:
+    """One perplexity evaluation; updates the running-average state."""
+    count = state.ppx_count + 1
+    res = ppx_ops.perplexity_step(
+        cfg, state.pi, state.beta, heldout_set,
+        heldout_u, heldout_v, state.ppx_per_edge, count,
+    )
+    state = state._replace(ppx_per_edge=res.ppx_per_edge, ppx_count=count)
+    return state, res
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+class Learner:
+    """Owns config, graph structures, device state, and compiled programs.
+
+    The single-device orchestrator (multi-chip: parallel/sharded.py).
+    """
+
+    def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
+                 prefetch: bool = True):
+        heldout_size = len(split.heldout_edges_u)
+        self.cfg = cfg
+        self.graph = graph
+        self.split = split
+        self.training_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v
+        )
+        self.heldout_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v
+        )
+        self.heldout_u = jnp.asarray(split.heldout_edges_u)
+        self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.state = init_state(cfg, heldout_size)
+        self.sampler = MiniBatchSampler(cfg, graph, split)
+        self._prefetcher: Optional[PrefetchingSampler] = None
+        self._use_prefetch = prefetch
+        self.timers = StageTimers()
+        self.last_ppx_stats = {}
+
+        # Edge sets and heldout arrays are jit *arguments* (donatable
+        # device inputs), not trace-time constants.
+        self._step_fn = jax.jit(partial(train_step, cfg))
+        self._scan_fn = jax.jit(partial(train_steps_scan, cfg))
+        self._ppx_fn = jax.jit(partial(heldout_perplexity_step, cfg))
+
+    # -- training ----------------------------------------------------------
+
+    def run(self, max_iters: int) -> None:
+        """Run ``max_iters`` SGRLD steps (learner.cc:214-250)."""
+        spc = max(1, self.cfg.steps_per_call)
+        with self.timers.stage("total"):
+            if spc == 1:
+                self._run_single(max_iters)
+            else:
+                self._run_scanned(max_iters, spc)
+
+    def _get_prefetcher(self, chunk: int) -> PrefetchingSampler:
+        if self._prefetcher is None or self._prefetcher._chunk != chunk:
+            if self._prefetcher is not None:
+                self._prefetcher.close()
+            self._prefetcher = PrefetchingSampler(
+                self.sampler, depth=2, chunk=chunk
+            )
+        return self._prefetcher
+
+    def _run_single(self, max_iters: int) -> None:
+        src = (self._get_prefetcher(1) if self._use_prefetch else None)
+        for _ in range(max_iters):
+            with self.timers.stage("sampling"):
+                hb = src.get() if src else self.sampler.sample()
+                batch = DeviceBatch.from_host(hb)
+            with self.timers.stage("device_step"):
+                self.state = self._step_fn(self.training_set, self.state,
+                                           batch)
+        jax.block_until_ready(self.state.pi)
+
+    def _run_scanned(self, max_iters: int, spc: int) -> None:
+        done = 0
+        src = (self._get_prefetcher(spc) if self._use_prefetch else None)
+        while done < max_iters:
+            take = min(spc, max_iters - done)
+            with self.timers.stage("sampling"):
+                stacked = src.get() if src else self.sampler.sample_many(spc)
+                if take < spc:  # tail: slice the stacked chunk
+                    stacked = StackedBatches(
+                        *(a[:take] for a in (
+                            stacked.edges_u, stacked.edges_v,
+                            stacked.edge_mask, stacked.nodes,
+                            stacked.node_mask, stacked.weight,
+                        ))
+                    )
+                batches = DeviceBatch.from_stacked(stacked)
+            with self.timers.stage("device_step"):
+                self.state = self._scan_fn(self.training_set, self.state,
+                                           batches)
+            done += take
+        jax.block_until_ready(self.state.pi)
+
+    # -- evaluation --------------------------------------------------------
+
+    def heldout_perplexity(self) -> float:
+        """exp(-avg log running-averaged likelihood) (learner.cc:196-202)."""
+        with self.timers.stage("ppx"):
+            self.state, res = self._ppx_fn(
+                self.heldout_set, self.heldout_u, self.heldout_v, self.state
+            )
+            value = float(jnp.exp(res.neg_avg_log))
+        self.last_ppx_stats = {
+            "link_count": int(res.link_count),
+            "non_link_count": int(res.non_link_count),
+            "link_likelihood": float(res.link_likelihood),
+            "non_link_likelihood": float(res.non_link_likelihood),
+        }
+        return value
+
+    # -- reporting ---------------------------------------------------------
+
+    def print_stats(self, log=print) -> None:
+        """Stage-seconds table (PrintStats parity, learner.cc:252-299)."""
+        self.timers.print_table(log)
+
+    def close(self) -> None:
+        if self._prefetcher is not None:
+            self._prefetcher.close()
+            self._prefetcher = None

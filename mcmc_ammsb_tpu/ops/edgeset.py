@@ -1,0 +1,314 @@
+"""Device edge-membership: ``has_edges(u, v) -> bool[...]``, batched.
+
+The reference keeps an O(E) static cuckoo hash set with an O(1) 2-probe
+device lookup reading 8 random uint64 slots per query
+(/root/reference/mcmc/cuckoo.cc:28-69). Random 8-slot probing is a poor
+fit for the TPU memory system; the TPU-native primary backend is a
+**vectorized binary search inside the query node's sorted CSR row**
+(log2(max_degree) gather rounds, branch-free, identical lanes), with a
+globally-sorted-edge-array backend and a faithful cuckoo-layout backend
+behind the same API for comparison (SURVEY.md §2 #6-7, §7.3).
+
+All backends are pytrees of device arrays; ``has_edges`` is jit-/vmap-
+compatible and shape-polymorphic in the query batch. Everything is 32-bit:
+TPU has no native int64, so the cuckoo hash of the packed 64-bit key is
+evaluated with 32-bit modular arithmetic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_ammsb_tpu.config import EdgeSetBackend
+from mcmc_ammsb_tpu.data import Graph
+
+# First prime pair of /root/reference/mcmc/cuckoo.cc:92-96.
+_CUCKOO_P1 = 15485807
+_CUCKOO_P2 = 920429591
+_EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class EdgeSet:
+    """Static edge set with batched membership lookup.
+
+    backend 'csr':    arrays = (offsets [N+1] i32, cols [M] i32 row-sorted)
+    backend 'sorted': arrays = (keys_u [E] i32, keys_v [E] i32), sorted
+                      lexicographically on canonical (u < v) pairs
+    backend 'cuckoo': arrays = (slots_u [2, bins, 4] i32,
+                      slots_v [2, bins, 4] i32) — the reference bucket
+                      layout split into 32-bit endpoint planes; empty
+                      slots hold (-1, -1). meta['num_bins'] is static.
+    """
+
+    backend: str
+    num_nodes: int
+    num_search_steps: int
+    meta: Tuple[Tuple[str, int], ...]
+    arrays: Tuple[jnp.ndarray, ...]
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return self.arrays, (self.backend, self.num_nodes,
+                             self.num_search_steps, self.meta)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        backend, num_nodes, steps, meta = aux
+        return cls(backend, num_nodes, steps, meta, tuple(children))
+
+    # -- lookup ------------------------------------------------------------
+    def has_edges(self, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """Batched membership test; u, v int32 arrays of equal shape.
+
+        Queries need not be canonicalized (handled internally, matching
+        the MakeEdge(min,max) canonicalization at each reference call
+        site, e.g. /root/reference/mcmc/phi.cc:96).
+        """
+        u = jnp.asarray(u, jnp.int32)
+        v = jnp.asarray(v, jnp.int32)
+        u, v = jnp.broadcast_arrays(u, v)
+        if self.backend == "csr":
+            return _csr_has_edges(self, u, v)
+        if self.backend == "sorted":
+            return _sorted_has_edges(self, u, v)
+        if self.backend == "cuckoo":
+            return _cuckoo_has_edges(self, u, v)
+        raise ValueError(self.backend)
+
+
+def _lower_bound(num_steps, lo, hi, less_fn):
+    """Vectorized lower bound: smallest i in [lo, hi) with !less(i).
+
+    Fixed-trip-count binary search (range halves per step; ``num_steps``
+    covers the largest range), branch-free per lane.
+    """
+
+    def body(_, carry):
+        lo, hi = carry
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        less = less_fn(mid)
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, num_steps, body, (lo, hi))
+    return lo
+
+
+# ---------------------------------------------------------------------------
+# CSR backend: binary search v within the sorted adjacency row of u.
+# Adjacency is symmetric, so no canonicalization is needed.
+# ---------------------------------------------------------------------------
+
+def _csr_has_edges(s: EdgeSet, u, v):
+    offsets, cols = s.arrays
+    m = cols.shape[0]
+    lo0 = offsets[u]
+    hi0 = offsets[u + 1]
+
+    def less(mid):
+        return cols[jnp.clip(mid, 0, m - 1)] < v
+
+    pos = _lower_bound(s.num_search_steps, lo0, hi0, less)
+    return (pos < hi0) & (cols[jnp.clip(pos, 0, m - 1)] == v)
+
+
+# ---------------------------------------------------------------------------
+# Sorted backend: lexicographic lower bound over canonical (u, v) pairs.
+# ---------------------------------------------------------------------------
+
+def _sorted_has_edges(s: EdgeSet, u, v):
+    keys_u, keys_v = s.arrays
+    cu = jnp.minimum(u, v)
+    cv = jnp.maximum(u, v)
+    n = keys_u.shape[0]
+    lo0 = jnp.zeros(cu.shape, jnp.int32)
+    hi0 = jnp.full(cu.shape, n, jnp.int32)
+
+    def less(mid):
+        m = jnp.clip(mid, 0, n - 1)
+        mu = keys_u[m]
+        mv = keys_v[m]
+        return (mu < cu) | ((mu == cu) & (mv < cv))
+
+    pos = _lower_bound(s.num_search_steps, lo0, hi0, less)
+    m = jnp.clip(pos, 0, n - 1)
+    return (pos < n) & (keys_u[m] == cu) & (keys_v[m] == cv)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo backend: reference bucket layout, 2 hashes x 4 slots.
+#   hash1 = (P1 * key) % bins, hash2 = (key ^ P2) % bins on the packed
+#   64-bit key (mcmc/cuckoo.cc:39-43), decomposed into 32-bit modular
+#   arithmetic: key = u * 2^32 + v, so
+#   hash1 = (mulmod(P1 % m, u) * (2^32 % m) + mulmod(P1 % m, v)) % m
+#   hash2 = (u * (2^32 % m) + (v ^ P2)) % m.
+# ---------------------------------------------------------------------------
+
+def _mulmod_u32(a, b, m: int):
+    """(a * b) % m with uint32 lanes, m < 2^31 (shift-add "peasant" mulmod).
+
+    a is reduced below m on entry, so a + a and acc + a never overflow.
+    """
+    a = a % np.uint32(m)
+    acc = jnp.zeros_like(a)
+
+    def body(_, carry):
+        acc, a, b = carry
+        take = (b & np.uint32(1)).astype(jnp.bool_)
+        acc = jnp.where(take, (acc + a) % np.uint32(m), acc)
+        a = (a + a) % np.uint32(m)
+        b = b >> np.uint32(1)
+        return acc, a, b
+
+    acc, _, _ = jax.lax.fori_loop(0, 32, body, (acc, a, b))
+    return acc
+
+
+def _mul32x32(a, b):
+    """Full 32x32 -> 64-bit product as a (hi, lo) uint32 pair,
+    via 16-bit limbs (TPU has no native 64-bit integers)."""
+    mask = np.uint32(0xFFFF)
+    a_lo, a_hi = a & mask, a >> np.uint32(16)
+    b_lo, b_hi = b & mask, b >> np.uint32(16)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = (ll >> np.uint32(16)) + (lh & mask) + (hl & mask)
+    lo = (ll & mask) | (mid << np.uint32(16))
+    hi = hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16)) + (mid >> np.uint32(16))
+    return hi, lo
+
+
+def _cuckoo_has_edges(s: EdgeSet, u, v):
+    slots_u, slots_v = s.arrays
+    meta = dict(s.meta)
+    num_bins = meta["num_bins"]
+    cu = jnp.minimum(u, v).astype(jnp.uint32)
+    cv = jnp.maximum(u, v).astype(jnp.uint32)
+
+    pow32 = (1 << 32) % num_bins
+    pow32_arr = jnp.full(cu.shape, pow32, jnp.uint32)
+    p1_arr = jnp.full(cu.shape, _CUCKOO_P1, jnp.uint32)
+    # hash1 = ((P1 * key) mod 2^64) % bins, key = u*2^32 + v. The 2^64
+    # wrap is C uint64 semantics (mcmc/cuckoo.cc:39-40):
+    #   P1*key mod 2^64 = (hi(P1*v) + lo(P1*u)) * 2^32 + lo(P1*v)
+    h_v, l_v = _mul32x32(p1_arr, cv)
+    _, l_u = _mul32x32(p1_arr, cu)
+    prod_hi = h_v + l_u                               # wraps mod 2^32
+    t1 = _mulmod_u32(prod_hi, pow32_arr, num_bins)    # hi*2^32 mod m
+    h1 = (t1 + l_v % np.uint32(num_bins)) % np.uint32(num_bins)
+    # hash2 = (u * 2^32 + (v ^ P2)) % bins (xor touches the low word only)
+    h2 = (_mulmod_u32(cu, pow32_arr, num_bins)
+          + (cv ^ np.uint32(_CUCKOO_P2)) % np.uint32(num_bins)) % np.uint32(num_bins)
+
+    cu32 = cu.astype(jnp.int32)
+    cv32 = cv.astype(jnp.int32)
+
+    def probe(bucket, h):
+        su = slots_u[bucket, h.astype(jnp.int32)]  # [*, 4]
+        sv = slots_v[bucket, h.astype(jnp.int32)]
+        return jnp.any((su == cu32[..., None]) & (sv == cv32[..., None]), axis=-1)
+
+    return probe(0, h1) | probe(1, h2)
+
+
+# ---------------------------------------------------------------------------
+# Builders (host side, numpy)
+# ---------------------------------------------------------------------------
+
+def build_edge_set(
+    backend: EdgeSetBackend,
+    num_nodes: int,
+    u: np.ndarray,
+    v: np.ndarray,
+) -> EdgeSet:
+    """Build a device EdgeSet from canonical host edges (u < v)."""
+    if backend == EdgeSetBackend.CSR:
+        g = Graph.from_edges(num_nodes, u, v)
+        max_deg = g.max_fan_out
+        steps = max(1, math.ceil(math.log2(max_deg + 1)) + 1)
+        return EdgeSet(
+            "csr", num_nodes, steps, (),
+            (
+                jnp.asarray(g.offsets, jnp.int32),
+                jnp.asarray(g.cols, jnp.int32),
+            ),
+        )
+    if backend == EdgeSetBackend.SORTED:
+        order = np.lexsort((v, u))
+        su, sv = np.asarray(u)[order], np.asarray(v)[order]
+        steps = max(1, math.ceil(math.log2(len(su) + 1)) + 1)
+        return EdgeSet(
+            "sorted", num_nodes, steps, (),
+            (jnp.asarray(su, jnp.int32), jnp.asarray(sv, jnp.int32)),
+        )
+    if backend == EdgeSetBackend.CUCKOO:
+        slots_u, slots_v, num_bins = _build_cuckoo_host(u, v)
+        return EdgeSet(
+            "cuckoo", num_nodes, 1, (("num_bins", num_bins),),
+            (jnp.asarray(slots_u), jnp.asarray(slots_v)),
+        )
+    raise ValueError(backend)
+
+
+def _cuckoo_hashes(key: np.uint64, num_bins: int):
+    h1 = int((np.uint64(_CUCKOO_P1) * key) % np.uint64(num_bins))
+    h2 = int((key ^ np.uint64(_CUCKOO_P2)) % np.uint64(num_bins))
+    return h1, h2
+
+
+def _build_cuckoo_host(u: np.ndarray, v: np.ndarray):
+    """Host cuckoo build: 2 buckets x bins x 4 slots, load factor 1/1.15,
+    random-walk displacement (mcmc/cuckoo.cc:98-189 semantics)."""
+    n = len(u)
+    keys = (np.asarray(u, np.uint64) << np.uint64(32)) | np.asarray(
+        v, np.uint64
+    ).astype(np.uint64)
+    num_bins = int(1 + np.ceil((1.15 * max(n, 1)) / (2 * 4)))
+    rng = np.random.RandomState(42)
+    np.seterr(over="ignore")
+    for _attempt in range(12):
+        slots = np.full((2, num_bins, 4), _EMPTY64)
+        ok = True
+        for key in keys:
+            k = np.uint64(key)
+            placed = False
+            bucket = 0
+            for _disp in range(max(64, n // 2 + 1)):
+                h1, h2 = _cuckoo_hashes(k, num_bins)
+                h = h1 if bucket == 0 else h2
+                row = slots[bucket, h]
+                empty = np.nonzero(row == _EMPTY64)[0]
+                if len(empty):
+                    row[empty[0]] = k
+                    placed = True
+                    break
+                # evict a random occupant, retry it in the other bucket
+                j = rng.randint(4)
+                k, row[j] = row[j], k
+                bucket = 1 - bucket
+            if not placed:
+                ok = False
+                break
+        if ok:
+            break
+        num_bins = int(num_bins * 1.3) + 1
+    else:
+        raise RuntimeError("cuckoo build failed")
+    su = (slots >> np.uint64(32)).astype(np.uint32).astype(np.int64).astype(np.int32)
+    sv = (slots & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int64).astype(np.int32)
+    # empty slots become (-1, -1): 0xFFFFFFFF bit pattern in int32 lanes
+    su = su.copy()
+    sv = sv.copy()
+    return su, sv, num_bins

@@ -1,0 +1,68 @@
+"""Held-out perplexity estimator.
+
+Numerics follow /root/reference/mcmc/perplexity.cc:14-85:
+
+  link edge:     L = sum_k pi_uk pi_vk beta_k
+  non-link edge: L = sum_k pi_uk pi_vk (1 - beta_k)
+                     + (1 - sum_k pi_uk pi_vk)(1 - eps)
+  floored at 1e-30; folded into a per-edge running average across calls
+  ppx_e <- (ppx_e * (c - 1) + L) / c   with c = call count
+  result = -mean_e log(ppx_e);  the caller exponentiates
+  (learner.cc:196-202).
+
+The running per-edge average state persists across evaluations and is
+checkpointed — dropping it would diverge trajectories from the reference
+(SURVEY.md §7 "hard parts"). The reference's 4 Boost.Compute/Thrust
+reductions (perplexity.cc:318-331) are plain masked sums fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.ops.edgeset import EdgeSet
+
+
+class PpxResult(NamedTuple):
+    ppx_per_edge: jnp.ndarray   # [H] updated running averages
+    neg_avg_log: jnp.ndarray    # scalar; exp() of it is the perplexity
+    link_likelihood: jnp.ndarray
+    non_link_likelihood: jnp.ndarray
+    link_count: jnp.ndarray
+    non_link_count: jnp.ndarray
+
+
+def perplexity_step(
+    cfg: Config,
+    pi: jnp.ndarray,            # [N, K]
+    beta: jnp.ndarray,          # [K]
+    heldout_set: EdgeSet,       # membership => link/non-link label
+    edges_u: jnp.ndarray,       # [H] evaluation edges (real + fake)
+    edges_v: jnp.ndarray,       # [H]
+    ppx_per_edge: jnp.ndarray,  # [H] running averages (state)
+    avg_count: jnp.ndarray,     # scalar int: number of this call (1-based)
+) -> PpxResult:
+    eps = cfg.epsilon
+    y = heldout_set.has_edges(edges_u, edges_v)             # [H]
+    pp = pi[edges_u] * pi[edges_v]                          # [H, K]
+    pi_sum = jnp.sum(pp, axis=-1)                           # [H]
+    s_link = jnp.sum(pp * beta, axis=-1)
+    s_non = jnp.sum(pp * (1.0 - beta), axis=-1) + (1.0 - pi_sum) * (1.0 - eps)
+    lik = jnp.maximum(jnp.where(y, s_link, s_non), 1e-30)
+
+    c = avg_count.astype(pi.dtype)
+    ppx_new = (ppx_per_edge * (c - 1.0) + lik) / c
+    lg = jnp.log(ppx_new)
+
+    yf = y.astype(pi.dtype)
+    link_lik = jnp.sum(lg * yf)
+    non_link_lik = jnp.sum(lg * (1.0 - yf))
+    link_count = jnp.sum(y.astype(jnp.int32))
+    non_link_count = edges_u.shape[0] - link_count
+    total = link_count + non_link_count
+    neg_avg = -(link_lik + non_link_lik) / total.astype(pi.dtype)
+    return PpxResult(ppx_new, neg_avg, link_lik, non_link_lik,
+                     link_count, non_link_count)

@@ -1,0 +1,111 @@
+"""The phi/pi SGRLD update — the hottest op in the model.
+
+Numerics follow /root/reference/mcmc/phi.cc:84-122 (update_phi_for_node)
+and :154-173 (update_pi) exactly:
+
+  per minibatch node a with neighbors b_1..b_n:
+    y_j   = [ (a, b_j) in training set ]
+    f_jk  = y_j ? (beta_k - eps) : (eps - beta_k)
+    e_j   = y_j ? eps : 1 - eps
+    probs_jk = pi_ak * (pi_{b_j,k} * f_jk + e_j)
+    grads_k  = sum_j [ (probs_jk / sum_k' probs_jk') / (pi_ak * phi_a)
+                       - 1 / phi_a ]
+    phi'_ak  = max(1e-24, | phi_ak + eps_t/2 (alpha - phi_ak
+                              + (N/n) grads_k) + sqrt(eps_t phi_ak) xi |)
+    pi'_a    = phi'_a / sum(phi'_a);  phi_a = sum(phi'_a)
+
+where phi_ak = pi_ak * phi_a (pi rows are kept normalized alongside their
+sums, /root/reference/mcmc/learner.h:53-54).
+
+The reference offers 4 GPU schedules of this math (thread/workgroup/
+shared/codegen modes); here the schedules are 'jnp' (XLA-fused gathers +
+elementwise, this file) and 'pallas' (streaming kernel,
+mcmc_ammsb_tpu/ops/phi_pallas.py), cross-checked by the same
+noise-disabled golden equivalence tests the reference uses
+(wg-phi-test.cc:116-158).
+
+Staged-write semantics: all reads use pre-step pi/phi; updates land in a
+[B, K] staging buffer scattered back once per step — the functional
+equivalent of the reference's separate phi_vec buffer + update_pi pass.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.ops.edgeset import EdgeSet
+from mcmc_ammsb_tpu.ops.rowops import row_normalize
+
+_PHI_FLOOR = 1e-24
+
+
+def phi_update_rows(
+    cfg: Config,
+    pi: jnp.ndarray,         # [N, K] normalized memberships
+    phi_sum: jnp.ndarray,    # [N] row sums
+    beta: jnp.ndarray,       # [K]
+    edge_set: EdgeSet,       # training-edge membership
+    nodes: jnp.ndarray,      # [B] int32 minibatch nodes (deduped, padded)
+    neighbors: jnp.ndarray,  # [B, n] int32
+    step_count: jnp.ndarray, # scalar int
+    noise: jnp.ndarray,      # [B, K] N(0,1) draws (ones when disabled)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute staged phi' for the minibatch rows.
+
+    Returns (pi_rows [B, K] renormalized, sums [B]) — the caller scatters
+    them with `scatter_rows`. Padded lanes produce garbage that the
+    scatter drops.
+    """
+    eps = cfg.epsilon
+    n_neighbors = cfg.num_node_sample
+
+    pi_n = pi[nodes]                          # [B, K]
+    phis = phi_sum[nodes]                     # [B]
+    pi_nb = pi[neighbors]                     # [B, n, K]
+    y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n] bool
+
+    e = jnp.where(y, eps, 1.0 - eps)[..., None]            # [B, n, 1]
+    f = jnp.where(y[..., None], beta - eps, eps - beta)     # [B, n, K]
+    probs = pi_n[:, None, :] * (pi_nb * f + e)              # [B, n, K]
+    probs_sum = jnp.sum(probs, axis=-1, keepdims=True)      # [B, n, 1]
+
+    inv_phi = 1.0 / phis[:, None]                           # [B, 1]
+    grads = (
+        jnp.sum(probs / probs_sum, axis=1) / pi_n * inv_phi
+        - n_neighbors * inv_phi
+    )                                                       # [B, K]
+
+    eps_t = jnp.asarray(cfg.eps_t(step_count), pi.dtype)
+    scale_n = jnp.asarray(cfg.N / n_neighbors, pi.dtype)
+    phi_k = pi_n * phis[:, None]                            # [B, K]
+    phi_new = jnp.abs(
+        phi_k
+        + eps_t / 2.0 * (cfg.alpha_value - phi_k + scale_n * grads)
+        + jnp.sqrt(eps_t * phi_k) * noise
+    )
+    phi_new = jnp.maximum(phi_new, _PHI_FLOOR)
+    return row_normalize(phi_new)
+
+
+def scatter_rows(
+    pi: jnp.ndarray,
+    phi_sum: jnp.ndarray,
+    nodes: jnp.ndarray,      # [B] int32, padded
+    node_mask: jnp.ndarray,  # [B] bool
+    pi_rows: jnp.ndarray,    # [B, K]
+    sums: jnp.ndarray,       # [B]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write staged rows back (update_pi analog, mcmc/phi.cc:154-173).
+
+    Masked lanes are redirected to an out-of-range index and dropped —
+    the node list is already deduplicated, so writes never collide
+    (the reference guarantees the same via host-side dedup,
+    learner.cc:162-173).
+    """
+    safe = jnp.where(node_mask, nodes, pi.shape[0])
+    pi = pi.at[safe].set(pi_rows, mode="drop")
+    phi_sum = phi_sum.at[safe].set(sums, mode="drop")
+    return pi, phi_sum

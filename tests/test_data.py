@@ -1,0 +1,84 @@
+"""Data/ETL tests — property patterns of /root/reference/mcmc/data-test.cc."""
+
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu.data import (Graph, dump_dataset, generate_sets,
+                                 load_dataset, load_snap_edges,
+                                 renumber_dedup_shuffle, synthetic_edges)
+from mcmc_ammsb_tpu.types import canonicalize, pack_edges, unpack_edges
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    u = rng.randint(0, 2**31 - 1, 1000)
+    v = rng.randint(0, 2**31 - 1, 1000)
+    pu, pv = unpack_edges(pack_edges(u, v))
+    np.testing.assert_array_equal(pu, u)
+    np.testing.assert_array_equal(pv, v)
+
+
+def test_renumber_dedup():
+    a = np.array([10, 20, 10, 30, 30, 5])
+    b = np.array([20, 10, 20, 5, 5, 5])  # dup edges + one self loop
+    n, u, v = renumber_dedup_shuffle(a, b)
+    assert n == 4  # {5, 10, 20, 30}
+    assert len(u) == 2  # (10,20) and (5,30), deduped; (5,5) dropped
+    assert np.all(u < v)
+    assert np.all(u >= 0) and np.all(v < n)
+
+
+def test_snap_loader(tmp_path):
+    p = tmp_path / "graph.txt"
+    p.write_text(
+        "# Directed graph\n# Nodes: 4 Edges: 4\n# header\n# FromNodeId\tToNodeId\n"
+        "100\t200\n200\t100\n100\t300\n300\t400\n"
+    )
+    n, u, v = load_snap_edges(str(p))
+    assert n == 4
+    assert len(u) == 3  # (100,200) deduped
+
+
+def test_graph_csr(small_dataset):
+    n, split, graph = small_dataset
+    assert graph.num_nodes == n
+    # symmetric adjacency property (data-test.cc:27-53)
+    for u, v in zip(split.training_u[:50], split.training_v[:50]):
+        assert graph.has_edge(int(u), int(v))
+        assert graph.has_edge(int(v), int(u))
+    assert graph.max_fan_out == int(graph.degrees.max())
+    # rows sorted
+    r = graph.neighbors_of(int(split.training_u[0]))
+    assert np.all(np.diff(r) > 0)
+
+
+def test_generate_sets_invariants(small_dataset):
+    n, split, graph = small_dataset
+    e = split.total_edges
+    heldout_len = len(split.heldout_u)
+    training_len = len(split.training_u)
+    assert training_len + heldout_len == e
+    assert training_len == int(np.ceil((1 - 0.2 / 2) * e))
+    # evaluation edges: real heldout then equal count of fakes
+    assert len(split.heldout_edges_u) == 2 * heldout_len
+    # fakes are not real edges (neither training nor heldout)
+    all_real = set(pack_edges(
+        np.concatenate([split.training_u, split.heldout_u]),
+        np.concatenate([split.training_v, split.heldout_v]),
+    ).tolist())
+    fakes = pack_edges(split.heldout_edges_u[heldout_len:],
+                       split.heldout_edges_v[heldout_len:])
+    assert not (set(fakes.tolist()) & all_real)
+    assert len(set(fakes.tolist())) == heldout_len  # distinct fakes
+
+
+def test_dataset_cache_roundtrip(tmp_path, small_dataset):
+    n, split, _ = small_dataset
+    u = np.concatenate([split.heldout_u, split.training_u])
+    v = np.concatenate([split.heldout_v, split.training_v])
+    path = str(tmp_path / "cache.npz")
+    dump_dataset(path, n, 0.2, u, v)
+    n2, ratio, u2, v2 = load_dataset(path)
+    assert n2 == n and ratio == 0.2
+    np.testing.assert_array_equal(u2, u)
+    np.testing.assert_array_equal(v2, v)

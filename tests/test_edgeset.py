@@ -1,0 +1,63 @@
+"""Edge-membership tests against a host oracle — the pattern of
+/root/reference/mcmc/cuckoo-test.cc:29-115 (positive + negative keys
+checked on both host structure and device lookup)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu.config import EdgeSetBackend
+from mcmc_ammsb_tpu.data import synthetic_edges
+from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
+from mcmc_ammsb_tpu.types import pack_edges
+
+BACKENDS = [EdgeSetBackend.CSR, EdgeSetBackend.SORTED, EdgeSetBackend.CUCKOO]
+
+
+@pytest.fixture(scope="module")
+def edge_data():
+    n, u, v = synthetic_edges(num_nodes=500, avg_degree=12, seed=11)
+    oracle = set(pack_edges(u, v).tolist())
+    rng = np.random.RandomState(5)
+    qu = rng.randint(0, n, 4000).astype(np.int32)
+    qv = rng.randint(0, n, 4000).astype(np.int32)
+    # mix in guaranteed positives, half given in reversed order
+    pu = np.concatenate([u[:500], v[500:1000]]).astype(np.int32)
+    pv = np.concatenate([v[:500], u[500:1000]]).astype(np.int32)
+    qu = np.concatenate([qu, pu])
+    qv = np.concatenate([qv, pv])
+    keep = qu != qv
+    qu, qv = qu[keep], qv[keep]
+    expected = np.array([
+        int(pack_edges(min(a, b), max(a, b))) in oracle
+        for a, b in zip(qu.tolist(), qv.tolist())
+    ])
+    return n, u, v, qu, qv, expected
+
+
+@pytest.mark.parametrize("backend", BACKENDS, ids=lambda b: b.value)
+def test_membership_matches_oracle(edge_data, backend):
+    n, u, v, qu, qv, expected = edge_data
+    es = build_edge_set(backend, n, u, v)
+    got = np.asarray(jax.jit(es.has_edges)(qu, qv))
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("backend", BACKENDS, ids=lambda b: b.value)
+def test_membership_2d_batch(edge_data, backend):
+    n, u, v, qu, qv, expected = edge_data
+    es = build_edge_set(backend, n, u, v)
+    m = (len(qu) // 8) * 8
+    got = np.asarray(es.has_edges(qu[:m].reshape(8, -1),
+                                  qv[:m].reshape(8, -1)))
+    np.testing.assert_array_equal(got.ravel(), expected[:m])
+
+
+def test_empty_rows_negative():
+    # nodes with no edges must always test negative (csr backend)
+    u = np.array([0, 1], np.int32)
+    v = np.array([1, 2], np.int32)
+    es = build_edge_set(EdgeSetBackend.CSR, 10, u, v)
+    got = np.asarray(es.has_edges(
+        np.array([5, 0, 9], np.int32), np.array([6, 1, 0], np.int32)))
+    np.testing.assert_array_equal(got, [False, True, False])

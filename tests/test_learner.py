@@ -1,0 +1,110 @@
+"""End-to-end learner tests: the minimum slice of SURVEY.md §7 —
+perplexity must decrease on a synthetic graph — plus scan-fusion
+equivalence and sampling-strategy invariants."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu.config import Config, SampleStrategy
+from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+from mcmc_ammsb_tpu.learner import Learner
+from mcmc_ammsb_tpu.sampling import MiniBatchSampler
+from mcmc_ammsb_tpu.types import pack_edges
+
+
+def make_learner(cfg_kw=None, n_nodes=300, avg_deg=12, seed=21):
+    n, u, v = synthetic_edges(n_nodes, avg_deg, seed=seed)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=seed + 1)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 **(cfg_kw or {}))
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    return Learner(cfg, graph, split, prefetch=False), split
+
+
+def test_perplexity_decreases():
+    learner, _ = make_learner()
+    ppx0 = learner.heldout_perplexity()
+    learner.run(150)
+    ppx1 = learner.heldout_perplexity()
+    learner.run(150)
+    ppx2 = learner.heldout_perplexity()
+    learner.close()
+    assert np.isfinite([ppx0, ppx1, ppx2]).all()
+    assert ppx2 < ppx0, f"perplexity did not improve: {ppx0} -> {ppx2}"
+
+
+def test_scan_matches_single_steps():
+    """steps_per_call fusion must be trajectory-identical to the
+    step-at-a-time path given the same minibatch stream."""
+    l1, _ = make_learner()
+    l2, _ = make_learner({"steps_per_call": 5})
+    # identical host sampler streams
+    assert l1.cfg.sample_seed == l2.cfg.sample_seed
+    l1.run(10)
+    l2.run(10)
+    np.testing.assert_allclose(np.asarray(l1.state.pi),
+                               np.asarray(l2.state.pi), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(l1.state.theta),
+                               np.asarray(l2.state.theta), rtol=1e-6)
+    assert int(l1.state.step_count) == int(l2.state.step_count) == 11
+    l1.close(); l2.close()
+
+
+def test_state_counters_and_shapes():
+    learner, split = make_learner()
+    st = learner.state
+    cfg = learner.cfg
+    assert st.pi.shape == (cfg.N, cfg.K)
+    assert st.phi_sum.shape == (cfg.N,)
+    assert st.theta.shape == (cfg.K, 2)
+    assert st.ppx_per_edge.shape == (len(split.heldout_edges_u),)
+    # pi rows normalized, phi_sum consistent with raw gamma draws
+    np.testing.assert_allclose(np.asarray(st.pi).sum(-1), 1.0, rtol=1e-5)
+    learner.close()
+
+
+@pytest.mark.parametrize("strategy,check", [
+    (SampleStrategy.NODE_LINK, "link"),
+    (SampleStrategy.NODE_NON_LINK, "nonlink"),
+    (SampleStrategy.BF_LINK, "link"),
+    (SampleStrategy.BF_NON_LINK, "nonlink"),
+])
+def test_sampling_strategies(strategy, check):
+    learner, split = make_learner({"strategy": strategy})
+    cfg, graph = learner.cfg, learner.graph
+    sampler = MiniBatchSampler(cfg, graph, split)
+    training = set(pack_edges(graph.edges_u, graph.edges_v).tolist())
+    for _ in range(5):
+        eu, ev, w = sampler._sample_raw()
+        assert np.all(eu < ev)
+        keys = pack_edges(eu, ev)
+        assert len(set(keys.tolist())) == len(keys)  # batch is a *set*
+        if check == "link":
+            assert all(int(k) in training for k in keys)
+            expected_w = (cfg.N if strategy == SampleStrategy.NODE_LINK
+                          else cfg.E / cfg.mini_batch_size)
+        else:
+            assert not any(int(k) in training for k in keys)
+            assert len(eu) == cfg.mini_batch_size
+            expected_w = (2.0 * cfg.E / cfg.mini_batch_size
+                          if strategy == SampleStrategy.NODE_NON_LINK
+                          else (cfg.N * (cfg.N - 1) / 2.0 - cfg.E)
+                          / cfg.mini_batch_size)
+        assert np.isclose(w, expected_w)
+    learner.close()
+
+
+def test_node_link_is_single_node_fan():
+    learner, split = make_learner({"strategy": SampleStrategy.NODE_LINK})
+    sampler = MiniBatchSampler(learner.cfg, learner.graph, split)
+    eu, ev, w = sampler._node_link()
+    # all edges share one endpoint (sample.cc:253-268)
+    common = set(eu.tolist()) & set(ev.tolist())
+    nodes, counts = np.unique(np.concatenate([eu, ev]), return_counts=True)
+    pivot = nodes[counts.argmax()]
+    assert counts.max() == len(eu)
+    deg = len(learner.graph.neighbors_of(int(pivot)))
+    assert len(eu) == deg
+    learner.close()
