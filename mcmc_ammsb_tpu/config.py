@@ -115,6 +115,10 @@ class Config:
     device_sampling: bool = False    # sample minibatches on-device inside scan
     node_tile: int = 8               # Pallas: minibatch nodes per block
     dtype: str = "float32"
+    # Explicit batch-capacity overrides (0 = derive from m / max_fan_out).
+    # The sharded learner rounds capacities up to mesh multiples.
+    batch_edges_cap: int = 0
+    batch_nodes_cap: int = 0
 
     # --- derived static batch shapes -------------------------------------
     @property
@@ -128,12 +132,16 @@ class Config:
         NodeLink returns every edge of one node, so the buffer must hold
         max(m, max_fan_out) edges (/root/reference/mcmc/sample.cc:129).
         """
+        if self.batch_edges_cap:
+            return self.batch_edges_cap
         return max(self.mini_batch_size, max(self.max_fan_out, 1))
 
     @property
     def max_batch_nodes(self) -> int:
         """Node-buffer capacity: max(2m, max_fan_out + 1)
         (/root/reference/mcmc/sample.cc:130-131)."""
+        if self.batch_nodes_cap:
+            return self.batch_nodes_cap
         return max(2 * self.mini_batch_size, self.max_fan_out + 1)
 
     def finalize(self, N: int, E: int, max_fan_out: int) -> "Config":

@@ -46,12 +46,27 @@ def beta_gradients(
     edge_mask: jnp.ndarray,  # [E] bool
 ) -> jnp.ndarray:
     """Masked gradient fan-in over the minibatch edges. Returns [K, 2]."""
+    y = edge_set.has_edges(edges_u, edges_v)                 # [E] bool
+    return beta_gradients_core(cfg, theta, beta, pi[edges_u], pi[edges_v],
+                               y, edge_mask)
+
+
+def beta_gradients_core(
+    cfg: Config,
+    theta: jnp.ndarray,      # [K, 2]
+    beta: jnp.ndarray,       # [K]
+    pi_u: jnp.ndarray,       # [E, K] gathered rows of edge endpoint u
+    pi_v: jnp.ndarray,       # [E, K] gathered rows of edge endpoint v
+    y: jnp.ndarray,          # [E] bool edge labels
+    edge_mask: jnp.ndarray,  # [E] bool
+) -> jnp.ndarray:
+    """Gradient math on pre-gathered rows (shared with the shard_map
+    path, which fetches rows via masked gather + psum over 'model')."""
     eps = cfg.epsilon
     theta_sum = theta[:, 0] + theta[:, 1]                    # [K]
-
-    y = edge_set.has_edges(edges_u, edges_v)                 # [E] bool
+    pi = pi_u  # dtype carrier
     yf = y.astype(pi.dtype)
-    pp = pi[edges_u] * pi[edges_v]                           # [E, K]
+    pp = pi_u * pi_v                                         # [E, K]
     pi_sum = jnp.sum(pp, axis=-1)                            # [E]
     probs = jnp.where(y[:, None], beta, 1.0 - beta) * pp     # [E, K]
     prob_0 = jnp.where(y, eps, 1.0 - eps) * (1.0 - pi_sum)   # [E]

@@ -45,24 +45,46 @@ def perplexity_step(
     ppx_per_edge: jnp.ndarray,  # [H] running averages (state)
     avg_count: jnp.ndarray,     # scalar int: number of this call (1-based)
 ) -> PpxResult:
-    eps = cfg.epsilon
     y = heldout_set.has_edges(edges_u, edges_v)             # [H]
-    pp = pi[edges_u] * pi[edges_v]                          # [H, K]
+    mask = jnp.ones(edges_u.shape, jnp.bool_)
+    return perplexity_core(cfg, pi[edges_u], pi[edges_v], y, mask, beta,
+                           ppx_per_edge, avg_count)
+
+
+def perplexity_core(
+    cfg: Config,
+    pi_u: jnp.ndarray,          # [H, K] gathered endpoint rows
+    pi_v: jnp.ndarray,          # [H, K]
+    y: jnp.ndarray,             # [H] bool link labels
+    mask: jnp.ndarray,          # [H] bool (False for padding lanes)
+    beta: jnp.ndarray,          # [K]
+    ppx_per_edge: jnp.ndarray,  # [H]
+    avg_count: jnp.ndarray,
+) -> PpxResult:
+    """Likelihood math on pre-gathered rows (shared with the sharded
+    path, which pads the held-out population to the mesh and reduces
+    partial sums with psum). Padding lanes are excluded from every sum
+    and keep their running-average state unchanged."""
+    eps = cfg.epsilon
+    pp = pi_u * pi_v                                        # [H, K]
     pi_sum = jnp.sum(pp, axis=-1)                           # [H]
     s_link = jnp.sum(pp * beta, axis=-1)
     s_non = jnp.sum(pp * (1.0 - beta), axis=-1) + (1.0 - pi_sum) * (1.0 - eps)
     lik = jnp.maximum(jnp.where(y, s_link, s_non), 1e-30)
 
-    c = avg_count.astype(pi.dtype)
+    dtype = pi_u.dtype
+    c = avg_count.astype(dtype)
     ppx_new = (ppx_per_edge * (c - 1.0) + lik) / c
-    lg = jnp.log(ppx_new)
+    ppx_new = jnp.where(mask, ppx_new, ppx_per_edge)
+    lg = jnp.log(jnp.maximum(ppx_new, 1e-38))
 
-    yf = y.astype(pi.dtype)
+    mf = mask.astype(dtype)
+    yf = y.astype(dtype) * mf
     link_lik = jnp.sum(lg * yf)
-    non_link_lik = jnp.sum(lg * (1.0 - yf))
-    link_count = jnp.sum(y.astype(jnp.int32))
-    non_link_count = edges_u.shape[0] - link_count
+    non_link_lik = jnp.sum(lg * (mf - yf))
+    link_count = jnp.sum((y & mask).astype(jnp.int32))
+    non_link_count = jnp.sum(mask.astype(jnp.int32)) - link_count
     total = link_count + non_link_count
-    neg_avg = -(link_lik + non_link_lik) / total.astype(pi.dtype)
+    neg_avg = -(link_lik + non_link_lik) / total.astype(dtype)
     return PpxResult(ppx_new, neg_avg, link_lik, non_link_lik,
                      link_count, non_link_count)

@@ -59,13 +59,30 @@ def phi_update_rows(
     them with `scatter_rows`. Padded lanes produce garbage that the
     scatter drops.
     """
-    eps = cfg.epsilon
-    n_neighbors = cfg.num_node_sample
-
     pi_n = pi[nodes]                          # [B, K]
     phis = phi_sum[nodes]                     # [B]
     pi_nb = pi[neighbors]                     # [B, n, K]
     y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n] bool
+    return phi_update_core(cfg, pi_n, phis, pi_nb, y, beta, step_count,
+                           noise)
+
+
+def phi_update_core(
+    cfg: Config,
+    pi_n: jnp.ndarray,       # [B, K] gathered pi rows of the nodes
+    phis: jnp.ndarray,       # [B] gathered phi sums
+    pi_nb: jnp.ndarray,      # [B, n, K] gathered neighbor rows
+    y: jnp.ndarray,          # [B, n] bool edge labels
+    beta: jnp.ndarray,       # [K]
+    step_count: jnp.ndarray,
+    noise: jnp.ndarray,      # [B, K]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The phi math on pre-gathered rows — shared between the
+    single-device gather path and the shard_map cross-chip path
+    (parallel/sharded.py), which fetches rows with a masked
+    gather + psum over the 'model' mesh axis."""
+    eps = cfg.epsilon
+    n_neighbors = cfg.num_node_sample
 
     e = jnp.where(y, eps, 1.0 - eps)[..., None]            # [B, n, 1]
     f = jnp.where(y[..., None], beta - eps, eps - beta)     # [B, n, K]
@@ -78,8 +95,8 @@ def phi_update_rows(
         - n_neighbors * inv_phi
     )                                                       # [B, K]
 
-    eps_t = jnp.asarray(cfg.eps_t(step_count), pi.dtype)
-    scale_n = jnp.asarray(cfg.N / n_neighbors, pi.dtype)
+    eps_t = jnp.asarray(cfg.eps_t(step_count), pi_n.dtype)
+    scale_n = jnp.asarray(cfg.N / n_neighbors, pi_n.dtype)
     phi_k = pi_n * phis[:, None]                            # [B, K]
     phi_new = jnp.abs(
         phi_k

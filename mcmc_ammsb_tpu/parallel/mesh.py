@@ -1,0 +1,30 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None,
+              n_model: Optional[int] = None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    Default split: model axis as large as possible up to 4 (pi rows
+    sharded for capacity), rest data-parallel. On ICI-connected slices
+    both axes ride ICI; contiguous device order keeps the model axis on
+    nearest neighbors.
+    """
+    n = len(jax.devices())
+    if n_data is None or n_model is None:
+        n_model = min(4, n)
+        while n % n_model:
+            n_model //= 2
+        n_data = n // n_model
+    assert n_data * n_model == n, (n_data, n_model, n)
+    return jax.make_mesh((n_data, n_model), (DATA_AXIS, MODEL_AXIS))

@@ -1,0 +1,326 @@
+"""Multi-chip training via shard_map over a ('data', 'model') mesh.
+
+Layout (SURVEY.md §2 parallelism inventory, §5.8):
+
+  pi [N_pad, K]   — row-sharded over 'model' (the generalization of the
+                    reference's RowPartitionedMatrix, which splits pi
+                    across <=32 allocations on ONE device,
+                    /root/reference/mcmc/partitioned-alloc.h:87-131);
+                    replicated over 'data'.
+  phi_sum [N_pad] — sharded like pi's rows.
+  theta/beta [K]  — replicated everywhere (they are tiny).
+  minibatch       — nodes and edges sharded over 'data'.
+  heldout eval    — edges + running ppx state sharded over 'data'.
+
+Collectives per step (all riding ICI):
+  * row fetch:   masked local gather + psum over 'model' — the standard
+                 distributed embedding lookup; the minibatch's
+                 (1+n)·B/d rows per device are tiny, so this is latency-
+                 not bandwidth-bound.
+  * write-back:  all_gather of the staged rows over 'data', each model
+                 shard applies the rows that land in its range (the
+                 node list is globally deduplicated, so writes are
+                 collision-free).
+  * beta grads:  psum of per-edge partial gradients over 'data' — the
+                 multi-chip version of the reference's sum_grads fan-in
+                 kernel (/root/reference/mcmc/beta.cc:39-49).
+
+theta/beta updates are computed redundantly on every device from
+identical psum'd gradients and identical RNG keys, so replicated state
+stays bit-identical without a broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.data import DataSplit, Graph
+from mcmc_ammsb_tpu.learner import (DeviceBatch, TrainState, init_state)
+from mcmc_ammsb_tpu.ops import beta as beta_ops
+from mcmc_ammsb_tpu.ops import perplexity as ppx_ops
+from mcmc_ammsb_tpu.ops import phi as phi_ops
+from mcmc_ammsb_tpu.ops.edgeset import EdgeSet, build_edge_set
+from mcmc_ammsb_tpu.ops.neighbor import sample_neighbors
+from mcmc_ammsb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from mcmc_ammsb_tpu.rng import native as native_rng
+from mcmc_ammsb_tpu.sampling import MiniBatchSampler, StackedBatches
+from mcmc_ammsb_tpu.utils.timing import StageTimers
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Per-device step body (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _fetch_rows(pi_local: jnp.ndarray, idx: jnp.ndarray,
+                rows_per_shard: int) -> jnp.ndarray:
+    """Cross-shard row gather: local masked gather + psum over 'model'."""
+    m_idx = jax.lax.axis_index(MODEL_AXIS)
+    local = idx - m_idx * rows_per_shard
+    ok = (local >= 0) & (local < rows_per_shard)
+    li = jnp.clip(local, 0, rows_per_shard - 1)
+    rows = pi_local[li] * ok.astype(pi_local.dtype)[..., None]
+    return jax.lax.psum(rows, MODEL_AXIS)
+
+
+def _fetch_scalars(x_local: jnp.ndarray, idx: jnp.ndarray,
+                   rows_per_shard: int) -> jnp.ndarray:
+    m_idx = jax.lax.axis_index(MODEL_AXIS)
+    local = idx - m_idx * rows_per_shard
+    ok = (local >= 0) & (local < rows_per_shard)
+    li = jnp.clip(local, 0, rows_per_shard - 1)
+    return jax.lax.psum(x_local[li] * ok.astype(x_local.dtype), MODEL_AXIS)
+
+
+def _sharded_step_body(cfg: Config, rows_per_shard: int,
+                       edge_set: EdgeSet, state: TrainState,
+                       batch: DeviceBatch) -> TrainState:
+    """One SGRLD step, per-device view. Mirrors learner.train_step."""
+    step = state.step_count
+    d_idx = jax.lax.axis_index(DATA_AXIS)
+    m_idx = jax.lax.axis_index(MODEL_AXIS)
+
+    # --- neighbor sampling for the local node slice ----------------------
+    k_nbr = jax.random.fold_in(
+        jax.random.fold_in(state.neighbor_key, step), d_idx)
+    neighbors = sample_neighbors(k_nbr, batch.nodes, cfg.N,
+                                 cfg.num_node_sample)
+
+    # --- phi update on gathered rows -------------------------------------
+    b_local = batch.nodes.shape[0]
+    pi_n = _fetch_rows(state.pi, batch.nodes, rows_per_shard)
+    phis = _fetch_scalars(state.phi_sum, batch.nodes, rows_per_shard)
+    pi_nb = _fetch_rows(
+        state.pi, neighbors.reshape(-1), rows_per_shard
+    ).reshape(b_local, cfg.num_node_sample, cfg.K)
+    y = edge_set.has_edges(batch.nodes[:, None], neighbors)
+    if cfg.phi_disable_noise:
+        noise = jnp.ones((b_local, cfg.K), state.pi.dtype)
+    else:
+        noise = native_rng.randn(
+            jax.random.fold_in(jax.random.fold_in(state.phi_key, step),
+                               d_idx),
+            (b_local, cfg.K), state.pi.dtype)
+    rows, sums = phi_ops.phi_update_core(
+        cfg, pi_n, phis, pi_nb, y, state.beta, step, noise)
+
+    # --- write-back: all_gather staged rows over 'data', apply locally ---
+    g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
+    g_mask = jax.lax.all_gather(batch.node_mask, DATA_AXIS).reshape(-1)
+    g_rows = jax.lax.all_gather(rows, DATA_AXIS).reshape(-1, cfg.K)
+    g_sums = jax.lax.all_gather(sums, DATA_AXIS).reshape(-1)
+    local = g_nodes - m_idx * rows_per_shard
+    ok = (local >= 0) & (local < rows_per_shard) & g_mask
+    safe = jnp.where(ok, local, rows_per_shard)
+    pi = state.pi.at[safe].set(g_rows, mode="drop")
+    phi_sum = state.phi_sum.at[safe].set(g_sums, mode="drop")
+
+    # --- theta/beta from the local edge slice ----------------------------
+    pi_u = _fetch_rows(pi, batch.edges_u, rows_per_shard)
+    pi_v = _fetch_rows(pi, batch.edges_v, rows_per_shard)
+    y_e = edge_set.has_edges(batch.edges_u, batch.edges_v)
+    partial_grads = beta_ops.beta_gradients_core(
+        cfg, state.theta, state.beta, pi_u, pi_v, y_e, batch.edge_mask)
+    grads = jax.lax.psum(partial_grads, DATA_AXIS)
+    beta_count = state.beta_count + 1
+    beta_noise = native_rng.randn(
+        jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
+        state.pi.dtype)
+    theta, beta = beta_ops.theta_step(
+        cfg, state.theta, grads, batch.weight, beta_count, beta_noise)
+
+    return state._replace(
+        pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+        step_count=step + 1, beta_count=beta_count,
+    )
+
+
+def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
+    def body(s, b):
+        return _sharded_step_body(cfg, rows_per_shard, edge_set, s, b), None
+    state, _ = jax.lax.scan(body, state, batches)
+    return state
+
+
+def _sharded_ppx_body(cfg: Config, rows_per_shard: int,
+                      heldout_set: EdgeSet,
+                      eu: jnp.ndarray, ev: jnp.ndarray, mask: jnp.ndarray,
+                      state: TrainState):
+    """Per-device perplexity over the local heldout slice."""
+    count = state.ppx_count + 1
+    pi_u = _fetch_rows(state.pi, eu, rows_per_shard)
+    pi_v = _fetch_rows(state.pi, ev, rows_per_shard)
+    y = heldout_set.has_edges(eu, ev) & mask
+    res = ppx_ops.perplexity_core(
+        cfg, pi_u, pi_v, y, mask, state.beta, state.ppx_per_edge, count)
+    link_lik = jax.lax.psum(res.link_likelihood, DATA_AXIS)
+    non_link_lik = jax.lax.psum(res.non_link_likelihood, DATA_AXIS)
+    link_count = jax.lax.psum(res.link_count, DATA_AXIS)
+    non_link_count = jax.lax.psum(res.non_link_count, DATA_AXIS)
+    total = (link_count + non_link_count).astype(state.pi.dtype)
+    neg_avg = -(link_lik + non_link_lik) / total
+    state = state._replace(ppx_per_edge=res.ppx_per_edge, ppx_count=count)
+    return state, ppx_ops.PpxResult(
+        res.ppx_per_edge, neg_avg, link_lik, non_link_lik,
+        link_count, non_link_count)
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+class ShardedLearner:
+    """Drop-in multi-chip learner: same API as learner.Learner."""
+
+    def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
+                 mesh: Mesh, prefetch: bool = True):
+        self.mesh = mesh
+        n_data = mesh.shape[DATA_AXIS]
+        n_model = mesh.shape[MODEL_AXIS]
+        self.n_data, self.n_model = n_data, n_model
+
+        # pad capacities to the data axis; rows to the model axis
+        cfg = cfg.replace(
+            batch_edges_cap=_round_up(cfg.max_batch_edges, n_data),
+            batch_nodes_cap=_round_up(cfg.max_batch_nodes, n_data),
+        )
+        self.cfg = cfg
+        self.graph = graph
+        self.split = split
+        self.n_padded = _round_up(cfg.N, n_model)
+        self.rows_per_shard = self.n_padded // n_model
+
+        self.training_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+        self.heldout_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
+
+        # heldout eval population padded to the data axis
+        h = len(split.heldout_edges_u)
+        h_pad = _round_up(h, n_data)
+        eu = np.zeros(h_pad, np.int32); eu[:h] = split.heldout_edges_u
+        ev = np.zeros(h_pad, np.int32); ev[:h] = split.heldout_edges_v
+        hmask = np.arange(h_pad) < h
+
+        state = init_state(cfg, h_pad)
+        pad_rows = self.n_padded - cfg.N
+        if pad_rows:
+            state = state._replace(
+                pi=jnp.concatenate(
+                    [state.pi,
+                     jnp.full((pad_rows, cfg.K), 1.0 / cfg.K,
+                              state.pi.dtype)]),
+                phi_sum=jnp.concatenate(
+                    [state.phi_sum, jnp.ones(pad_rows, state.pi.dtype)]),
+            )
+
+        # --- sharding specs --------------------------------------------
+        self.state_spec = TrainState(
+            pi=P(MODEL_AXIS, None), phi_sum=P(MODEL_AXIS),
+            theta=P(), beta=P(), step_count=P(), beta_count=P(),
+            ppx_per_edge=P(DATA_AXIS), ppx_count=P(),
+            phi_key=P(), beta_key=P(), neighbor_key=P(),
+        )
+        self.batch_spec = DeviceBatch(
+            edges_u=P(DATA_AXIS), edges_v=P(DATA_AXIS),
+            edge_mask=P(DATA_AXIS), nodes=P(DATA_AXIS),
+            node_mask=P(DATA_AXIS), weight=P(),
+        )
+        scan_spec = DeviceBatch(
+            edges_u=P(None, DATA_AXIS), edges_v=P(None, DATA_AXIS),
+            edge_mask=P(None, DATA_AXIS), nodes=P(None, DATA_AXIS),
+            node_mask=P(None, DATA_AXIS), weight=P(None),
+        )
+
+        def dev_put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        self.state: TrainState = jax.tree.map(
+            dev_put, state, self.state_spec)
+        self.heldout_u = dev_put(jnp.asarray(eu), P(DATA_AXIS))
+        self.heldout_v = dev_put(jnp.asarray(ev), P(DATA_AXIS))
+        self.heldout_mask = dev_put(jnp.asarray(hmask), P(DATA_AXIS))
+
+        body = partial(_sharded_step_body, cfg, self.rows_per_shard)
+        self._step_fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), self.state_spec, self.batch_spec),
+            out_specs=self.state_spec,
+            check_vma=False,
+        ))
+        scan_body = partial(_sharded_scan_body, cfg, self.rows_per_shard)
+        self._scan_fn = jax.jit(jax.shard_map(
+            scan_body, mesh=mesh,
+            in_specs=(P(), self.state_spec, scan_spec),
+            out_specs=self.state_spec,
+            check_vma=False,
+        ))
+        ppx_body = partial(_sharded_ppx_body, cfg, self.rows_per_shard)
+        ppx_res_spec = ppx_ops.PpxResult(
+            ppx_per_edge=P(DATA_AXIS), neg_avg_log=P(),
+            link_likelihood=P(), non_link_likelihood=P(),
+            link_count=P(), non_link_count=P())
+        self._ppx_fn = jax.jit(jax.shard_map(
+            ppx_body, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      self.state_spec),
+            out_specs=(self.state_spec, ppx_res_spec),
+            check_vma=False,
+        ))
+
+        self.sampler = MiniBatchSampler(cfg, graph, split)
+        self.timers = StageTimers()
+        self.last_ppx_stats = {}
+
+    # -- API (mirrors Learner) --------------------------------------------
+
+    def run(self, max_iters: int) -> None:
+        spc = max(1, self.cfg.steps_per_call)
+        with self.timers.stage("total"):
+            done = 0
+            while done < max_iters:
+                take = min(spc, max_iters - done)
+                with self.timers.stage("sampling"):
+                    if take == 1:
+                        batch = DeviceBatch.from_host(self.sampler.sample())
+                    else:
+                        batch = DeviceBatch.from_stacked(
+                            self.sampler.sample_many(take))
+                with self.timers.stage("device_step"):
+                    if take == 1:
+                        self.state = self._step_fn(
+                            self.training_set, self.state, batch)
+                    else:
+                        self.state = self._scan_fn(
+                            self.training_set, self.state, batch)
+                done += take
+        jax.block_until_ready(self.state.pi)
+
+    def heldout_perplexity(self) -> float:
+        with self.timers.stage("ppx"):
+            self.state, res = self._ppx_fn(
+                self.heldout_set, self.heldout_u, self.heldout_v,
+                self.heldout_mask, self.state)
+            value = float(jnp.exp(res.neg_avg_log))
+        self.last_ppx_stats = {
+            "link_count": int(res.link_count),
+            "non_link_count": int(res.non_link_count),
+        }
+        return value
+
+    def print_stats(self, log=print) -> None:
+        self.timers.print_table(log)
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,74 @@
+"""Checkpoint round-trip tests — the EndToEnd pattern of
+/root/reference/mcmc/serialize-test.cc:90-134: run, checkpoint, run on;
+restore, run the same steps; trajectories must be bit-exact."""
+
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu.checkpoint import load_checkpoint, save_checkpoint
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+from mcmc_ammsb_tpu.learner import Learner
+
+
+def fresh_learner(seed=17):
+    n, u, v = synthetic_edges(250, 8, seed=seed)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=seed + 1)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    return Learner(cfg, graph, split, prefetch=False)
+
+
+def test_bit_exact_resume(tmp_path):
+    path = str(tmp_path / "ck.npz")
+
+    a = fresh_learner()
+    a.heldout_perplexity()
+    a.run(20)
+    save_checkpoint(path, a)
+    a.run(15)
+    ppx_a = a.heldout_perplexity()
+
+    b = fresh_learner()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == int(21)
+    b.run(15)
+    ppx_b = b.heldout_perplexity()
+
+    # bit-exact: same device program, same restored state + RNG streams
+    assert ppx_a == ppx_b
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    np.testing.assert_array_equal(np.asarray(a.state.theta),
+                                  np.asarray(b.state.theta))
+    np.testing.assert_array_equal(np.asarray(a.state.ppx_per_edge),
+                                  np.asarray(b.state.ppx_per_edge))
+    a.close(); b.close()
+
+
+def test_checkpoint_rejects_geometry_mismatch(tmp_path):
+    path = str(tmp_path / "ck.npz")
+    a = fresh_learner()
+    save_checkpoint(path, a)
+    n, u, v = synthetic_edges(100, 6, seed=99)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=100)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4).finalize(
+        n, split.total_edges, graph.max_fan_out)
+    b = Learner(cfg, graph, split, prefetch=False)
+    with pytest.raises(ValueError, match="geometry"):
+        load_checkpoint(path, b)
+    a.close(); b.close()
+
+
+def test_checkpoint_preserves_timers(tmp_path):
+    path = str(tmp_path / "ck.npz")
+    a = fresh_learner()
+    a.run(5)
+    save_checkpoint(path, a)
+    b = fresh_learner()
+    load_checkpoint(path, b)
+    assert b.timers.seconds["total"] == a.timers.seconds["total"]
+    assert b.timers.calls["device_step"] == a.timers.calls["device_step"]
+    a.close(); b.close()
