@@ -1,0 +1,267 @@
+// Native host-side graph sampler for mcmc_ammsb_tpu.
+//
+// Role: the high-throughput host half of the training pipeline — SNAP
+// edge-list parsing and minibatch sampling over CSR adjacency — the
+// equivalent of the reference's C++ host samplers
+// (/root/reference/mcmc/sample.cc:177-302) and graph ETL
+// (/root/reference/mcmc/data.cc:36-78), built as a small C library
+// bound via ctypes (no pybind11 in this image). Strategy semantics
+// mirror mcmc_ammsb_tpu/sampling.py exactly; tests cross-check the two.
+//
+// Thread-free, allocation-light: one call fills a whole stack of padded
+// minibatches so Python overhead amortizes across steps.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Csr {
+  const int64_t* off;   // [N+1]
+  const int32_t* cols;  // [2E], sorted per row
+  int64_t n;
+};
+
+inline bool has_edge(const Csr& g, int32_t a, int32_t b) {
+  const int32_t* lo = g.cols + g.off[a];
+  const int32_t* hi = g.cols + g.off[a + 1];
+  const int32_t* it = std::lower_bound(lo, hi, b);
+  return it != hi && *it == b;
+}
+
+inline uint64_t pack(int32_t a, int32_t b) {
+  return (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
+         static_cast<uint32_t>(b);
+}
+
+inline bool in_sorted(const uint64_t* arr, int64_t n, uint64_t key) {
+  const uint64_t* end = arr + n;
+  const uint64_t* it = std::lower_bound(arr, end, key);
+  return it != end && *it == key;
+}
+
+struct Raw {
+  std::vector<int32_t> eu, ev;
+  double weight;
+};
+
+using Rng = std::mt19937_64;
+
+inline int64_t randn_below(Rng& rng, int64_t n) {
+  return static_cast<int64_t>(rng() % static_cast<uint64_t>(n));
+}
+
+// NodeLink: all edges of one random non-isolated node; weight N
+// (semantics of mcmc/sample.cc:253-268).
+Raw sample_node_link(const Csr& g, Rng& rng, double n_f) {
+  Raw r;
+  for (;;) {
+    int32_t u = static_cast<int32_t>(randn_below(rng, g.n));
+    int64_t deg = g.off[u + 1] - g.off[u];
+    if (deg == 0) continue;
+    r.eu.reserve(deg);
+    r.ev.reserve(deg);
+    for (int64_t t = g.off[u]; t < g.off[u + 1]; ++t) {
+      int32_t v = g.cols[t];
+      r.eu.push_back(std::min(u, v));
+      r.ev.push_back(std::max(u, v));
+    }
+    r.weight = n_f;
+    return r;
+  }
+}
+
+// NodeNonLink: m distinct non-links sharing one endpoint; weight 2E/m
+// (mcmc/sample.cc:275-293; excludes training AND held-out edges).
+Raw sample_node_non_link(const Csr& g, Rng& rng, const uint64_t* heldout,
+                         int64_t n_heldout, int64_t m, double e_f) {
+  Raw r;
+  int32_t u = static_cast<int32_t>(randn_below(rng, g.n));
+  std::vector<int32_t> seen;
+  while (static_cast<int64_t>(r.eu.size()) < m) {
+    int32_t v = static_cast<int32_t>(randn_below(rng, g.n));
+    if (v == u) continue;
+    if (std::find(seen.begin(), seen.end(), v) != seen.end()) continue;
+    int32_t a = std::min(u, v), b = std::max(u, v);
+    if (has_edge(g, a, b)) continue;
+    if (in_sorted(heldout, n_heldout, pack(a, b))) continue;
+    seen.push_back(v);
+    r.eu.push_back(a);
+    r.ev.push_back(b);
+  }
+  r.weight = 2.0 * e_f / static_cast<double>(m);
+  return r;
+}
+
+// Breadth-first link/non-link (mcmc/sample.cc:177-239 semantics).
+Raw sample_bf(const Csr& g, Rng& rng, const bool link, int64_t m,
+              double n_f, double e_f) {
+  Raw r;
+  std::vector<char> seen_u(g.n, 0);
+  std::vector<int32_t> queue;
+  std::vector<uint64_t> edges;
+  size_t qhead = 0;
+  while (static_cast<int64_t>(edges.size()) < m) {
+    if (qhead >= queue.size()) {
+      for (;;) {
+        int32_t u = static_cast<int32_t>(randn_below(rng, g.n));
+        if (!seen_u[u]) {
+          queue.push_back(u);
+          break;
+        }
+      }
+    }
+    int32_t u = queue[qhead++];
+    if (seen_u[u]) continue;
+    seen_u[u] = 1;
+    if (link) {
+      for (int64_t t = g.off[u];
+           t < g.off[u + 1] && static_cast<int64_t>(edges.size()) < m; ++t) {
+        int32_t v = g.cols[t];
+        queue.push_back(v);
+        uint64_t key = pack(std::min(u, v), std::max(u, v));
+        if (std::find(edges.begin(), edges.end(), key) == edges.end())
+          edges.push_back(key);
+      }
+    } else {
+      for (int i = 0; i < 32 && static_cast<int64_t>(edges.size()) < m; ++i) {
+        int32_t v;
+        for (;;) {
+          v = static_cast<int32_t>(randn_below(rng, g.n));
+          if (v != u && !has_edge(g, std::min(u, v), std::max(u, v))) break;
+        }
+        queue.push_back(v);
+        uint64_t key = pack(std::min(u, v), std::max(u, v));
+        if (std::find(edges.begin(), edges.end(), key) == edges.end())
+          edges.push_back(key);
+      }
+    }
+  }
+  for (uint64_t key : edges) {
+    r.eu.push_back(static_cast<int32_t>(key >> 32));
+    r.ev.push_back(static_cast<int32_t>(key & 0xFFFFFFFFu));
+  }
+  r.weight = link ? e_f / static_cast<double>(m)
+                  : (n_f * (n_f - 1.0) / 2.0 - e_f) / static_cast<double>(m);
+  return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Strategy codes shared with sampling.py: 0 NodeLink, 1 NodeNonLink,
+// 2 Node, 3 BFLink, 4 BFNonLink, 5 BF.
+int sample_batches(
+    const int64_t* offsets, const int32_t* cols, int64_t n_nodes,
+    const uint64_t* heldout_sorted, int64_t n_heldout,
+    int strategy, int64_t mini_batch, double n_f, double e_f,
+    int64_t n_batches, int64_t e_cap, int64_t b_cap, uint64_t seed,
+    int32_t* edges_u, int32_t* edges_v, uint8_t* edge_mask,
+    int32_t* nodes, uint8_t* node_mask, float* weights) {
+  Csr g{offsets, cols, n_nodes};
+  Rng rng(seed);
+  for (int64_t s = 0; s < n_batches; ++s) {
+    int strat = strategy;
+    if (strat == 2) strat = (rng() & 1) ? 0 : 1;   // Node coin flip
+    if (strat == 5) strat = (rng() & 1) ? 3 : 4;   // BF coin flip
+    Raw r;
+    switch (strat) {
+      case 0: r = sample_node_link(g, rng, n_f); break;
+      case 1:
+        r = sample_node_non_link(g, rng, heldout_sorted, n_heldout,
+                                 mini_batch, e_f);
+        break;
+      case 3: r = sample_bf(g, rng, true, mini_batch, n_f, e_f); break;
+      case 4: r = sample_bf(g, rng, false, mini_batch, n_f, e_f); break;
+      default: return -1;
+    }
+    int64_t ne = static_cast<int64_t>(r.eu.size());
+    if (ne > e_cap) return -2;
+    int32_t* bu = edges_u + s * e_cap;
+    int32_t* bv = edges_v + s * e_cap;
+    uint8_t* bm = edge_mask + s * e_cap;
+    std::memset(bu, 0, e_cap * sizeof(int32_t));
+    std::memset(bv, 0, e_cap * sizeof(int32_t));
+    std::memset(bm, 0, e_cap);
+    std::copy(r.eu.begin(), r.eu.end(), bu);
+    std::copy(r.ev.begin(), r.ev.end(), bv);
+    std::fill(bm, bm + ne, 1);
+
+    // deduped endpoint set (ExtractNodesFromMiniBatch, learner.cc:162-173)
+    std::vector<int32_t> uniq;
+    uniq.reserve(2 * ne);
+    uniq.insert(uniq.end(), r.eu.begin(), r.eu.end());
+    uniq.insert(uniq.end(), r.ev.begin(), r.ev.end());
+    std::sort(uniq.begin(), uniq.end());
+    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+    int64_t nn = static_cast<int64_t>(uniq.size());
+    if (nn > b_cap) return -3;
+    int32_t* bn = nodes + s * b_cap;
+    uint8_t* bnm = node_mask + s * b_cap;
+    std::memset(bn, 0, b_cap * sizeof(int32_t));
+    std::memset(bnm, 0, b_cap);
+    std::copy(uniq.begin(), uniq.end(), bn);
+    std::fill(bnm, bnm + nn, 1);
+    weights[s] = static_cast<float>(r.weight);
+  }
+  return 0;
+}
+
+// SNAP edge-list parse: skips '#'-comment lines, reads int pairs,
+// canonicalizes (min, max), drops self loops. Two-call protocol:
+// cap == 0 -> return the pair count only; otherwise fill out_u/out_v
+// (each of length cap) and return the number written, or -1 on I/O
+// error, -2 if the file holds more pairs than cap.
+int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
+                   int64_t* out_v) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (std::fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fclose(f);
+  buf[size] = '\0';
+
+  int64_t count = 0;
+  const char* p = buf.data();
+  const char* end = buf.data() + size;
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+      ++p;
+    if (p >= end) break;
+    if (*p == '#') {  // comment line
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
+    int64_t vals[2];
+    int got = 0;
+    while (got < 2 && p < end) {
+      while (p < end && (*p == ' ' || *p == '\t')) ++p;
+      if (p >= end || *p < '0' || *p > '9') break;
+      int64_t x = 0;
+      while (p < end && *p >= '0' && *p <= '9') x = x * 10 + (*p++ - '0');
+      vals[got++] = x;
+    }
+    while (p < end && *p != '\n') ++p;  // rest of line
+    if (got != 2 || vals[0] == vals[1]) continue;
+    if (cap > 0) {
+      if (count >= cap) return -2;
+      out_u[count] = std::min(vals[0], vals[1]);
+      out_v[count] = std::max(vals[0], vals[1]);
+    }
+    ++count;
+  }
+  return count;
+}
+
+}  // extern "C"

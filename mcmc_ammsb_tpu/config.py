@@ -115,6 +115,7 @@ class Config:
     device_sampling: bool = False    # sample minibatches on-device inside scan
     node_tile: int = 8               # Pallas: minibatch nodes per block
     dtype: str = "float32"
+    host_sampler: str = "auto"       # auto | native (C++) | numpy
     # Explicit batch-capacity overrides (0 = derive from m / max_fan_out).
     # The sharded learner rounds capacities up to mesh multiples.
     batch_edges_cap: int = 0

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcmc_ammsb_tpu.config import Config, PhiImpl
+from mcmc_ammsb_tpu.config import Config, PhiImpl, RngBackend
 from mcmc_ammsb_tpu.data import DataSplit, Graph
 from mcmc_ammsb_tpu.ops import beta as beta_ops
 from mcmc_ammsb_tpu.ops import perplexity as ppx_ops
@@ -38,6 +38,21 @@ from mcmc_ammsb_tpu.rng import native as native_rng
 from mcmc_ammsb_tpu.sampling import (MiniBatch, MiniBatchSampler,
                                      PrefetchingSampler, StackedBatches)
 from mcmc_ammsb_tpu.utils.timing import StageTimers
+
+
+class RefRngState(NamedTuple):
+    """Per-thread xorshift128+ seed arrays for the reference RNG backend.
+
+    Stream assignment mirrors the reference kernels: one stream per
+    minibatch node lane for phi noise (PHI_NODE_PER_THREAD law,
+    /root/reference/mcmc/phi.cc:140-150, K sequential draws per step)
+    and one stream per community for theta noise (update_theta draws
+    r0, r1 per k, /root/reference/mcmc/beta.cc:57-80). Streams persist
+    across steps exactly like the checkpointed rand->base_ arrays.
+    """
+
+    phi: jnp.ndarray    # [max_batch_nodes, 4] uint32
+    beta: jnp.ndarray   # [K, 4] uint32
 
 
 class TrainState(NamedTuple):
@@ -60,6 +75,7 @@ class TrainState(NamedTuple):
     phi_key: jax.Array
     beta_key: jax.Array
     neighbor_key: jax.Array
+    ref_seeds: Optional[RefRngState]  # only with RngBackend.REFERENCE
 
 
 class DeviceBatch(NamedTuple):
@@ -89,15 +105,58 @@ class DeviceBatch(NamedTuple):
         )
 
 
+def _init_gamma_reference(cfg: Config, dtype):
+    """theta/pi init draws through the reference RNG backend.
+
+    pi follows the device law of RandomGammaAndNormalize
+    (/root/reference/mcmc/random.cc:106-167): 32 streams per row seeded
+    {11,113} with seed_i = base + i; stream (row*32 + l) supplies
+    columns l, l+32, ... in order. theta uses gamma draws from the
+    init-seed streams (the reference's host std::mt19937 bit stream is
+    library-specific and is not reproduced; distribution and stream
+    discipline are).
+    """
+    from mcmc_ammsb_tpu.rng import reference as ref
+
+    theta_seeds = ref.make_seeds(
+        (cfg.init_seed & 0xFFFFFFFF, cfg.init_seed >> 32), 2 * cfg.K)
+    th, _ = ref.rand_gamma(theta_seeds, cfg.eta0, cfg.eta1)
+    theta = th.reshape(cfg.K, 2).astype(dtype)
+
+    lanes = 32
+    pi_seeds = ref.make_seeds((11, 113), cfg.N * lanes)
+    cols = []
+    for t in range((cfg.K + lanes - 1) // lanes):
+        base = t * lanes
+        width = min(lanes, cfg.K - base)
+        mask = jnp.ones((cfg.N * lanes,), jnp.bool_) if width == lanes else (
+            jnp.tile(jnp.arange(lanes) < width, cfg.N))
+        g, pi_seeds = ref.rand_gamma(pi_seeds, cfg.eta0, cfg.eta1, mask)
+        cols.append(g.reshape(cfg.N, lanes)[:, :width])
+    phi_raw = jnp.concatenate(cols, axis=1).astype(dtype)
+    return theta, phi_raw
+
+
 def init_state(cfg: Config, heldout_size: int,
                dtype=jnp.float32) -> TrainState:
     """Initialize model state (init laws of learner.cc:149-155)."""
-    root = native_rng.key_from_seed((cfg.init_seed & 0xFFFFFFFF,
-                                     cfg.init_seed >> 32))
-    k_theta, k_pi = jax.random.split(root)
-    theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1, dtype)
+    if cfg.rng_backend == RngBackend.REFERENCE:
+        from mcmc_ammsb_tpu.rng import reference as ref
+        theta, phi_raw = _init_gamma_reference(cfg, dtype)
+        ref_seeds = RefRngState(
+            phi=ref.make_seeds(cfg.phi_seed, cfg.max_batch_nodes),
+            beta=ref.make_seeds(cfg.beta_seed, cfg.K),
+        )
+    else:
+        root = native_rng.key_from_seed((cfg.init_seed & 0xFFFFFFFF,
+                                         cfg.init_seed >> 32))
+        k_theta, k_pi = jax.random.split(root)
+        theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1,
+                                 dtype)
+        phi_raw = native_rng.gamma(k_pi, (cfg.N, cfg.K), cfg.eta0,
+                                   cfg.eta1, dtype)
+        ref_seeds = None
     beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
-    phi_raw = native_rng.gamma(k_pi, (cfg.N, cfg.K), cfg.eta0, cfg.eta1, dtype)
     phi_sum = jnp.sum(phi_raw, axis=-1)
     pi = phi_raw / phi_sum[:, None]
     return TrainState(
@@ -112,6 +171,7 @@ def init_state(cfg: Config, heldout_size: int,
         phi_key=native_rng.key_from_seed(cfg.phi_seed),
         beta_key=native_rng.key_from_seed(cfg.beta_seed),
         neighbor_key=native_rng.key_from_seed(cfg.neighbor_seed),
+        ref_seeds=ref_seeds,
     )
 
 
@@ -133,8 +193,21 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
 
     # 2. phi/pi update (phi.cc:76-175)
     b = batch.nodes.shape[0]
+    ref_seeds = state.ref_seeds
     if cfg.phi_disable_noise:
         phi_noise = jnp.ones((b, cfg.K), state.pi.dtype)
+    elif cfg.rng_backend == RngBackend.REFERENCE:
+        # K sequential ziggurat draws per active node lane, matching
+        # the per-thread loop order of phi.cc:114-121; padded lanes
+        # consume nothing (threads with i >= num nodes exit early)
+        from mcmc_ammsb_tpu.rng import reference as ref
+        seeds = ref_seeds.phi
+        cols = []
+        for _ in range(cfg.K):
+            x, seeds = ref.randn(seeds, batch.node_mask)
+            cols.append(x)
+        phi_noise = jnp.stack(cols, axis=-1).astype(state.pi.dtype)
+        ref_seeds = ref_seeds._replace(phi=seeds)
     else:
         phi_noise = native_rng.randn(
             jax.random.fold_in(state.phi_key, step), (b, cfg.K),
@@ -158,9 +231,18 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     # 3. theta/beta update (beta.cc:334-384); reads the *new* pi like the
     # reference (its beta kernels run after update_pi in the same stream)
     beta_count = state.beta_count + 1
-    beta_noise = native_rng.randn(
-        jax.random.fold_in(state.beta_key, step), (cfg.K, 2), state.pi.dtype
-    )
+    if cfg.rng_backend == RngBackend.REFERENCE:
+        # r0 then r1 per community stream (beta.cc:60-78)
+        from mcmc_ammsb_tpu.rng import reference as ref
+        r0, bseeds = ref.randn(ref_seeds.beta)
+        r1, bseeds = ref.randn(bseeds)
+        beta_noise = jnp.stack([r0, r1], axis=-1).astype(state.pi.dtype)
+        ref_seeds = ref_seeds._replace(beta=bseeds)
+    else:
+        beta_noise = native_rng.randn(
+            jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
+            state.pi.dtype,
+        )
     theta, beta = beta_ops.update_beta(
         cfg, state.theta, state.beta, pi, edge_set,
         batch.edges_u, batch.edges_v, batch.edge_mask,
@@ -170,6 +252,7 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     return state._replace(
         pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
         step_count=step + 1, beta_count=beta_count,
+        ref_seeds=ref_seeds,
     )
 
 

@@ -1,0 +1,135 @@
+"""ctypes bindings + lazy build of the native C++ host sampler.
+
+The reference's host side is C++ throughout (graph ETL data.cc,
+minibatch samplers sample.cc); this module is its counterpart for the
+TPU framework: `csrc/sampler.cpp` compiled on first use with g++ into
+`build/libmcmc_sampler.so`, exposed through ctypes (pybind11 is not in
+this image). Everything degrades gracefully to the numpy implementations
+in sampling.py / data.py when no compiler is available —
+``available()`` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "csrc", "sampler.cpp")
+_BUILD_DIR = os.path.join(_ROOT, "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libmcmc_sampler.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+STRATEGY_CODES = {
+    "NodeLink": 0, "NodeNonLink": 1, "Node": 2,
+    "BFLink": 3, "BFNonLink": 4, "BF": 5,
+}
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+        return True
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        i64 = ctypes.c_int64
+        lib.sample_batches.restype = ctypes.c_int
+        lib.sample_batches.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64,          # csr
+            ctypes.c_void_p, i64,                           # heldout
+            ctypes.c_int, i64, ctypes.c_double, ctypes.c_double,
+            i64, i64, i64, ctypes.c_uint64,                 # S, caps, seed
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.snap_parse.restype = i64
+        lib.snap_parse.argtypes = [ctypes.c_char_p, i64,
+                                   ctypes.c_void_p, ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def sample_batches(
+    offsets: np.ndarray, cols: np.ndarray, num_nodes: int,
+    heldout_sorted: np.ndarray, strategy: str, mini_batch: int,
+    n_f: float, e_f: float, n_batches: int, e_cap: int, b_cap: int,
+    seed: int,
+):
+    """Fill a stack of padded minibatches in one native call.
+
+    Returns (edges_u, edges_v, edge_mask, nodes, node_mask, weights),
+    shapes [S, e_cap] / [S, b_cap] / [S], matching
+    sampling.MiniBatchSampler.sample_many.
+    """
+    lib = _load()
+    assert lib is not None, "native sampler unavailable"
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    heldout_sorted = np.ascontiguousarray(heldout_sorted, np.uint64)
+    s = n_batches
+    eu = np.empty((s, e_cap), np.int32)
+    ev = np.empty((s, e_cap), np.int32)
+    em = np.empty((s, e_cap), np.uint8)
+    nd = np.empty((s, b_cap), np.int32)
+    nm = np.empty((s, b_cap), np.uint8)
+    w = np.empty(s, np.float32)
+    rc = lib.sample_batches(
+        _ptr(offsets), _ptr(cols), num_nodes,
+        _ptr(heldout_sorted), len(heldout_sorted),
+        STRATEGY_CODES[strategy], mini_batch, float(n_f), float(e_f),
+        s, e_cap, b_cap, seed & 0xFFFFFFFFFFFFFFFF,
+        _ptr(eu), _ptr(ev), _ptr(em), _ptr(nd), _ptr(nm), _ptr(w),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native sample_batches failed: rc={rc}")
+    return eu, ev, em.astype(bool), nd, nm.astype(bool), w
+
+
+def snap_parse(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse a SNAP edge list natively; returns canonicalized (u, v)
+    int64 arrays (self loops dropped, duplicates retained — renumber +
+    dedup happen vectorized in data.renumber_dedup_shuffle)."""
+    lib = _load()
+    assert lib is not None, "native parser unavailable"
+    count = lib.snap_parse(path.encode(), 0, None, None)
+    if count < 0:
+        raise IOError(f"snap_parse failed: rc={count}")
+    u = np.empty(count, np.int64)
+    v = np.empty(count, np.int64)
+    got = lib.snap_parse(path.encode(), count, _ptr(u), _ptr(v))
+    if got < 0:
+        raise IOError(f"snap_parse failed: rc={got}")
+    return u[:got], v[:got]

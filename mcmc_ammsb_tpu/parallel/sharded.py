@@ -191,6 +191,11 @@ class ShardedLearner:
         self.n_data, self.n_model = n_data, n_model
 
         # pad capacities to the data axis; rows to the model axis
+        from mcmc_ammsb_tpu.config import RngBackend
+        if cfg.rng_backend != RngBackend.NATIVE:
+            # reference per-thread streams are single-device semantics;
+            # the sharded path always runs the native counter RNG
+            cfg = cfg.replace(rng_backend=RngBackend.NATIVE)
         cfg = cfg.replace(
             batch_edges_cap=_round_up(cfg.max_batch_edges, n_data),
             batch_nodes_cap=_round_up(cfg.max_batch_nodes, n_data),
@@ -231,6 +236,7 @@ class ShardedLearner:
             theta=P(), beta=P(), step_count=P(), beta_count=P(),
             ppx_per_edge=P(DATA_AXIS), ppx_count=P(),
             phi_key=P(), beta_key=P(), neighbor_key=P(),
+            ref_seeds=None,  # sharded path uses the native backend
         )
         self.batch_spec = DeviceBatch(
             edges_u=P(DATA_AXIS), edges_v=P(DATA_AXIS),

@@ -50,7 +50,14 @@ class MiniBatch:
 
 
 class MiniBatchSampler:
-    """Stateful host sampler over the training graph."""
+    """Stateful host sampler over the training graph.
+
+    Chunked sampling (`sample_many`) dispatches to the native C++
+    sampler (mcmc_ammsb_tpu.native / csrc/sampler.cpp) when available —
+    the reference's host samplers are C++ too (mcmc/sample.cc) — and
+    falls back to the numpy strategies below. ``cfg.host_sampler``
+    forces one path ("native"/"numpy"; "auto" probes the toolchain).
+    """
 
     def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
                  seed: Optional[int] = None):
@@ -60,9 +67,18 @@ class MiniBatchSampler:
             cfg.sample_seed if seed is None else seed
         )
         # membership oracles for NodeNonLink exclusion (sample.cc:286-287)
-        self._heldout = set(
-            pack_edges(split.heldout_u, split.heldout_v).tolist()
-        )
+        self._heldout_sorted = np.sort(
+            pack_edges(split.heldout_u, split.heldout_v))
+        self._heldout = set(self._heldout_sorted.tolist())
+        if cfg.host_sampler == "numpy":
+            self.use_native = False
+        else:
+            from mcmc_ammsb_tpu import native
+            self.use_native = native.available()
+            if cfg.host_sampler == "native" and not self.use_native:
+                raise RuntimeError("native sampler requested but the "
+                                   "C++ build is unavailable")
+        self._native_call_count = 0
 
     # -- strategies --------------------------------------------------------
 
@@ -179,6 +195,8 @@ class MiniBatchSampler:
     def sample_many(self, count: int) -> "StackedBatches":
         """Sample ``count`` minibatches stacked along a leading axis —
         the input of the fused lax.scan driver."""
+        if self.use_native:
+            return self._sample_many_native(count)
         batches = [self.sample() for _ in range(count)]
         return StackedBatches(
             edges_u=np.stack([b.edges_u for b in batches]),
@@ -188,6 +206,20 @@ class MiniBatchSampler:
             node_mask=np.stack([b.node_mask for b in batches]),
             weight=np.asarray([b.weight for b in batches], np.float32),
         )
+
+    def _sample_many_native(self, count: int) -> "StackedBatches":
+        from mcmc_ammsb_tpu import native
+
+        cfg, g = self.cfg, self.graph
+        self._native_call_count += 1
+        seed = (cfg.sample_seed * 0x9E3779B9 + self._native_call_count)
+        eu, ev, em, nd, nm, w = native.sample_batches(
+            g.offsets, g.cols, g.num_nodes, self._heldout_sorted,
+            cfg.strategy.value, cfg.mini_batch_size,
+            float(cfg.N), float(cfg.E), count,
+            cfg.max_batch_edges, cfg.max_batch_nodes, seed,
+        )
+        return StackedBatches(eu, ev, em, nd, nm, w)
 
 
 @dataclasses.dataclass

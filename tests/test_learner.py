@@ -17,8 +17,11 @@ def make_learner(cfg_kw=None, n_nodes=300, avg_deg=12, seed=21):
     n, u, v = synthetic_edges(n_nodes, avg_deg, seed=seed)
     split = generate_sets(n, u, v, heldout_ratio=0.1, seed=seed + 1)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
+    # numpy sampler: single-step and scan paths share one RNG stream,
+    # which the cross-path equivalence tests rely on (the native C++
+    # sampler reseeds per chunk call)
     cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
-                 **(cfg_kw or {}))
+                 host_sampler="numpy", **(cfg_kw or {}))
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     return Learner(cfg, graph, split, prefetch=False), split
 

@@ -1,0 +1,99 @@
+"""Native C++ sampler tests: same invariants as the numpy strategies
+(cross-implementation check, the host-side analog of the reference's
+cross-mode kernel tests)."""
+
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu import native
+from mcmc_ammsb_tpu.config import Config, SampleStrategy
+from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+from mcmc_ammsb_tpu.sampling import MiniBatchSampler
+from mcmc_ammsb_tpu.types import pack_edges
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n, u, v = synthetic_edges(500, 10, seed=3)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=4)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    return n, split, graph
+
+
+@pytest.mark.parametrize("strategy", ["NodeLink", "NodeNonLink", "Node",
+                                      "BFLink", "BFNonLink", "BF"])
+def test_native_batches_invariants(setup, strategy):
+    n, split, graph = setup
+    cfg = Config(K=8, mini_batch_size=16,
+                 strategy=SampleStrategy.parse(strategy),
+                 host_sampler="native")
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    sampler = MiniBatchSampler(cfg, graph, split)
+    assert sampler.use_native
+    stacked = sampler.sample_many(8)
+    training = set(pack_edges(graph.edges_u, graph.edges_v).tolist())
+    heldout = set(pack_edges(split.heldout_u, split.heldout_v).tolist())
+    for s in range(8):
+        ne = int(stacked.edge_mask[s].sum())
+        assert ne > 0
+        eu = stacked.edges_u[s][:ne]
+        ev = stacked.edges_v[s][:ne]
+        assert np.all(eu < ev)
+        keys = pack_edges(eu, ev)
+        assert len(set(keys.tolist())) == ne          # edges distinct
+        # mask is a clean prefix
+        assert not stacked.edge_mask[s][ne:].any()
+        # node list = deduped endpoints
+        nn = int(stacked.node_mask[s].sum())
+        got_nodes = set(stacked.nodes[s][:nn].tolist())
+        assert got_nodes == set(eu.tolist()) | set(ev.tolist())
+        if strategy == "NodeLink":
+            assert all(int(k) in training for k in keys)
+            assert stacked.weight[s] == cfg.N
+        elif strategy == "NodeNonLink":
+            assert ne == cfg.mini_batch_size
+            assert not any(int(k) in training or int(k) in heldout
+                           for k in keys)
+            assert np.isclose(stacked.weight[s],
+                              2.0 * cfg.E / cfg.mini_batch_size)
+        elif strategy == "BFLink":
+            assert all(int(k) in training for k in keys)
+        elif strategy == "BFNonLink":
+            assert not any(int(k) in training for k in keys)
+
+
+def test_native_deterministic(setup):
+    n, split, graph = setup
+    cfg = Config(K=8, mini_batch_size=8, host_sampler="native")
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    a = MiniBatchSampler(cfg, graph, split).sample_many(4)
+    b = MiniBatchSampler(cfg, graph, split).sample_many(4)
+    np.testing.assert_array_equal(a.edges_u, b.edges_u)
+    np.testing.assert_array_equal(a.weight, b.weight)
+
+
+def test_native_snap_parse(tmp_path, setup):
+    p = tmp_path / "g.txt"
+    p.write_text("# comment\n# another\n5\t7\n7\t5\n5\t5\n9 11\n")
+    u, v = native.snap_parse(str(p))
+    # self loop dropped; canonicalized; duplicates retained for numpy dedup
+    assert len(u) == 3
+    assert list(u) == [5, 5, 9] and list(v) == [7, 7, 11]
+
+
+def test_native_matches_python_parser(tmp_path):
+    from mcmc_ammsb_tpu.data import load_snap_edges, renumber_dedup_shuffle
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 1000, 5000)
+    b = rng.randint(0, 1000, 5000)
+    p = tmp_path / "big.txt"
+    p.write_text("# hdr\n" + "\n".join(f"{x}\t{y}" for x, y in zip(a, b)))
+    n1, u1, v1 = load_snap_edges(str(p))
+    un, vn = native.snap_parse(str(p))
+    n2, u2, v2 = renumber_dedup_shuffle(un, vn)
+    assert n1 == n2
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(v1, v2)
