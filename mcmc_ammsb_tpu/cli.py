@@ -39,6 +39,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    metavar="N,AVG_DEG",
                    help="use a synthetic random graph instead of --file")
     p.add_argument("--heldout-ratio", "-r", type=float, default=0.01)
+    p.add_argument("--calc-train-ppx", action="store_true")
+    p.add_argument("--train-ppx-ratio", type=float, default=0.01)
     p.add_argument("--alpha", type=float, default=0.0)
     p.add_argument("-a", dest="a", type=float, default=0.0315)
     p.add_argument("-b", dest="b", type=float, default=1024.0)
@@ -66,6 +68,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=RngBackend.NATIVE.value)
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="lax.scan fusion depth of the training loop")
+    p.add_argument("--device-sampling", action="store_true",
+                   help="sample minibatches on device inside the fused "
+                        "loop (Node-family strategies)")
     # dataset cache (main.cc:77-80)
     p.add_argument("--dump-data", action="store_true")
     p.add_argument("--dump-file", type=str, default="")
@@ -90,6 +95,9 @@ def config_from_args(args) -> Config:
         num_node_sample=args.neighbors,
         strategy=SampleStrategy.parse(args.sample),
         heldout_ratio=args.heldout_ratio,
+        calc_train_ppx=args.calc_train_ppx,
+        training_ppx_ratio=args.train_ppx_ratio,
+        device_sampling=args.device_sampling,
         ppx_interval=args.ppx_interval,
         phi_seed=tuple(args.phi_seed),
         beta_seed=tuple(args.beta_seed),
@@ -166,6 +174,9 @@ def main(argv=None) -> int:
         i += step
         if not signaled["flag"]:
             log.info("ppx[%d] = %s", i, learner.heldout_perplexity())
+            if cfg.calc_train_ppx:
+                log.info("train_ppx[%d] = %s", i,
+                         learner.training_perplexity())
     if signaled["flag"]:
         log.info("FORCED TERMINATE")
     learner.print_stats(lambda s: log.info("%s", s))

@@ -96,6 +96,11 @@ class Config:
 
     # --- evaluation ------------------------------------------------------
     ppx_interval: int = 100
+    # training-perplexity estimator (MCMC_CALC_TRAIN_PPX parity,
+    # /root/reference/mcmc/learner.cc:47-75): ratio of training edges
+    # plus a proportional count of sampled non-links
+    calc_train_ppx: bool = False
+    training_ppx_ratio: float = 0.01
 
     # --- seeds (reference: main.cc:68-70) --------------------------------
     phi_seed: Tuple[int, int] = (42, 43)

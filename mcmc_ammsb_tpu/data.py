@@ -210,6 +210,48 @@ def generate_sets(
     )
 
 
+def make_training_ppx_edges(
+    split: DataSplit, ratio: float, seed: int = 777
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluation population for TRAINING perplexity
+    (MakeEdgesForTrainingPerplexity, /root/reference/mcmc/learner.cc:48-74):
+    num_links = ratio * |training edges| real training edges, plus
+    num_links * (N(N-1)/2) / E sampled non-edges (outside training and
+    held-out)."""
+    n = split.num_nodes
+    e = split.total_edges
+    total = n * (n - 1) // 2
+    num_links = int(ratio * len(split.training_u))
+    num_non_links = int(num_links * total / float(e))
+    eu = [split.training_u[:num_links]]
+    ev = [split.training_v[:num_links]]
+    existing = set(pack_edges(
+        np.concatenate([split.training_u, split.heldout_u]),
+        np.concatenate([split.training_v, split.heldout_v]),
+    ).tolist())
+    rng = np.random.RandomState(seed)
+    fu = np.empty(num_non_links, VERTEX_DTYPE)
+    fv = np.empty(num_non_links, VERTEX_DTYPE)
+    count = 0
+    while count < num_non_links:
+        need = num_non_links - count
+        ra = rng.randint(0, n, size=2 * need + 16)
+        rb = rng.randint(0, n, size=2 * need + 16)
+        keep = ra != rb
+        cu, cv = canonicalize(ra[keep], rb[keep])
+        for x, y in zip(cu, cv):
+            if int(pack_edges(x, y)) in existing:
+                continue
+            fu[count], fv[count] = x, y
+            count += 1
+            if count == num_non_links:
+                break
+    eu.append(fu)
+    ev.append(fv)
+    return (np.concatenate(eu).astype(VERTEX_DTYPE),
+            np.concatenate(ev).astype(VERTEX_DTYPE))
+
+
 def dump_dataset(path: str, num_nodes: int, heldout_ratio: float,
                  u: np.ndarray, v: np.ndarray) -> None:
     """Compressed dataset cache (parity of main.cc:109-126's gzip dump)."""

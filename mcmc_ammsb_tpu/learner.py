@@ -76,6 +76,11 @@ class TrainState(NamedTuple):
     beta_key: jax.Array
     neighbor_key: jax.Array
     ref_seeds: Optional[RefRngState]  # only with RngBackend.REFERENCE
+    # training-perplexity running state (empty unless cfg.calc_train_ppx;
+    # the reference gates the same state behind MCMC_CALC_TRAIN_PPX,
+    # learner.cc:47-75, 204-212)
+    train_ppx_per_edge: jnp.ndarray
+    train_ppx_count: jnp.ndarray
 
 
 class DeviceBatch(NamedTuple):
@@ -138,6 +143,7 @@ def _init_gamma_reference(cfg: Config, dtype):
 
 
 def init_state(cfg: Config, heldout_size: int,
+               train_ppx_size: int = 0,
                dtype=jnp.float32) -> TrainState:
     """Initialize model state (init laws of learner.cc:149-155)."""
     if cfg.rng_backend == RngBackend.REFERENCE:
@@ -172,6 +178,8 @@ def init_state(cfg: Config, heldout_size: int,
         beta_key=native_rng.key_from_seed(cfg.beta_seed),
         neighbor_key=native_rng.key_from_seed(cfg.neighbor_seed),
         ref_seeds=ref_seeds,
+        train_ppx_per_edge=jnp.zeros(train_ppx_size, dtype),
+        train_ppx_count=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -267,6 +275,36 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
     return state
 
 
+def train_step_device_sampled(cfg: Config, edge_set: EdgeSet,
+                              heldout_set: EdgeSet,
+                              state: TrainState) -> TrainState:
+    """One step with the minibatch sampled ON DEVICE — no host data.
+
+    The sampling key is derived from (sample_seed, step), so the fused
+    loop stays a pure function of state."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatch_device
+
+    key = jax.random.fold_in(
+        native_rng.key_from_seed((cfg.sample_seed, 0x5A)), state.step_count)
+    ds = sample_minibatch_device(cfg, edge_set, heldout_set, key)
+    batch = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
+                        ds.nodes, ds.node_mask, ds.weight)
+    return train_step(cfg, edge_set, state, batch)
+
+
+def train_steps_fused(cfg: Config, edge_set: EdgeSet,
+                      heldout_set: EdgeSet, state: TrainState,
+                      num_steps: int) -> TrainState:
+    """num_steps fully-fused steps (device sampling + update) in ONE
+    dispatch — the zero-host-round-trip training loop."""
+
+    def body(s, _):
+        return train_step_device_sampled(cfg, edge_set, heldout_set, s), None
+
+    state, _ = jax.lax.scan(body, state, None, length=num_steps)
+    return state
+
+
 def heldout_perplexity_step(
     cfg: Config, heldout_set: EdgeSet,
     heldout_u: jnp.ndarray, heldout_v: jnp.ndarray,
@@ -279,6 +317,24 @@ def heldout_perplexity_step(
         heldout_u, heldout_v, state.ppx_per_edge, count,
     )
     state = state._replace(ppx_per_edge=res.ppx_per_edge, ppx_count=count)
+    return state, res
+
+
+def training_perplexity_step(
+    cfg: Config, training_set: EdgeSet,
+    edges_u: jnp.ndarray, edges_v: jnp.ndarray,
+    state: TrainState,
+) -> Tuple[TrainState, ppx_ops.PpxResult]:
+    """Training-perplexity evaluation over the MCMC_CALC_TRAIN_PPX
+    population (learner.cc:204-212); labels come from the training
+    set, running averages live in their own state."""
+    count = state.train_ppx_count + 1
+    res = ppx_ops.perplexity_step(
+        cfg, state.pi, state.beta, training_set,
+        edges_u, edges_v, state.train_ppx_per_edge, count,
+    )
+    state = state._replace(train_ppx_per_edge=res.ppx_per_edge,
+                           train_ppx_count=count)
     return state, res
 
 
@@ -306,7 +362,17 @@ class Learner:
         )
         self.heldout_u = jnp.asarray(split.heldout_edges_u)
         self.heldout_v = jnp.asarray(split.heldout_edges_v)
-        self.state = init_state(cfg, heldout_size)
+        if cfg.calc_train_ppx:
+            from mcmc_ammsb_tpu.data import make_training_ppx_edges
+            tpu_u, tpu_v = make_training_ppx_edges(
+                split, cfg.training_ppx_ratio)
+            self.train_ppx_u = jnp.asarray(tpu_u)
+            self.train_ppx_v = jnp.asarray(tpu_v)
+            train_ppx_size = len(tpu_u)
+        else:
+            self.train_ppx_u = self.train_ppx_v = None
+            train_ppx_size = 0
+        self.state = init_state(cfg, heldout_size, train_ppx_size)
         self.sampler = MiniBatchSampler(cfg, graph, split)
         self._prefetcher: Optional[PrefetchingSampler] = None
         self._use_prefetch = prefetch
@@ -317,7 +383,10 @@ class Learner:
         # device inputs), not trace-time constants.
         self._step_fn = jax.jit(partial(train_step, cfg))
         self._scan_fn = jax.jit(partial(train_steps_scan, cfg))
+        self._fused_fn = jax.jit(partial(train_steps_fused, cfg),
+                                 static_argnames="num_steps")
         self._ppx_fn = jax.jit(partial(heldout_perplexity_step, cfg))
+        self._train_ppx_fn = jax.jit(partial(training_perplexity_step, cfg))
 
     # -- training ----------------------------------------------------------
 
@@ -325,10 +394,23 @@ class Learner:
         """Run ``max_iters`` SGRLD steps (learner.cc:214-250)."""
         spc = max(1, self.cfg.steps_per_call)
         with self.timers.stage("total"):
-            if spc == 1:
+            if self.cfg.device_sampling:
+                self._run_fused(max_iters, spc)
+            elif spc == 1:
                 self._run_single(max_iters)
             else:
                 self._run_scanned(max_iters, spc)
+
+    def _run_fused(self, max_iters: int, spc: int) -> None:
+        done = 0
+        while done < max_iters:
+            take = min(spc, max_iters - done)
+            with self.timers.stage("device_step"):
+                self.state = self._fused_fn(
+                    self.training_set, self.heldout_set, self.state,
+                    num_steps=take)
+            done += take
+        jax.block_until_ready(self.state.pi)
 
     def _get_prefetcher(self, chunk: int) -> PrefetchingSampler:
         if self._prefetcher is None or self._prefetcher._chunk != chunk:
@@ -388,6 +470,18 @@ class Learner:
             "non_link_likelihood": float(res.non_link_likelihood),
         }
         return value
+
+    def training_perplexity(self) -> float:
+        """exp(-avg log likelihood) over the training-ppx population
+        (TrainingPerplexity, learner.cc:204-212); requires
+        cfg.calc_train_ppx."""
+        if not self.cfg.calc_train_ppx:
+            raise RuntimeError("enable cfg.calc_train_ppx")
+        with self.timers.stage("train_ppx"):
+            self.state, res = self._train_ppx_fn(
+                self.training_set, self.train_ppx_u, self.train_ppx_v,
+                self.state)
+            return float(jnp.exp(res.neg_avg_log))
 
     # -- reporting ---------------------------------------------------------
 

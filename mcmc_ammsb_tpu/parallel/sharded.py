@@ -237,6 +237,7 @@ class ShardedLearner:
             ppx_per_edge=P(DATA_AXIS), ppx_count=P(),
             phi_key=P(), beta_key=P(), neighbor_key=P(),
             ref_seeds=None,  # sharded path uses the native backend
+            train_ppx_per_edge=P(), train_ppx_count=P(),
         )
         self.batch_spec = DeviceBatch(
             edges_u=P(DATA_AXIS), edges_v=P(DATA_AXIS),

@@ -1,0 +1,99 @@
+"""Device-side minibatch sampling tests: strategy invariants mirroring
+the host-sampler tests, plus the fully-fused training loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu.config import Config, EdgeSetBackend, SampleStrategy
+from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+from mcmc_ammsb_tpu.learner import Learner
+from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatch_device
+from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
+from mcmc_ammsb_tpu.types import pack_edges
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n, u, v = synthetic_edges(400, 10, seed=9)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=10)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    tr = build_edge_set(EdgeSetBackend.CSR, n, graph.edges_u, graph.edges_v)
+    ho = build_edge_set(EdgeSetBackend.CSR, n, split.heldout_u,
+                        split.heldout_v)
+    return n, split, graph, tr, ho
+
+
+def _cfg(setup, strategy):
+    n, split, graph, tr, ho = setup
+    cfg = Config(K=8, mini_batch_size=16, num_node_sample=8,
+                 strategy=strategy, device_sampling=True)
+    return cfg.finalize(n, split.total_edges, graph.max_fan_out)
+
+
+def test_device_node_link(setup):
+    n, split, graph, tr, ho = setup
+    cfg = _cfg(setup, SampleStrategy.NODE_LINK)
+    training = set(pack_edges(graph.edges_u, graph.edges_v).tolist())
+    fn = jax.jit(lambda k: sample_minibatch_device(cfg, tr, ho, k))
+    for trial in range(5):
+        ds = fn(jax.random.PRNGKey(trial))
+        ne = int(np.asarray(ds.edge_mask).sum())
+        eu = np.asarray(ds.edges_u)[:ne]
+        ev = np.asarray(ds.edges_v)[:ne]
+        assert ne > 0
+        assert all(int(k) in training for k in pack_edges(eu, ev))
+        # all edges share one pivot node; count = its full degree
+        ids, counts = np.unique(np.concatenate([eu, ev]),
+                                return_counts=True)
+        pivot = ids[counts.argmax()]
+        assert counts.max() == ne
+        assert ne == len(graph.neighbors_of(int(pivot)))
+        assert float(ds.weight) == cfg.N
+        # node extraction: deduped endpoints, sentinel-padded
+        nn = int(np.asarray(ds.node_mask).sum())
+        got = set(np.asarray(ds.nodes)[:nn].tolist())
+        assert got == set(eu.tolist()) | set(ev.tolist())
+
+
+def test_device_node_non_link(setup):
+    n, split, graph, tr, ho = setup
+    cfg = _cfg(setup, SampleStrategy.NODE_NON_LINK)
+    training = set(pack_edges(graph.edges_u, graph.edges_v).tolist())
+    heldout = set(pack_edges(split.heldout_u, split.heldout_v).tolist())
+    fn = jax.jit(lambda k: sample_minibatch_device(cfg, tr, ho, k))
+    for trial in range(5):
+        ds = fn(jax.random.PRNGKey(100 + trial))
+        mask = np.asarray(ds.edge_mask)
+        ne = int(mask.sum())
+        assert ne >= cfg.mini_batch_size - 1  # residual collisions rare
+        eu = np.asarray(ds.edges_u)[mask]
+        ev = np.asarray(ds.edges_v)[mask]
+        keys = pack_edges(eu, ev)
+        assert len(set(keys.tolist())) == ne
+        assert not any(int(k) in training or int(k) in heldout
+                       for k in keys)
+        assert np.isclose(float(ds.weight),
+                          2.0 * cfg.E / cfg.mini_batch_size)
+
+
+def test_fused_loop_trains(setup):
+    n, split, graph, tr, ho = setup
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 device_sampling=True, steps_per_call=25)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    lrn = Learner(cfg, graph, split, prefetch=False)
+    p0 = lrn.heldout_perplexity()
+    lrn.run(100)
+    p1 = lrn.heldout_perplexity()
+    assert int(lrn.state.step_count) == 101
+    assert np.isfinite([p0, p1]).all() and p1 < p0
+    lrn.close()
+
+
+def test_device_sampling_rejects_bf(setup):
+    n, split, graph, tr, ho = setup
+    cfg = _cfg(setup, SampleStrategy.BF)
+    with pytest.raises(ValueError, match="host-only"):
+        sample_minibatch_device(cfg, tr, ho, jax.random.PRNGKey(0))

@@ -111,3 +111,24 @@ def test_node_link_is_single_node_fan():
     deg = len(learner.graph.neighbors_of(int(pivot)))
     assert len(eu) == deg
     learner.close()
+
+
+def test_training_perplexity():
+    """MCMC_CALC_TRAIN_PPX parity: population = ratio of training links
+    + proportional non-links; running averages in dedicated state."""
+    learner, split = make_learner({"calc_train_ppx": True,
+                                   "training_ppx_ratio": 0.05})
+    cfg = learner.cfg
+    num_links = int(0.05 * len(split.training_u))
+    total = cfg.N * (cfg.N - 1) // 2
+    assert learner.train_ppx_u.shape[0] == num_links + int(
+        num_links * total / float(cfg.E))
+    t0 = learner.training_perplexity()
+    learner.run(100)
+    t1 = learner.training_perplexity()
+    assert np.isfinite([t0, t1]).all() and t0 > 0 and t1 > 0
+    # population is dominated by easy non-links, so short-run movement
+    # is small; just require it not to blow up
+    assert t1 < t0 * 1.1
+    assert int(learner.state.train_ppx_count) == 2
+    learner.close()
