@@ -134,6 +134,50 @@ def synthetic_edges(
     return n, u[order], v[order]
 
 
+def synthetic_sbm_edges(
+    num_nodes: int,
+    num_communities: int,
+    p_in: float = 0.05,
+    p_out: float = 0.001,
+    seed: int = 0,
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Planted-partition (stochastic block model) graph.
+
+    Uniform random graphs (``synthetic_edges``) carry no structure for
+    the sampler to learn, so held-out perplexity plateaus quickly;
+    convergence benchmarks use this generator instead: nodes split into
+    equal communities, intra-community edges at ``p_in``, inter at
+    ``p_out`` (sampled sparsely by pair counts, not O(N^2)).
+    """
+    rng = np.random.RandomState(seed)
+    sizes = np.full(num_communities, num_nodes // num_communities)
+    sizes[: num_nodes % num_communities] += 1
+    labels = np.repeat(np.arange(num_communities), sizes)
+    rng.shuffle(labels)
+    members = [np.where(labels == c)[0] for c in range(num_communities)]
+
+    chunks = []
+    # intra-community: binomial count of pairs, sampled with replacement
+    for m in members:
+        s = len(m)
+        pairs = s * (s - 1) // 2
+        count = rng.binomial(pairs, p_in)
+        if count:
+            a = m[rng.randint(0, s, count)]
+            b = m[rng.randint(0, s, count)]
+            chunks.append((a, b))
+    # inter-community: global background
+    total_pairs = num_nodes * (num_nodes - 1) // 2
+    count = rng.binomial(total_pairs, p_out)
+    if count:
+        a = rng.randint(0, num_nodes, count)
+        b = rng.randint(0, num_nodes, count)
+        chunks.append((a, b))
+    a = np.concatenate([c[0] for c in chunks])
+    b = np.concatenate([c[1] for c in chunks])
+    return renumber_dedup_shuffle(a, b, shuffle_seed=seed + 1)
+
+
 @dataclasses.dataclass
 class DataSplit:
     """Training / held-out split plus the held-out evaluation edge list.

@@ -266,12 +266,70 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
 
 def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
                      batches: DeviceBatch) -> TrainState:
-    """Fold S pre-sampled steps into one device dispatch via lax.scan."""
+    """Fold S pre-sampled steps into one device dispatch via lax.scan.
 
-    def body(s, batch):
-        return train_step(cfg, edge_set, s, batch), None
+    With the native RNG backend, everything state-INdependent is hoisted
+    out of the loop and computed for all S steps in one vectorized
+    block: neighbor draws, phi/theta noise (their keys are pure
+    functions of the step index), and edge-membership labels (the
+    training set is static). The scan body then reduces to pi gathers,
+    the fused elementwise update, one scatter, and the gradient
+    reduction — a handful of kernels per step instead of dozens, which
+    is what per-step latency is made of at minibatch sizes this small.
+    Trajectories are bit-identical to the step-at-a-time path (asserted
+    by tests/test_learner.py::test_scan_matches_single_steps).
+    """
+    if cfg.rng_backend != RngBackend.NATIVE or cfg.phi_impl == PhiImpl.PALLAS:
+        # reference backend: noise streams are stateful; pallas phi:
+        # the kernel gathers per step — both keep the in-loop body
+        def body_ref(s, batch):
+            return train_step(cfg, edge_set, s, batch), None
 
-    state, _ = jax.lax.scan(body, state, batches)
+        state, _ = jax.lax.scan(body_ref, state, batches)
+        return state
+
+    s_len, b = batches.nodes.shape
+    steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
+
+    nbr_keys = jax.vmap(
+        lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
+    neighbors = jax.vmap(
+        lambda k, nd: sample_neighbors(k, nd, cfg.N, cfg.num_node_sample)
+    )(nbr_keys, batches.nodes)                               # [S, B, n]
+    y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+    if cfg.phi_disable_noise:
+        phi_noise = jnp.ones((s_len, b, cfg.K), state.pi.dtype)
+    else:
+        phi_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.phi_key, s), (b, cfg.K),
+            state.pi.dtype))(steps)                          # [S, B, K]
+    beta_noise = jax.vmap(lambda s: native_rng.randn(
+        jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
+        state.pi.dtype))(steps)                              # [S, K, 2]
+    y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+
+    def body(s: TrainState, xs):
+        batch, nbrs, y_n, n_phi, n_beta, y_e = xs
+        pi_n = s.pi[batch.nodes]
+        phis = s.phi_sum[batch.nodes]
+        pi_nb = s.pi[nbrs]
+        rows, sums = phi_ops.phi_update_core(
+            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
+        pi, phi_sum = phi_ops.scatter_rows(
+            s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
+        beta_count = s.beta_count + 1
+        grads = beta_ops.beta_gradients_core(
+            cfg, s.theta, s.beta, pi[batch.edges_u], pi[batch.edges_v],
+            y_e, batch.edge_mask)
+        theta, beta = beta_ops.theta_step(
+            cfg, s.theta, grads, batch.weight, beta_count, n_beta)
+        s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+                       step_count=s.step_count + 1, beta_count=beta_count)
+        return s, None
+
+    state, _ = jax.lax.scan(
+        body, state,
+        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges))
     return state
 
 
@@ -296,13 +354,18 @@ def train_steps_fused(cfg: Config, edge_set: EdgeSet,
                       heldout_set: EdgeSet, state: TrainState,
                       num_steps: int) -> TrainState:
     """num_steps fully-fused steps (device sampling + update) in ONE
-    dispatch — the zero-host-round-trip training loop."""
+    dispatch — the zero-host-round-trip training loop. Minibatches for
+    all steps are drawn in one vectorized block (vmapped device
+    sampler), then the hoisted scan of train_steps_scan consumes them."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
 
-    def body(s, _):
-        return train_step_device_sampled(cfg, edge_set, heldout_set, s), None
-
-    state, _ = jax.lax.scan(body, state, None, length=num_steps)
-    return state
+    base = native_rng.key_from_seed((cfg.sample_seed, 0x5A))
+    chunk_key = jax.random.fold_in(base, state.step_count)
+    ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
+                                   num_steps)
+    batches = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
+                          ds.nodes, ds.node_mask, ds.weight)
+    return train_steps_scan(cfg, edge_set, state, batches)
 
 
 def heldout_perplexity_step(
@@ -488,6 +551,59 @@ class Learner:
     def print_stats(self, log=print) -> None:
         """Stage-seconds table (PrintStats parity, learner.cc:252-299)."""
         self.timers.print_table(log)
+
+    def profile_stages(self, iters: int = 20) -> dict:
+        """Per-op timing breakdown — the analog of the reference's
+        per-kernel event timers (PHI / PI / THETA SUM / GRADS PAR /
+        GRADS SUM / UPDATE THETA / NORM THETA / PPX CALC,
+        learner.cc:252-299). The production path fuses everything into
+        one program, so this runs the ops UNFUSED with block_until_ready
+        walls purely for attribution; numbers are upper bounds on each
+        stage's fused cost."""
+        import time as _time
+
+        cfg = self.cfg
+        state = self.state
+        batch = DeviceBatch.from_host(self.sampler.sample())
+
+        nbr_fn = jax.jit(lambda k, nd: sample_neighbors(
+            k, nd, cfg.N, cfg.num_node_sample))
+        phi_fn = jax.jit(partial(phi_ops.phi_update_rows, cfg))
+        scatter_fn = jax.jit(phi_ops.scatter_rows)
+        grads_fn = jax.jit(partial(beta_ops.beta_gradients, cfg))
+        theta_fn = jax.jit(partial(beta_ops.theta_step, cfg))
+        ppx_fn = self._ppx_fn
+
+        key = jax.random.fold_in(state.neighbor_key, 0)
+        noise_b = jnp.zeros((batch.nodes.shape[0], cfg.K))
+        noise_t = jnp.zeros((cfg.K, 2))
+
+        def timed(name, fn, *args):
+            out = fn(*args)           # compile
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            result[name] = (_time.perf_counter() - t0) / iters
+            return out
+
+        result = {}
+        neighbors = timed("sample_neighbors", nbr_fn, key, batch.nodes)
+        rows, sums = timed(
+            "phi", phi_fn, state.pi, state.phi_sum, state.beta,
+            self.training_set, batch.nodes, neighbors,
+            state.step_count, noise_b)
+        timed("pi_scatter", scatter_fn, state.pi, state.phi_sum,
+              batch.nodes, batch.node_mask, rows, sums)
+        grads = timed("beta_grads", grads_fn, state.theta, state.beta,
+                      state.pi, self.training_set, batch.edges_u,
+                      batch.edges_v, batch.edge_mask)
+        timed("theta_update", theta_fn, state.theta, grads, batch.weight,
+              state.beta_count + 1, noise_t)
+        timed("ppx", ppx_fn, self.heldout_set, self.heldout_u,
+              self.heldout_v, state)
+        return result
 
     def close(self) -> None:
         if self._prefetcher is not None:

@@ -17,17 +17,19 @@ queue-driven and stays on the host — SURVEY.md §2 #13):
                 (sample.cc:275-293)
   Node        — fair coin between the two (sample.cc:295-302)
 
-Requires the CSR edge-set backend (its offsets/cols arrays double as
-the device adjacency). NodeNonLink performs ``rounds`` vectorized
-rejection passes; lanes still colliding afterwards are masked out of
-the batch (probability < (m/N + density)^rounds per lane) instead of
-looping indefinitely — a bounded-work deviation from the reference's
-unbounded host rejection loop, noted in the class docs.
+Everything is *natively batched over the step axis* — a whole scan
+chunk's minibatches are drawn in one vectorized block with NO
+while_loop/cond (data-dependent control flow is replaced by a fixed
+number of masked redraw rounds, whose residual failure probability is
+negligible and handled by masking; XLA compiles this orders of
+magnitude faster than a vmapped rejection loop). Requires the CSR
+edge-set backend (its offsets/cols arrays double as the device
+adjacency).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,122 +38,141 @@ from mcmc_ammsb_tpu.config import Config, SampleStrategy
 from mcmc_ammsb_tpu.ops.edgeset import EdgeSet
 
 
-class DeviceSample(NamedTuple):
-    edges_u: jnp.ndarray    # [E_cap] int32
+class DeviceSamples(NamedTuple):
+    """A stacked batch of S device-sampled minibatches."""
+
+    edges_u: jnp.ndarray    # [S, E_cap] int32
     edges_v: jnp.ndarray
-    edge_mask: jnp.ndarray  # [E_cap] bool
-    nodes: jnp.ndarray      # [B_cap] int32 (deduped; padded with N)
-    node_mask: jnp.ndarray  # [B_cap] bool
-    weight: jnp.ndarray     # scalar f32
+    edge_mask: jnp.ndarray  # [S, E_cap] bool
+    nodes: jnp.ndarray      # [S, B_cap] int32 (deduped; padded with N)
+    node_mask: jnp.ndarray  # [S, B_cap] bool
+    weight: jnp.ndarray     # [S] f32
 
 
 def _extract_nodes(cfg: Config, eu, ev, mask):
-    """Deduplicate endpoints on device (ExtractNodesFromMiniBatch,
-    learner.cc:162-173). Padded lanes map to the sentinel N, which
-    sorts last and is dropped by the scatter."""
+    """Batched endpoint dedup (ExtractNodesFromMiniBatch,
+    learner.cc:162-173) without jnp.unique: sort, blank repeats to the
+    sentinel N, sort again so unique ids form a clean prefix."""
     sentinel = jnp.int32(cfg.N)
     ids = jnp.concatenate([
         jnp.where(mask, eu, sentinel),
         jnp.where(mask, ev, sentinel),
-    ])
-    uniq = jnp.unique(ids, size=cfg.max_batch_nodes, fill_value=sentinel)
+    ], axis=-1)                                   # [S, 2*E_cap]
+    s = jnp.sort(ids, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros((*s.shape[:-1], 1), jnp.bool_),
+         s[..., 1:] == s[..., :-1]], axis=-1)
+    s = jnp.sort(jnp.where(dup, sentinel, s), axis=-1)
+    uniq = s[..., : cfg.max_batch_nodes]
     return uniq, uniq != sentinel
 
 
-def _sample_node_link(cfg: Config, csr_offsets, csr_cols, key):
+def _sample_node_link_batch(cfg: Config, offsets, cols, key,
+                            s_len: int, rounds: int = 6):
+    """[S] NodeLink draws: random non-isolated pivots (masked redraw
+    rounds instead of the host's unbounded retry) + their CSR rows."""
     e_cap = cfg.max_batch_edges
+    keys = jax.random.split(key, rounds + 1)
+    u = jax.random.randint(keys[0], (s_len,), 0, cfg.N, jnp.int32)
 
-    def draw(carry):
-        key, _ = carry
-        key, sub = jax.random.split(key)
-        u = jax.random.randint(sub, (), 0, cfg.N, dtype=jnp.int32)
-        return key, u
+    def fixup(i, u):
+        redraw = jax.random.randint(
+            jax.random.fold_in(keys[1], i), (s_len,), 0, cfg.N, jnp.int32)
+        isolated = offsets[u + 1] == offsets[u]
+        return jnp.where(isolated, redraw, u)
 
-    def isolated(carry):
-        _, u = carry
-        return csr_offsets[u + 1] == csr_offsets[u]
-
-    key, u0 = draw((key, jnp.int32(0)))
-    _, u = jax.lax.while_loop(isolated, draw, (key, u0))
-
-    start = csr_offsets[u]
-    deg = csr_offsets[u + 1] - start
-    idx = start + jnp.arange(e_cap, dtype=jnp.int32)
-    valid = jnp.arange(e_cap) < deg
-    v = csr_cols[jnp.clip(idx, 0, csr_cols.shape[0] - 1)]
-    eu = jnp.minimum(u, v)
-    ev = jnp.maximum(u, v)
-    weight = jnp.float32(cfg.N)
+    u = jax.lax.fori_loop(0, rounds, fixup, u)
+    start = offsets[u]                                       # [S]
+    deg = offsets[u + 1] - start
+    idx = start[:, None] + jnp.arange(e_cap, dtype=jnp.int32)
+    valid = jnp.arange(e_cap) < deg[:, None]
+    v = cols[jnp.clip(idx, 0, cols.shape[0] - 1)]
+    eu = jnp.minimum(u[:, None], v)
+    ev = jnp.maximum(u[:, None], v)
+    weight = jnp.full((s_len,), cfg.N, jnp.float32)
     return eu, ev, valid, weight
 
 
-def _sample_node_non_link(cfg: Config, training_set: EdgeSet,
-                          heldout_set: EdgeSet, key, rounds: int = 4):
+def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
+                                key, s_len: int, rounds: int = 4):
     m = cfg.mini_batch_size
     e_cap = cfg.max_batch_edges
-    keys = jax.random.split(key, rounds + 2)
-    u = jax.random.randint(keys[0], (), 0, cfg.N, dtype=jnp.int32)
-    v = jax.random.randint(keys[1], (m,), 0, cfg.N, dtype=jnp.int32)
+    keys = jax.random.split(key, 3)
+    u = jax.random.randint(keys[0], (s_len,), 0, cfg.N, jnp.int32)
+    v = jax.random.randint(keys[1], (s_len, m), 0, cfg.N, jnp.int32)
 
     def bad_lanes(v):
-        a = jnp.minimum(u, v)
-        b = jnp.maximum(u, v)
-        hit = (training_set.has_edges(a, b) | heldout_set.has_edges(a, b))
+        a = jnp.minimum(u[:, None], v)
+        b = jnp.maximum(u[:, None], v)
+        hit = training_set.has_edges(a, b) | heldout_set.has_edges(a, b)
         dup = jnp.any(
-            (v[:, None] == v[None, :])
-            & jnp.tril(jnp.ones((m, m), jnp.bool_), -1),
+            (v[:, :, None] == v[:, None, :])
+            & jnp.tril(jnp.ones((m, m), jnp.bool_), -1)[None],
             axis=-1,
         )
-        return (v == u) | hit | dup
+        return (v == u[:, None]) | hit | dup
 
     def fixup(i, v):
         redraw = jax.random.randint(
-            jax.random.fold_in(keys[2], i), (m,), 0, cfg.N, jnp.int32)
+            jax.random.fold_in(keys[2], i), (s_len, m), 0, cfg.N,
+            jnp.int32)
         return jnp.where(bad_lanes(v), redraw, v)
 
     v = jax.lax.fori_loop(0, rounds, fixup, v)
     ok = ~bad_lanes(v)                    # residual collisions masked out
-    eu = jnp.minimum(u, v)
-    ev = jnp.maximum(u, v)
+    eu = jnp.minimum(u[:, None], v)
+    ev = jnp.maximum(u[:, None], v)
     pad = e_cap - m
     if pad:
-        eu = jnp.pad(eu, (0, pad))
-        ev = jnp.pad(ev, (0, pad))
-        ok = jnp.pad(ok, (0, pad))
-    weight = jnp.float32(2.0 * cfg.E / m)
+        eu = jnp.pad(eu, ((0, 0), (0, pad)))
+        ev = jnp.pad(ev, ((0, 0), (0, pad)))
+        ok = jnp.pad(ok, ((0, 0), (0, pad)))
+    weight = jnp.full((s_len,), 2.0 * cfg.E / m, jnp.float32)
     return eu, ev, ok, weight
 
 
-def sample_minibatch_device(
+def sample_minibatches_device(
     cfg: Config,
     training_set: EdgeSet,
     heldout_set: EdgeSet,
     key: jax.Array,
-) -> DeviceSample:
-    """Draw one minibatch on device according to cfg.strategy."""
+    s_len: int,
+) -> DeviceSamples:
+    """Draw ``s_len`` minibatches (one per scan step) in one block."""
     if training_set.backend != "csr":
         raise ValueError("device sampling requires the CSR edge-set "
-                        f"backend, got {training_set.backend!r}")
-    csr_offsets, csr_cols = training_set.arrays
-    key, coin_key = jax.random.split(key)
-
-    def link(key):
-        return _sample_node_link(cfg, csr_offsets, csr_cols, key)
-
-    def non_link(key):
-        return _sample_node_non_link(cfg, training_set, heldout_set, key)
+                         f"backend, got {training_set.backend!r}")
+    offsets, cols = training_set.arrays
+    k_coin, k_link, k_non = jax.random.split(key, 3)
 
     if cfg.strategy == SampleStrategy.NODE_LINK:
-        eu, ev, mask, weight = link(key)
+        eu, ev, mask, weight = _sample_node_link_batch(
+            cfg, offsets, cols, k_link, s_len)
     elif cfg.strategy == SampleStrategy.NODE_NON_LINK:
-        eu, ev, mask, weight = non_link(key)
+        eu, ev, mask, weight = _sample_node_non_link_batch(
+            cfg, training_set, heldout_set, k_non, s_len)
     elif cfg.strategy == SampleStrategy.NODE:
-        eu, ev, mask, weight = jax.lax.cond(
-            jax.random.bernoulli(coin_key), link, non_link, key)
+        # per-step fair coin: compute both vectorized draws, select rows
+        # (each half is cheap; data-dependent branching would force a
+        # step-serial cond)
+        l = _sample_node_link_batch(cfg, offsets, cols, k_link, s_len)
+        n = _sample_node_non_link_batch(
+            cfg, training_set, heldout_set, k_non, s_len)
+        coin = jax.random.bernoulli(k_coin, shape=(s_len,))
+        eu = jnp.where(coin[:, None], l[0], n[0])
+        ev = jnp.where(coin[:, None], l[1], n[1])
+        mask = jnp.where(coin[:, None], l[2], n[2])
+        weight = jnp.where(coin, l[3], n[3])
     else:
         raise ValueError(
             f"strategy {cfg.strategy} is host-only (breadth-first "
             "sampling is queue-driven); disable device_sampling")
 
     nodes, node_mask = _extract_nodes(cfg, eu, ev, mask)
-    return DeviceSample(eu, ev, mask, nodes, node_mask, weight)
+    return DeviceSamples(eu, ev, mask, nodes, node_mask, weight)
+
+
+def sample_minibatch_device(cfg, training_set, heldout_set, key):
+    """Single-step convenience wrapper (S = 1)."""
+    s = sample_minibatches_device(cfg, training_set, heldout_set, key, 1)
+    return DeviceSamples(*(x[0] for x in s))

@@ -31,6 +31,17 @@ def row_normalize(x: jnp.ndarray):
     return x / s, jnp.squeeze(s, -1)
 
 
+def row_sort(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-row ascending sort.
+
+    Parity of the reference's in-workgroup bitonic sort (WG_SORT_TT,
+    /root/reference/mcmc/algorithm/sort.cc:9-38 — built and tested but
+    unused by the training path); XLA's sort lowers to the TPU-native
+    sorting network, so no hand-written kernel is warranted.
+    """
+    return jnp.sort(x, axis=-1)
+
+
 def slice_normalize(x: jnp.ndarray, slice_size: int) -> jnp.ndarray:
     """Normalize a flat vector in consecutive groups of ``slice_size``.
 

@@ -147,9 +147,73 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
 
 
 def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
-    def body(s, b):
-        return _sharded_step_body(cfg, rows_per_shard, edge_set, s, b), None
-    state, _ = jax.lax.scan(body, state, batches)
+    """Scan over S pre-sampled steps, per-device view.
+
+    Mirrors the hoisting of learner.train_steps_scan: neighbor draws,
+    noise, and membership labels for ALL steps are produced in one
+    vectorized block before the loop (their keys depend only on the
+    step index and the data-shard index), leaving the loop with the
+    state-dependent gathers, collectives, and updates."""
+    s_len, b_local = batches.nodes.shape
+    d_idx = jax.lax.axis_index(DATA_AXIS)
+    m_idx = jax.lax.axis_index(MODEL_AXIS)
+    steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
+
+    nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
+        jax.random.fold_in(state.neighbor_key, s), d_idx))(steps)
+    neighbors = jax.vmap(
+        lambda k, nd: sample_neighbors(k, nd, cfg.N, cfg.num_node_sample)
+    )(nbr_keys, batches.nodes)                                # [S, Bl, n]
+    y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+    if cfg.phi_disable_noise:
+        phi_noise = jnp.ones((s_len, b_local, cfg.K), state.pi.dtype)
+    else:
+        phi_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(jax.random.fold_in(state.phi_key, s),
+                               d_idx),
+            (b_local, cfg.K), state.pi.dtype))(steps)
+    beta_noise = jax.vmap(lambda s: native_rng.randn(
+        jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
+        state.pi.dtype))(steps)
+    y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+
+    def body(s: TrainState, xs):
+        batch, nbrs, y_n, n_phi, n_beta, y_e = xs
+        pi_n = _fetch_rows(s.pi, batch.nodes, rows_per_shard)
+        phis = _fetch_scalars(s.phi_sum, batch.nodes, rows_per_shard)
+        pi_nb = _fetch_rows(
+            s.pi, nbrs.reshape(-1), rows_per_shard
+        ).reshape(b_local, cfg.num_node_sample, cfg.K)
+        rows, sums = phi_ops.phi_update_core(
+            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
+
+        g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
+        g_mask = jax.lax.all_gather(batch.node_mask,
+                                    DATA_AXIS).reshape(-1)
+        g_rows = jax.lax.all_gather(rows, DATA_AXIS).reshape(-1, cfg.K)
+        g_sums = jax.lax.all_gather(sums, DATA_AXIS).reshape(-1)
+        local = g_nodes - m_idx * rows_per_shard
+        ok = (local >= 0) & (local < rows_per_shard) & g_mask
+        safe = jnp.where(ok, local, rows_per_shard)
+        pi = s.pi.at[safe].set(g_rows, mode="drop")
+        phi_sum = s.phi_sum.at[safe].set(g_sums, mode="drop")
+
+        pi_u = _fetch_rows(pi, batch.edges_u, rows_per_shard)
+        pi_v = _fetch_rows(pi, batch.edges_v, rows_per_shard)
+        partial_grads = beta_ops.beta_gradients_core(
+            cfg, s.theta, s.beta, pi_u, pi_v, y_e, batch.edge_mask)
+        grads = jax.lax.psum(partial_grads, DATA_AXIS)
+        beta_count = s.beta_count + 1
+        theta, beta = beta_ops.theta_step(
+            cfg, s.theta, grads, batch.weight, beta_count, n_beta)
+        s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+                       step_count=s.step_count + 1,
+                       beta_count=beta_count)
+        return s, None
+
+    state, _ = jax.lax.scan(
+        body, state,
+        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges))
     return state
 
 

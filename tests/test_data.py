@@ -82,3 +82,13 @@ def test_dataset_cache_roundtrip(tmp_path, small_dataset):
     assert n2 == n and ratio == 0.2
     np.testing.assert_array_equal(u2, u)
     np.testing.assert_array_equal(v2, v)
+
+
+def test_synthetic_sbm_structure():
+    from mcmc_ammsb_tpu.data import synthetic_sbm_edges
+    n, u, v = synthetic_sbm_edges(600, 4, p_in=0.2, p_out=0.002, seed=5)
+    assert n <= 600
+    assert np.all(u < v)
+    # edge count should be dominated by intra-community pairs:
+    # expected intra ~ 4 * C(150,2) * 0.2 = 8940, inter ~ 360
+    assert 5000 < len(u) < 15000

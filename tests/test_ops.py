@@ -171,3 +171,12 @@ def test_perplexity_matches_oracle(model_fixture, small_dataset):
         np.testing.assert_allclose(float(res.neg_avg_log), want_neg, rtol=2e-4)
         assert int(res.link_count) == int(y.sum())
         assert int(res.non_link_count) == int((~y).sum())
+
+
+def test_row_sort():
+    from mcmc_ammsb_tpu.ops.rowops import row_sort
+    rng = np.random.RandomState(3)
+    for cols in [2, 7, 64, 128, 1000]:  # incl. non-powers-of-2
+        x = rng.rand(5, cols).astype(np.float32)
+        got = np.asarray(row_sort(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.sort(x, axis=-1), rtol=1e-6)
