@@ -1,14 +1,19 @@
 """Benchmark: minibatch phi+beta updates/sec (BASELINE.json metric).
 
 Runs the fused SGRLD training loop on a com-DBLP-scale synthetic graph
-(N=317k, E~1M — the real dataset cannot be fetched in this offline
-image) with the config ladder's K=256, reference-default minibatch
+(N=317k, E~1.1M — the real dataset cannot be fetched in this offline
+image) with the config ladder's K=256 and reference-default minibatch
 m=32 / n=32 (/root/reference/mcmc/config.h:70-101), and reports
 sustained phi+beta updates per second on the attached TPU.
 
-The reference has no published numbers (BASELINE.md) — vs_baseline is
-reported against a measured-elsewhere placeholder of None until a
-reference run exists.
+One update = one full reference iteration: device neighbor sampling,
+phi/pi SGRLD update + renormalize, theta/beta gradient fan-in + SGRLD
+update + normalize (learner.cc:214-250). The loop runs
+``steps_per_call`` steps per device dispatch via lax.scan with
+state-independent work hoisted and vectorized.
+
+The reference publishes no numbers (BASELINE.md) — vs_baseline is null
+until a reference GPU run exists to compare against.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -19,10 +24,9 @@ import time
 
 
 def main():
-    import numpy as np
-
     from mcmc_ammsb_tpu.config import Config
-    from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+    from mcmc_ammsb_tpu.data import (Graph, generate_sets,
+                                     synthetic_edges, synthetic_sbm_edges)
     from mcmc_ammsb_tpu.learner import Learner
 
     t0 = time.time()
@@ -30,31 +34,48 @@ def main():
     split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     cfg = Config(K=256, mini_batch_size=32, num_node_sample=32,
-                 steps_per_call=100)
+                 steps_per_call=200)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"# dataset ready in {time.time()-t0:.1f}s: N={cfg.N} "
           f"E={cfg.E} max_fan_out={cfg.max_fan_out}", file=sys.stderr)
 
     learner = Learner(cfg, graph, split)
-    # warmup: compile + first chunks
     t0 = time.time()
-    learner.run(200)
+    learner.run(400)  # warmup: compile + first chunks
     print(f"# warmup (incl. compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    iters = 2000
+    iters = 10_000
     t0 = time.time()
     learner.run(iters)
     dt = time.time() - t0
     ups = iters / dt
-
     ppx = learner.heldout_perplexity()
     learner.close()
-    print(f"# {iters} updates in {dt:.2f}s; heldout ppx now {ppx:.3f}",
-          file=sys.stderr)
+    print(f"# {iters} updates in {dt:.2f}s -> {ups:.0f}/s; "
+          f"heldout ppx {ppx:.3f}", file=sys.stderr)
+
+    # convergence sanity on a structured (planted-partition) graph:
+    # held-out perplexity must fall substantially from its start
+    t0 = time.time()
+    n2, u2, v2 = synthetic_sbm_edges(20_000, 32, p_in=0.01, p_out=2e-4,
+                                     seed=3)
+    split2 = generate_sets(n2, u2, v2, heldout_ratio=0.02, seed=4)
+    graph2 = Graph.from_edges(n2, split2.training_u, split2.training_v)
+    cfg2 = Config(K=32, mini_batch_size=32, num_node_sample=32,
+                  steps_per_call=200)
+    cfg2 = cfg2.finalize(n2, split2.total_edges, graph2.max_fan_out)
+    l2 = Learner(cfg2, graph2, split2)
+    ppx_start = l2.heldout_perplexity()
+    l2.run(6000)
+    ppx_end = l2.heldout_perplexity()
+    l2.close()
+    print(f"# SBM convergence: ppx {ppx_start:.3f} -> {ppx_end:.3f} "
+          f"after 6000 steps ({time.time()-t0:.1f}s)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "minibatch phi+beta updates/sec (com-DBLP-scale synthetic, K=256, m=32, n=32)",
+        "metric": "minibatch phi+beta updates/sec "
+                  "(com-DBLP-scale synthetic, K=256, m=32, n=32)",
         "value": round(ups, 2),
         "unit": "updates/sec",
         "vs_baseline": None,
@@ -63,6 +84,8 @@ def main():
             "steps_per_call": cfg.steps_per_call,
             "seconds": round(dt, 3),
             "heldout_ppx": round(float(ppx), 4),
+            "sbm_ppx_start": round(float(ppx_start), 4),
+            "sbm_ppx_end": round(float(ppx_end), 4),
         },
     }))
 

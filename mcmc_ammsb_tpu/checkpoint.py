@@ -95,7 +95,16 @@ def load_checkpoint(path: str, learner: Learner) -> Learner:
     # restore key dtypes exactly (uint32 key arrays)
     ref_leaves = jax.tree_util.tree_leaves(learner.state)
     leaves = [jnp.asarray(l, r.dtype) for l, r in zip(leaves, ref_leaves)]
-    learner.state = jax.tree_util.tree_unflatten(treedef, leaves)
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    if hasattr(learner, "state_spec") and hasattr(learner, "mesh"):
+        # ShardedLearner: re-place each leaf on its mesh sharding
+        from jax.sharding import NamedSharding
+
+        state = jax.tree_util.tree_map(
+            lambda x, spec: jax.device_put(
+                x, NamedSharding(learner.mesh, spec)),
+            state, learner.state_spec)
+    learner.state = state
     learner.sampler.rng.set_state(pickle.loads(bytes(z["sampler_rng"])))
     for k, v in manifest.get("timers", {}).items():
         learner.timers.seconds[k] = v

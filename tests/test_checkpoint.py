@@ -72,3 +72,33 @@ def test_checkpoint_preserves_timers(tmp_path):
     assert b.timers.seconds["total"] == a.timers.seconds["total"]
     assert b.timers.calls["device_step"] == a.timers.calls["device_step"]
     a.close(); b.close()
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded save -> sharded restore continues identically."""
+    from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+    from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+
+    def build():
+        n, u, v = synthetic_edges(200, 8, seed=61)
+        split = generate_sets(n, u, v, heldout_ratio=0.1, seed=62)
+        graph = Graph.from_edges(n, split.training_u, split.training_v)
+        cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                     host_sampler="numpy")
+        cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+        return ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+
+    path = str(tmp_path / "sck.npz")
+    a = build()
+    a.run(10)
+    save_checkpoint(path, a)
+    a.run(10)
+
+    b = build()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == 11
+    b.run(10)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    # restored pi keeps its mesh sharding
+    assert "model" in str(b.state.pi.sharding)
