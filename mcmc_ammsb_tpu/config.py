@@ -117,6 +117,8 @@ class Config:
     edgeset_backend: EdgeSetBackend = EdgeSetBackend.CSR
     rng_backend: RngBackend = RngBackend.NATIVE
     steps_per_call: int = 1          # lax.scan fusion depth of the run loop
+    scan_unroll: int = 4             # lax.scan unroll factor (per-step
+                                     # control overhead vs binary size)
     device_sampling: bool = False    # sample minibatches on-device inside scan
     node_tile: int = 8               # Pallas: minibatch nodes per block
     dtype: str = "float32"

@@ -285,7 +285,8 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
         def body_ref(s, batch):
             return train_step(cfg, edge_set, s, batch), None
 
-        state, _ = jax.lax.scan(body_ref, state, batches)
+        state, _ = jax.lax.scan(body_ref, state, batches,
+                                unroll=cfg.scan_unroll)
         return state
 
     s_len, b = batches.nodes.shape
@@ -329,7 +330,8 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
 
     state, _ = jax.lax.scan(
         body, state,
-        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges))
+        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges),
+        unroll=cfg.scan_unroll)
     return state
 
 

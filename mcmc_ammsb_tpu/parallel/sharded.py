@@ -213,7 +213,8 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
 
     state, _ = jax.lax.scan(
         body, state,
-        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges))
+        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges),
+        unroll=cfg.scan_unroll)
     return state
 
 
