@@ -159,8 +159,18 @@ def init_state(cfg: Config, heldout_size: int,
         k_theta, k_pi = jax.random.split(root)
         theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1,
                                  dtype)
-        phi_raw = native_rng.gamma(k_pi, (cfg.N, cfg.K), cfg.eta0,
-                                   cfg.eta1, dtype)
+        # draw pi's gamma init in row blocks: jax.random.gamma's
+        # rejection sampler holds ~10 [rows, K]-sized temporaries, which
+        # at N=317k x K=1024 would exceed HBM in one shot
+        block = max(1, (1 << 24) // max(cfg.K, 1))
+        chunks = []
+        for i, start in enumerate(range(0, cfg.N, block)):
+            rows = min(block, cfg.N - start)
+            chunks.append(native_rng.gamma(
+                jax.random.fold_in(k_pi, i), (rows, cfg.K),
+                cfg.eta0, cfg.eta1, dtype))
+        phi_raw = (chunks[0] if len(chunks) == 1
+                   else jnp.concatenate(chunks, axis=0))
         ref_seeds = None
     beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
     phi_sum = jnp.sum(phi_raw, axis=-1)
@@ -446,12 +456,20 @@ class Learner:
 
         # Edge sets and heldout arrays are jit *arguments* (donatable
         # device inputs), not trace-time constants.
-        self._step_fn = jax.jit(partial(train_step, cfg))
-        self._scan_fn = jax.jit(partial(train_steps_scan, cfg))
+        # state args are donated: the caller always replaces self.state
+        # with the result, letting XLA reuse the [N, K] pi buffer
+        # in place instead of holding input + output copies
+        self._step_fn = jax.jit(partial(train_step, cfg),
+                                donate_argnums=(1,))
+        self._scan_fn = jax.jit(partial(train_steps_scan, cfg),
+                                donate_argnums=(1,))
         self._fused_fn = jax.jit(partial(train_steps_fused, cfg),
-                                 static_argnames="num_steps")
-        self._ppx_fn = jax.jit(partial(heldout_perplexity_step, cfg))
-        self._train_ppx_fn = jax.jit(partial(training_perplexity_step, cfg))
+                                 static_argnames="num_steps",
+                                 donate_argnums=(2,))
+        self._ppx_fn = jax.jit(partial(heldout_perplexity_step, cfg),
+                               donate_argnums=(3,))
+        self._train_ppx_fn = jax.jit(partial(training_perplexity_step, cfg),
+                                     donate_argnums=(3,))
 
     # -- training ----------------------------------------------------------
 
@@ -574,7 +592,9 @@ class Learner:
         scatter_fn = jax.jit(phi_ops.scatter_rows)
         grads_fn = jax.jit(partial(beta_ops.beta_gradients, cfg))
         theta_fn = jax.jit(partial(beta_ops.theta_step, cfg))
-        ppx_fn = self._ppx_fn
+        # fresh non-donating compile: the production _ppx_fn donates its
+        # state argument, which a repeated-timing loop must not do
+        ppx_fn = jax.jit(partial(heldout_perplexity_step, cfg))
 
         key = jax.random.fold_in(state.neighbor_key, 0)
         noise_b = jnp.zeros((batch.nodes.shape[0], cfg.K))

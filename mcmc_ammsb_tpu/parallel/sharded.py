@@ -218,6 +218,39 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
     return state
 
 
+def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
+                        num_steps: int, edge_set: EdgeSet,
+                        heldout_set: EdgeSet, state: TrainState):
+    """Fully-fused sharded loop: minibatches for the whole chunk are
+    drawn ON DEVICE. Every device draws the identical global batch from
+    the same key (the sampler is cheap and vectorized — cheaper than a
+    broadcast), then slices its data-shard portion; the scan body is the
+    hoisted one."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+
+    d_idx = jax.lax.axis_index(DATA_AXIS)
+    base = native_rng.key_from_seed((cfg.sample_seed, 0x5A))
+    chunk_key = jax.random.fold_in(base, state.step_count)
+    ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
+                                   num_steps)
+
+    def dslice(x, cap):
+        per = cap // n_data
+        return jax.lax.dynamic_slice_in_dim(x, d_idx * per, per, axis=1)
+
+    e_cap, b_cap = cfg.max_batch_edges, cfg.max_batch_nodes
+    batches = DeviceBatch(
+        edges_u=dslice(ds.edges_u, e_cap),
+        edges_v=dslice(ds.edges_v, e_cap),
+        edge_mask=dslice(ds.edge_mask, e_cap),
+        nodes=dslice(ds.nodes, b_cap),
+        node_mask=dslice(ds.node_mask, b_cap),
+        weight=ds.weight,
+    )
+    return _sharded_scan_body(cfg, rows_per_shard, edge_set, state,
+                              batches)
+
+
 def _sharded_ppx_body(cfg: Config, rows_per_shard: int,
                       heldout_set: EdgeSet,
                       eu: jnp.ndarray, ev: jnp.ndarray, mask: jnp.ndarray,
@@ -330,14 +363,27 @@ class ShardedLearner:
             in_specs=(P(), self.state_spec, self.batch_spec),
             out_specs=self.state_spec,
             check_vma=False,
-        ))
+        ), donate_argnums=(1,))
         scan_body = partial(_sharded_scan_body, cfg, self.rows_per_shard)
         self._scan_fn = jax.jit(jax.shard_map(
             scan_body, mesh=mesh,
             in_specs=(P(), self.state_spec, scan_spec),
             out_specs=self.state_spec,
             check_vma=False,
-        ))
+        ), donate_argnums=(1,))
+        def make_fused(num_steps):
+            body = partial(_sharded_fused_scan, cfg, self.rows_per_shard,
+                           n_data, num_steps)
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), self.state_spec),
+                out_specs=self.state_spec,
+                check_vma=False,
+            ), donate_argnums=(2,))
+
+        self._fused_fns = {}
+        self._make_fused = make_fused
+
         ppx_body = partial(_sharded_ppx_body, cfg, self.rows_per_shard)
         ppx_res_spec = ppx_ops.PpxResult(
             ppx_per_edge=P(DATA_AXIS), neg_avg_log=P(),
@@ -349,7 +395,7 @@ class ShardedLearner:
                       self.state_spec),
             out_specs=(self.state_spec, ppx_res_spec),
             check_vma=False,
-        ))
+        ), donate_argnums=(4,))
 
         self.sampler = MiniBatchSampler(cfg, graph, split)
         self.timers = StageTimers()
@@ -363,6 +409,15 @@ class ShardedLearner:
             done = 0
             while done < max_iters:
                 take = min(spc, max_iters - done)
+                if self.cfg.device_sampling:
+                    with self.timers.stage("device_step"):
+                        if take not in self._fused_fns:
+                            self._fused_fns[take] = self._make_fused(take)
+                        self.state = self._fused_fns[take](
+                            self.training_set, self.heldout_set,
+                            self.state)
+                    done += take
+                    continue
                 with self.timers.stage("sampling"):
                     if take == 1:
                         batch = DeviceBatch.from_host(self.sampler.sample())

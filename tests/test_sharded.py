@@ -75,3 +75,18 @@ def test_sharded_pi_rows_stay_normalized():
     lrn.run(20)
     pi = np.asarray(lrn.state.pi)[: cfg.N]
     np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+
+
+def test_sharded_device_sampling():
+    """Fully-fused sharded loop: on-device sampling + hoisted scan."""
+    cfg, graph, split = make_pair(cfg_kw={"device_sampling": True,
+                                          "steps_per_call": 10})
+    mesh = make_mesh(2, 4)
+    lrn = ShardedLearner(cfg, graph, split, mesh)
+    p0 = lrn.heldout_perplexity()
+    lrn.run(40)
+    p1 = lrn.heldout_perplexity()
+    assert int(lrn.state.step_count) == 41
+    assert np.isfinite([p0, p1]).all() and p1 < p0
+    pi = np.asarray(lrn.state.pi)[: cfg.N]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
