@@ -1,0 +1,130 @@
+"""Vectorized independent MCMC chains — a TPU-native capability beyond
+the reference (which runs exactly one chain per GPU process).
+
+At reference-default minibatch sizes a single SGRLD chain is latency-
+bound (docs/design.md): each step's ~2MB of work cannot saturate a TPU.
+Running C independent chains batches that work C-fold at nearly the
+same wall-clock per step — the classic MCMC answer to spare parallel
+hardware, and it buys convergence diagnostics (between-chain variance,
+Gelman-Rubin R-hat) that a single chain cannot provide.
+
+Implementation: the chain axis is a leading vmap axis over the SAME
+fused device-sampled loop as the single-chain path — one compiled
+program advances every chain. Each chain gets independent, over-
+dispersed initialization and independent noise/minibatch streams
+(all keys folded with the chain index). Memory: pi becomes [C, N, K].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.data import DataSplit, Graph
+from mcmc_ammsb_tpu.learner import (TrainState, heldout_perplexity_step,
+                                    init_state, train_steps_fused)
+from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
+from mcmc_ammsb_tpu.utils.timing import StageTimers
+
+
+def rhat(samples: np.ndarray) -> np.ndarray:
+    """Gelman-Rubin potential scale reduction factor.
+
+    samples: [C, T, ...] — C chains, T kept draws per chain. Values
+    near 1 indicate between-chain agreement. Computed elementwise over
+    trailing dims.
+    """
+    c, t = samples.shape[:2]
+    assert c >= 2 and t >= 2, (c, t)
+    chain_means = samples.mean(axis=1)                    # [C, ...]
+    chain_vars = samples.var(axis=1, ddof=1)              # [C, ...]
+    w = chain_vars.mean(axis=0)                           # within
+    b = t * chain_means.var(axis=0, ddof=1)               # between
+    var_plus = (t - 1) / t * w + b / t
+    return np.sqrt(var_plus / np.maximum(w, 1e-30))
+
+
+class MultiChainLearner:
+    """C independent samplers advanced by one fused device program.
+
+    Requires device sampling (the whole loop must live on device) and
+    the Node-family strategies. API mirrors Learner where it can;
+    perplexity returns a [C] array (one estimate per chain).
+    """
+
+    def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
+                 num_chains: int):
+        assert num_chains >= 1
+        if not cfg.device_sampling:
+            cfg = cfg.replace(device_sampling=True)
+        self.cfg = cfg
+        self.num_chains = num_chains
+        self.graph = graph
+        self.split = split
+        self.training_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+        self.heldout_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
+        self.heldout_u = jnp.asarray(split.heldout_edges_u)
+        self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.timers = StageTimers()
+
+        # overdispersed starts + independent streams: every per-chain
+        # key (init, phi/beta noise, neighbors, minibatches) is the
+        # single-chain key folded with the chain index
+        h = len(split.heldout_edges_u)
+        states = []
+        for c in range(num_chains):
+            st = init_state(cfg.replace(init_seed=cfg.init_seed + c), h)
+            st = st._replace(
+                phi_key=jax.random.fold_in(st.phi_key, c),
+                beta_key=jax.random.fold_in(st.beta_key, c),
+                neighbor_key=jax.random.fold_in(st.neighbor_key, c),
+                sample_key=jax.random.fold_in(st.sample_key, c),
+            )
+            states.append(st)
+        self.states: TrainState = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *states)
+
+        self._fused = jax.jit(
+            jax.vmap(
+                lambda st: train_steps_fused(
+                    cfg, self.training_set, self.heldout_set, st,
+                    cfg.steps_per_call),
+            ),
+            donate_argnums=(0,),
+        )
+        self._ppx = jax.jit(jax.vmap(
+            lambda st: heldout_perplexity_step(
+                cfg, self.heldout_set, self.heldout_u, self.heldout_v, st)
+        ), donate_argnums=(0,))
+
+    def run(self, max_iters: int) -> None:
+        spc = max(1, self.cfg.steps_per_call)
+        assert max_iters % spc == 0, "run length must be a chunk multiple"
+        with self.timers.stage("total"):
+            for _ in range(max_iters // spc):
+                with self.timers.stage("device_step"):
+                    self.states = self._fused(self.states)
+        int(self.states.step_count[0])  # fence
+
+    def heldout_perplexity(self) -> np.ndarray:
+        """Per-chain perplexities [C]."""
+        with self.timers.stage("ppx"):
+            self.states, res = self._ppx(self.states)
+            return np.exp(np.asarray(res.neg_avg_log))
+
+    def beta_rhat(self, draws: int = 10) -> np.ndarray:
+        """R-hat over beta across chains: runs `draws` chunks, keeping
+        beta after each, and returns the per-community PSRF [K]."""
+        kept = []
+        for _ in range(draws):
+            self.run(self.cfg.steps_per_call)
+            kept.append(np.asarray(self.states.beta))    # [C, K]
+        samples = np.stack(kept, axis=1)                 # [C, T, K]
+        return rhat(samples)

@@ -71,6 +71,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-sampling", action="store_true",
                    help="sample minibatches on device inside the fused "
                         "loop (Node-family strategies)")
+    p.add_argument("--num-chains", type=int, default=1,
+                   help="run C independent MCMC chains in one fused "
+                        "program (implies --device-sampling)")
     # dataset cache (main.cc:77-80)
     p.add_argument("--dump-data", action="store_true")
     p.add_argument("--dump-file", type=str, default="")
@@ -158,6 +161,22 @@ def main(argv=None) -> int:
         signaled["flag"] = True
 
     signal.signal(signal.SIGINT, handler)
+
+    if args.num_chains > 1:
+        from mcmc_ammsb_tpu.chains import MultiChainLearner
+        chains = MultiChainLearner(cfg, graph, split, args.num_chains)
+        log.info("ppx[0] = %s", chains.heldout_perplexity())
+        spc = max(1, cfg.steps_per_call)
+        i = 0
+        while i < args.max_iters and not signaled["flag"]:
+            step = min(args.max_iters - i, cfg.ppx_interval)
+            step = max(spc, (step // spc) * spc)
+            chains.run(step)
+            i += step
+            if not signaled["flag"]:
+                log.info("ppx[%d] = %s", i, chains.heldout_perplexity())
+        chains.timers.print_table(lambda s: log.info("%s", s))
+        return 0
 
     learner = Learner(cfg, graph, split)
     if args.restore:

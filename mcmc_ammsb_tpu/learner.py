@@ -76,6 +76,7 @@ class TrainState(NamedTuple):
     beta_key: jax.Array
     neighbor_key: jax.Array
     ref_seeds: Optional[RefRngState]  # only with RngBackend.REFERENCE
+    sample_key: jax.Array      # device-sampling stream (per chain)
     # training-perplexity running state (empty unless cfg.calc_train_ppx;
     # the reference gates the same state behind MCMC_CALC_TRAIN_PPX,
     # learner.cc:47-75, 204-212)
@@ -188,6 +189,7 @@ def init_state(cfg: Config, heldout_size: int,
         beta_key=native_rng.key_from_seed(cfg.beta_seed),
         neighbor_key=native_rng.key_from_seed(cfg.neighbor_seed),
         ref_seeds=ref_seeds,
+        sample_key=native_rng.key_from_seed((cfg.sample_seed, 0x5A)),
         train_ppx_per_edge=jnp.zeros(train_ppx_size, dtype),
         train_ppx_count=jnp.asarray(0, jnp.int32),
     )
@@ -354,8 +356,7 @@ def train_step_device_sampled(cfg: Config, edge_set: EdgeSet,
     loop stays a pure function of state."""
     from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatch_device
 
-    key = jax.random.fold_in(
-        native_rng.key_from_seed((cfg.sample_seed, 0x5A)), state.step_count)
+    key = jax.random.fold_in(state.sample_key, state.step_count)
     ds = sample_minibatch_device(cfg, edge_set, heldout_set, key)
     batch = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
                         ds.nodes, ds.node_mask, ds.weight)
@@ -371,8 +372,7 @@ def train_steps_fused(cfg: Config, edge_set: EdgeSet,
     sampler), then the hoisted scan of train_steps_scan consumes them."""
     from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
 
-    base = native_rng.key_from_seed((cfg.sample_seed, 0x5A))
-    chunk_key = jax.random.fold_in(base, state.step_count)
+    chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
     ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
                                    num_steps)
     batches = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,

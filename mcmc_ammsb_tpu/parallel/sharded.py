@@ -229,8 +229,7 @@ def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
     from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
 
     d_idx = jax.lax.axis_index(DATA_AXIS)
-    base = native_rng.key_from_seed((cfg.sample_seed, 0x5A))
-    chunk_key = jax.random.fold_in(base, state.step_count)
+    chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
     ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
                                    num_steps)
 
@@ -335,6 +334,7 @@ class ShardedLearner:
             ppx_per_edge=P(DATA_AXIS), ppx_count=P(),
             phi_key=P(), beta_key=P(), neighbor_key=P(),
             ref_seeds=None,  # sharded path uses the native backend
+            sample_key=P(),
             train_ppx_per_edge=P(), train_ppx_count=P(),
         )
         self.batch_spec = DeviceBatch(
