@@ -13,6 +13,14 @@ fused device-sampled loop as the single-chain path — one compiled
 program advances every chain. Each chain gets independent, over-
 dispersed initialization and independent noise/minibatch streams
 (all keys folded with the chain index). Memory: pi becomes [C, N, K].
+
+Measured reality (TPU v5e, N=317k, K=256): the vmapped scatter/gather
+lowers poorly, so aggregate throughput plateaus around the single-chain
+rate rather than scaling with C — use this class for its convergence
+diagnostics, not as a throughput multiplier. The planned fix (see
+docs/design.md) folds the chain axis into the row dimension
+(pi [C*N, K] with indices offset by c*N) so the hot scatter stays a
+plain 1-D-index scatter.
 """
 
 from __future__ import annotations
