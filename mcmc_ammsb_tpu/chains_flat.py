@@ -1,0 +1,245 @@
+"""Flat-layout multi-chain engine: C independent SGRLD chains whose
+state shares ONE row dimension — pi [C*N, K] with chain c's node u at
+row c*N + u — so the hot scatter/gather of every step stays a plain
+1-D-index operation (the vmap formulation in chains.py batches the
+scatter, which lowers poorly on TPU; see docs/design.md).
+
+Per step, all C chains' minibatches are processed as one [C*B]-node
+flat batch: the phi stage is exactly ops.phi.phi_update_core with
+per-chain beta rows broadcast in; the beta stage reduces per chain.
+Aggregate statistical throughput approaches C x the single-chain rate
+until bandwidth binds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.data import DataSplit, Graph
+from mcmc_ammsb_tpu.learner import init_state
+from mcmc_ammsb_tpu.ops import beta as beta_ops
+from mcmc_ammsb_tpu.ops import phi as phi_ops
+from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+from mcmc_ammsb_tpu.ops.edgeset import EdgeSet, build_edge_set
+from mcmc_ammsb_tpu.ops.neighbor import sample_neighbors
+from mcmc_ammsb_tpu.rng import native as native_rng
+from mcmc_ammsb_tpu.utils.timing import StageTimers
+
+
+class ChainState(NamedTuple):
+    pi: jnp.ndarray            # [C*N, K]
+    phi_sum: jnp.ndarray       # [C*N]
+    theta: jnp.ndarray         # [C, K, 2]
+    beta: jnp.ndarray          # [C, K]
+    step_count: jnp.ndarray    # scalar (chains advance in lockstep)
+    beta_count: jnp.ndarray
+    ppx_per_edge: jnp.ndarray  # [C, H]
+    ppx_count: jnp.ndarray
+    phi_key: jax.Array
+    beta_key: jax.Array
+    neighbor_key: jax.Array
+    sample_key: jax.Array
+
+
+def _beta_gradients_chains(cfg: Config, theta, beta, pi_u, pi_v, y, mask):
+    """Per-chain gradient fan-in: the math of
+    ops.beta.beta_gradients_core with a leading chain axis.
+    Shapes: theta [C,K,2], beta [C,K], pi_u/pi_v [C,E,K], y/mask [C,E].
+    Returns [C,K,2]."""
+    eps = cfg.epsilon
+    theta_sum = theta[..., 0] + theta[..., 1]                # [C,K]
+    yf = y.astype(pi_u.dtype)
+    pp = pi_u * pi_v                                         # [C,E,K]
+    pi_sum = jnp.sum(pp, axis=-1)                            # [C,E]
+    probs = jnp.where(y[..., None], beta[:, None, :],
+                      1.0 - beta[:, None, :]) * pp
+    prob_0 = jnp.where(y, eps, 1.0 - eps) * (1.0 - pi_sum)
+    probs_sum = jnp.sum(probs, axis=-1) + prob_0
+    f = probs / probs_sum[..., None]                         # [C,E,K]
+    inv_ts = 1.0 / theta_sum[:, None, :]                     # [C,1,K]
+    g0 = f * ((1.0 - yf)[..., None] / theta[:, None, :, 0] - inv_ts)
+    g1 = f * (yf[..., None] / theta[:, None, :, 1] - inv_ts)
+    m = mask.astype(pi_u.dtype)[..., None]
+    return jnp.stack([jnp.sum(g0 * m, axis=1),
+                      jnp.sum(g1 * m, axis=1)], axis=-1)     # [C,K,2]
+
+
+def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
+           heldout_set: EdgeSet, state: ChainState,
+           num_steps: int) -> ChainState:
+    """Advance all chains num_steps in one fused program."""
+    c = num_chains
+    n_rows = cfg.N
+    e_cap, b_cap = cfg.max_batch_edges, cfg.max_batch_nodes
+    s_len = num_steps
+    k = cfg.K
+
+    # one batched draw covers every (step, chain) minibatch
+    chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
+    ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
+                                   s_len * c)
+
+    def r(x, cap):
+        return x.reshape(s_len, c, cap, *x.shape[2:])
+
+    nodes = r(ds.nodes, b_cap)           # [S,C,B] (sentinel = N)
+    node_mask = r(ds.node_mask, b_cap)
+    eu = r(ds.edges_u, e_cap)
+    ev = r(ds.edges_v, e_cap)
+    emask = r(ds.edge_mask, e_cap)
+    weight = ds.weight.reshape(s_len, c)
+
+    steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
+    flat_nodes_all = nodes.reshape(s_len, c * b_cap)
+    neighbors = jax.vmap(lambda key, nd: sample_neighbors(
+        key, nd, cfg.N, cfg.num_node_sample))(
+        jax.vmap(lambda s: jax.random.fold_in(state.neighbor_key, s)
+                 )(steps),
+        flat_nodes_all)                   # [S, C*B, n]
+    y_phi = edge_set.has_edges(flat_nodes_all[:, :, None], neighbors)
+    phi_noise = jax.vmap(lambda s: native_rng.randn(
+        jax.random.fold_in(state.phi_key, s), (c * b_cap, k)))(steps)
+    beta_noise = jax.vmap(lambda s: native_rng.randn(
+        jax.random.fold_in(state.beta_key, s), (c, k, 2)))(steps)
+    y_edges = edge_set.has_edges(eu, ev)   # [S,C,E]
+
+    # chain row offsets; sentinel rows (id == N) map to the global
+    # sentinel C*N so they never collide with another chain's row 0
+    offsets = (jnp.arange(c, dtype=jnp.int32) * n_rows)[:, None]  # [C,1]
+
+    def body(st: ChainState, xs):
+        (nodes_s, nmask_s, eu_s, ev_s, emask_s, w_s,
+         nbrs_s, y_n, n_phi, n_beta, y_e) = xs
+        # ---- phi stage over the flat [C*B] node batch ----------------
+        flat_nodes = jnp.where(nodes_s < n_rows, nodes_s + offsets,
+                               c * n_rows).reshape(-1)       # [C*B]
+        flat_mask = nmask_s.reshape(-1)
+        flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
+                     + offsets[:, :, None]).reshape(c * b_cap, -1)
+        pi_n = st.pi[flat_nodes]                             # [C*B, K]
+        phis = st.phi_sum[flat_nodes]
+        pi_nb = st.pi[flat_nbrs]                             # [C*B, n, K]
+        beta_rows = jnp.repeat(st.beta, b_cap, axis=0)[:, None, :]
+        rows, sums = phi_ops.phi_update_core(
+            cfg, pi_n, phis, pi_nb, y_n.reshape(c * b_cap, -1),
+            beta_rows, st.step_count, n_phi)
+        safe = jnp.where(flat_mask, flat_nodes, c * n_rows)
+        pi = st.pi.at[safe].set(rows, mode="drop")
+        phi_sum = st.phi_sum.at[safe].set(sums, mode="drop")
+        # ---- beta stage per chain ------------------------------------
+        flat_eu = (eu_s + offsets).reshape(-1)
+        flat_ev = (ev_s + offsets).reshape(-1)
+        pi_u = pi[flat_eu].reshape(c, e_cap, k)
+        pi_v = pi[flat_ev].reshape(c, e_cap, k)
+        grads = _beta_gradients_chains(
+            cfg, st.theta, st.beta, pi_u, pi_v, y_e, emask_s)
+        beta_count = st.beta_count + 1
+        theta, beta = beta_ops.theta_step(
+            cfg, st.theta, grads, w_s[:, None, None], beta_count, n_beta)
+        return st._replace(
+            pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+            step_count=st.step_count + 1, beta_count=beta_count), None
+
+    state, _ = jax.lax.scan(
+        body, state,
+        (nodes, node_mask, eu, ev, emask, weight, neighbors, y_phi,
+         phi_noise, beta_noise, y_edges),
+        unroll=cfg.scan_unroll)
+    return state
+
+
+def _ppx(cfg: Config, num_chains: int, heldout_set: EdgeSet,
+         eu: jnp.ndarray, ev: jnp.ndarray, state: ChainState):
+    """Per-chain perplexity over the shared heldout population."""
+    c = num_chains
+    h = eu.shape[0]
+    k = cfg.K
+    count = state.ppx_count + 1
+    y = heldout_set.has_edges(eu, ev)                        # [H]
+    offsets = (jnp.arange(c, dtype=jnp.int32) * cfg.N)[:, None]
+    pi_u = state.pi[(eu[None, :] + offsets).reshape(-1)].reshape(c, h, k)
+    pi_v = state.pi[(ev[None, :] + offsets).reshape(-1)].reshape(c, h, k)
+    eps = cfg.epsilon
+    pp = pi_u * pi_v
+    pi_sum = jnp.sum(pp, axis=-1)
+    s_link = jnp.sum(pp * state.beta[:, None, :], axis=-1)
+    s_non = (jnp.sum(pp * (1.0 - state.beta[:, None, :]), axis=-1)
+             + (1.0 - pi_sum) * (1.0 - eps))
+    lik = jnp.maximum(jnp.where(y[None, :], s_link, s_non), 1e-30)
+    cnt = count.astype(pp.dtype)
+    ppx_new = (state.ppx_per_edge * (cnt - 1.0) + lik) / cnt   # [C,H]
+    neg_avg = -jnp.mean(jnp.log(ppx_new), axis=-1)             # [C]
+    state = state._replace(ppx_per_edge=ppx_new, ppx_count=count)
+    return state, neg_avg
+
+
+class FlatChainLearner:
+    """C chains, one flat row space, one fused program per chunk."""
+
+    def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
+                 num_chains: int):
+        assert num_chains >= 1
+        cfg = cfg.replace(device_sampling=True)
+        self.cfg = cfg
+        self.num_chains = num_chains
+        self.training_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+        self.heldout_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
+        self.heldout_u = jnp.asarray(split.heldout_edges_u)
+        self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.timers = StageTimers()
+
+        h = len(split.heldout_edges_u)
+        pis, phis, thetas, betas = [], [], [], []
+        base = None
+        for ci in range(num_chains):
+            st = init_state(cfg.replace(init_seed=cfg.init_seed + ci), h)
+            base = st
+            pis.append(st.pi); phis.append(st.phi_sum)
+            thetas.append(st.theta); betas.append(st.beta)
+        self.state = ChainState(
+            pi=jnp.concatenate(pis, axis=0),
+            phi_sum=jnp.concatenate(phis, axis=0),
+            theta=jnp.stack(thetas),
+            beta=jnp.stack(betas),
+            step_count=base.step_count,
+            beta_count=base.beta_count,
+            ppx_per_edge=jnp.zeros((num_chains, h), jnp.float32),
+            ppx_count=jnp.asarray(0, jnp.int32),
+            phi_key=base.phi_key,
+            beta_key=base.beta_key,
+            neighbor_key=base.neighbor_key,
+            sample_key=base.sample_key,
+        )
+        self._chunk = jax.jit(
+            partial(_chunk, cfg, num_chains),
+            static_argnames="num_steps", donate_argnums=(2,))
+        self._ppx = jax.jit(partial(_ppx, cfg, num_chains),
+                            donate_argnums=(3,))
+
+    def run(self, max_iters: int) -> None:
+        spc = max(1, self.cfg.steps_per_call)
+        with self.timers.stage("total"):
+            done = 0
+            while done < max_iters:
+                take = min(spc, max_iters - done)
+                with self.timers.stage("device_step"):
+                    self.state = self._chunk(
+                        self.training_set, self.heldout_set, self.state,
+                        num_steps=take)
+                done += take
+        int(self.state.step_count)  # fence
+
+    def heldout_perplexity(self) -> np.ndarray:
+        with self.timers.stage("ppx"):
+            self.state, neg = self._ppx(
+                self.heldout_set, self.heldout_u, self.heldout_v,
+                self.state)
+            return np.exp(np.asarray(neg))

@@ -104,7 +104,8 @@ def theta_step(
         + jnp.sqrt(eps_t * theta) * noise
     )
     theta_new = jnp.maximum(theta_new, _THETA_FLOOR)
-    beta_new = theta_new[:, 1] / (theta_new[:, 0] + theta_new[:, 1])
+    # ellipsis indexing: works for [K, 2] and for a leading chain axis
+    beta_new = theta_new[..., 1] / (theta_new[..., 0] + theta_new[..., 1])
     return theta_new, beta_new
 
 
