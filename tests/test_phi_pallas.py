@@ -66,3 +66,44 @@ def test_pallas_rejects_unaligned_k():
             cfg, jnp.ones((100, 48)), jnp.ones(100), jnp.ones(48),
             None, jnp.zeros(8, jnp.int32), jnp.zeros((8, 4), jnp.int32),
             jnp.asarray(1), jnp.ones((8, 48)))
+
+
+def test_gather_kernel_interpret_matches_jnp():
+    """The DMA-gather experiment must stay numerically exact (interpret
+    mode; on-hardware it is a recorded negative result, see module doc)."""
+    from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_rows_pallas_gather
+    from mcmc_ammsb_tpu.data import Graph, synthetic_edges
+
+    k = 1024
+    n, u, v = synthetic_edges(200, 8, seed=13)
+    graph = Graph.from_edges(n, u, v)
+    cfg = Config(K=k, mini_batch_size=8, num_node_sample=4, node_tile=4)
+    cfg = cfg.finalize(n, len(u), graph.max_fan_out)
+    rng = np.random.RandomState(1)
+    pi_raw = rng.gamma(1.0, 1.0, size=(n, k)).astype(np.float32)
+    phi_sum = pi_raw.sum(-1)
+    pi = pi_raw / phi_sum[:, None]
+    beta = rng.rand(k).astype(np.float32) * 0.5
+    es = build_edge_set(EdgeSetBackend.CSR, n, graph.edges_u, graph.edges_v)
+    b = 8
+    nodes = rng.choice(n, b, replace=False).astype(np.int32)
+    nbrs = rng.randint(0, n, size=(b, 4)).astype(np.int32)
+    noise = rng.randn(b, k).astype(np.float32)
+    args = (jnp.asarray(pi), jnp.asarray(phi_sum), jnp.asarray(beta), es,
+            jnp.asarray(nodes), jnp.asarray(nbrs),
+            jnp.asarray(3, jnp.int32), jnp.asarray(noise))
+    r1 = jax.jit(lambda *a: phi_ops.phi_update_rows(cfg, *a))(*args)
+    r2 = jax.jit(lambda *a: phi_update_rows_pallas_gather(
+        cfg, *a, interpret=True))(*args)
+    np.testing.assert_allclose(np.asarray(r2[0]), np.asarray(r1[0]),
+                               rtol=2e-5, atol=1e-8)
+
+
+def test_gather_kernel_rejects_unaligned_k():
+    from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_rows_pallas_gather
+    cfg = Config(K=256).finalize(100, 100, 4)
+    with pytest.raises(ValueError, match="1024"):
+        phi_update_rows_pallas_gather(
+            cfg, jnp.ones((100, 256)), jnp.ones(100), jnp.ones(256),
+            None, jnp.zeros(8, jnp.int32), jnp.zeros((8, 4), jnp.int32),
+            jnp.asarray(1), jnp.ones((8, 256)))
