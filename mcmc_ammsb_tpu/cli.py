@@ -71,6 +71,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-sampling", action="store_true",
                    help="sample minibatches on device inside the fused "
                         "loop (Node-family strategies)")
+    p.add_argument("--profile", action="store_true",
+                   help="print the per-stage timing table at exit "
+                        "(PrintStats-style per-kernel attribution)")
     p.add_argument("--num-chains", type=int, default=1,
                    help="run C independent MCMC chains in one fused "
                         "program (implies --device-sampling)")
@@ -199,6 +202,8 @@ def main(argv=None) -> int:
     if signaled["flag"]:
         log.info("FORCED TERMINATE")
     learner.print_stats(lambda s: log.info("%s", s))
+    if args.profile:
+        learner.print_stage_profile(lambda s: log.info("%s", s))
     if args.checkpoint:
         from mcmc_ammsb_tpu.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, learner)

@@ -627,6 +627,27 @@ class Learner:
               self.heldout_v, state)
         return result
 
+    def print_stage_profile(self, log=print, iters: int = 20) -> None:
+        """Per-stage table with the reference's stage names
+        (PrintStats, learner.cc:252-299). GRADS PAR/GRADS SUM and
+        UPDATE THETA/NORM THETA are fused pairs here, reported on the
+        line of the first member."""
+        prof = self.profile_stages(iters)
+        names = [
+            ("SAMPLING (nbr)", "sample_neighbors"),
+            ("PHI", "phi"),
+            ("PI", "pi_scatter"),
+            ("GRADS PAR+SUM", "beta_grads"),
+            ("UPDATE+NORM THETA", "theta_update"),
+            ("PPX CALC+ACCUM", "ppx"),
+        ]
+        total = sum(v for _, k in names for kk, v in prof.items()
+                    if kk == k)
+        log(f"per-step stage profile (unfused upper bounds, {iters} reps)")
+        for label, key in names:
+            v = prof[key]
+            log(f"{label:18s}: {v*1e6:9.1f} us (%{100*v/total:5.1f})")
+
     def close(self) -> None:
         if self._prefetcher is not None:
             self._prefetcher.close()
