@@ -1,0 +1,280 @@
+"""Full (non-assortative) Mixed-Membership Stochastic Blockmodel.
+
+A model family BEYOND the reference (which implements only the
+assortative special case, SURVEY.md §0): the community interaction is a
+full matrix B in [0,1]^{K x K} instead of a diagonal beta [K] with a
+shared epsilon background:
+
+    B_kl   ~ Beta(eta0, eta1)                    block link strengths
+    pi_a   ~ Dirichlet(alpha 1_K)
+    y_ab   ~ Bernoulli(pi_a^T B pi_b)            (memberships collapsed)
+
+Posterior sampling is the same SGRLD scheme as the a-MMSB (expanded-
+mean Gamma parameterizations): theta_B [K, K, 2] with
+B = theta_B[..., 1] / theta_B.sum(-1).
+
+Why this is a natural TPU model: the per-pair likelihood
+p = pi_a^T F pi_b (F = B if linked else 1-B) makes the phi-stage inner
+loop a [B*n, K] x [K, K] MATMUL — real MXU work, unlike the a-MMSB's
+purely elementwise probs — and the theta_B gradient is a sum of
+responsibility outer products, also matmul-shaped.
+
+Identifiability caveat (measured; tests/test_mmsb.py): without the
+a-MMSB's epsilon background, the full model admits an attracting
+label-symmetric plateau (pi uniform, B ~ graph density) on weakly
+identified data — at reference-default step sizes SGRLD reaches the
+plateau quickly (held-out perplexity ~= the coin-flip bound) but
+escapes it slowly; diagonal-tilted initialization (init_mmsb_state)
+helps only transiently. This is precisely the regularization argument
+for the assortative variant the reference hardwires. Fitting the full
+model in practice wants longer step-size decay, tempered noise, or
+informative per-cell priors — knobs left for a future round.
+
+Update laws (derived exactly as the reference's, which exploit that p
+is linear in pi_a so probs_k = pi_ak * (F pi_b)_k sums to p):
+
+    phi:    grads_k = sum_j [ (probs_jk / p_j) / phi_ak - 1 / phi_a ]
+            then the SGRLD mirror step of mcmc/phi.cc:113-121 verbatim
+    theta:  r_kl = pi_ak pi_bl F_kl / p   (responsibilities)
+            grad_kl0 += r_kl ((1-y)/theta_kl0 - 1/thetasum_kl)
+            grad_kl1 += r_kl (y/theta_kl1 - 1/thetasum_kl)
+            then the SGRLD step of mcmc/beta.cc:51-82 per (k, l)
+    ppx:    link L = pi_a^T B pi_b; non-link L = pi_a^T (1-B) pi_b
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.data import DataSplit, Graph
+from mcmc_ammsb_tpu.learner import DeviceBatch
+from mcmc_ammsb_tpu.ops.edgeset import EdgeSet, build_edge_set
+from mcmc_ammsb_tpu.ops.neighbor import sample_neighbors
+from mcmc_ammsb_tpu.ops.rowops import row_normalize
+from mcmc_ammsb_tpu.rng import native as native_rng
+from mcmc_ammsb_tpu.sampling import MiniBatchSampler
+from mcmc_ammsb_tpu.utils.timing import StageTimers
+
+_FLOOR = 1e-24
+
+
+class MMSBState(NamedTuple):
+    pi: jnp.ndarray            # [N, K]
+    phi_sum: jnp.ndarray       # [N]
+    theta_b: jnp.ndarray       # [K, K, 2]
+    b: jnp.ndarray             # [K, K]
+    step_count: jnp.ndarray
+    theta_count: jnp.ndarray
+    ppx_per_edge: jnp.ndarray  # [H]
+    ppx_count: jnp.ndarray
+    phi_key: jax.Array
+    theta_key: jax.Array
+    neighbor_key: jax.Array
+
+
+def init_mmsb_state(cfg: Config, heldout_size: int,
+                    dtype=jnp.float32) -> MMSBState:
+    root = native_rng.key_from_seed((cfg.init_seed & 0xFFFFFFFF,
+                                     cfg.init_seed >> 32))
+    k_theta, k_pi = jax.random.split(root)
+    theta_b = native_rng.gamma(k_theta, (cfg.K, cfg.K, 2), cfg.eta0,
+                               cfg.eta1, dtype)
+    # break the label-symmetry saddle (pi uniform + B ~ density) with a
+    # diagonal tilt at init — the full model has no epsilon background
+    # forcing assortativity, so without it SGRLD can stall at the
+    # uninformative fixed point on weakly-identified data
+    diag_boost = 1.0 + 2.0 * jnp.eye(cfg.K, dtype=dtype)
+    theta_b = theta_b.at[..., 1].mul(diag_boost)
+    b = theta_b[..., 1] / theta_b.sum(-1)
+    phi_raw = native_rng.gamma(k_pi, (cfg.N, cfg.K), cfg.eta0, cfg.eta1,
+                               dtype)
+    phi_sum = phi_raw.sum(-1)
+    return MMSBState(
+        pi=phi_raw / phi_sum[:, None],
+        phi_sum=phi_sum,
+        theta_b=theta_b,
+        b=b,
+        step_count=jnp.asarray(1, jnp.int32),
+        theta_count=jnp.asarray(0, jnp.int32),
+        ppx_per_edge=jnp.zeros(heldout_size, dtype),
+        ppx_count=jnp.asarray(0, jnp.int32),
+        phi_key=native_rng.key_from_seed(cfg.phi_seed),
+        theta_key=native_rng.key_from_seed(cfg.beta_seed),
+        neighbor_key=native_rng.key_from_seed(cfg.neighbor_seed),
+    )
+
+
+def mmsb_phi_rows(cfg: Config, pi, phi_sum, b, edge_set, nodes,
+                  neighbors, step_count, noise):
+    """Staged phi' rows. The inner product over communities is
+    g = F @ pi_b — an MXU matmul over the [B*n, K] neighbor batch."""
+    n_nb = cfg.num_node_sample
+    pi_n = pi[nodes]                                   # [B, K]
+    phis = phi_sum[nodes]                              # [B]
+    pi_nb = pi[neighbors]                              # [B, n, K]
+    y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n]
+
+    flat_nb = pi_nb.reshape(-1, cfg.K)
+    g_link = jnp.dot(flat_nb, b.T,
+                     preferred_element_type=jnp.float32)
+    g_non = jnp.dot(flat_nb, (1.0 - b).T,
+                    preferred_element_type=jnp.float32)
+    g = jnp.where(y.reshape(-1, 1), g_link, g_non).reshape(pi_nb.shape)
+
+    probs = pi_n[:, None, :] * g                       # [B, n, K]
+    p = jnp.sum(probs, axis=-1, keepdims=True)         # [B, n, 1]
+    inv_phi = 1.0 / phis[:, None]
+    grads = (jnp.sum(probs / p, axis=1) / pi_n * inv_phi
+             - n_nb * inv_phi)
+
+    eps_t = jnp.asarray(cfg.eps_t(step_count), pi.dtype)
+    phi_k = pi_n * phis[:, None]
+    phi_new = jnp.abs(
+        phi_k
+        + eps_t / 2.0 * (cfg.alpha_value - phi_k
+                         + (cfg.N / n_nb) * grads)
+        + jnp.sqrt(eps_t * phi_k) * noise)
+    return row_normalize(jnp.maximum(phi_new, _FLOOR))
+
+
+def mmsb_theta_grads(cfg: Config, theta_b, b, pi, edge_set,
+                     eu, ev, mask):
+    """Responsibility outer-product fan-in. Returns [K, K, 2]."""
+    y = edge_set.has_edges(eu, ev)                     # [E]
+    pi_u = pi[eu]                                      # [E, K]
+    pi_v = pi[ev]
+    f = jnp.where(y[:, None, None], b, 1.0 - b)        # [E, K, K]
+    outer = pi_u[:, :, None] * pi_v[:, None, :]        # [E, K, K]
+    num = outer * f
+    p = jnp.sum(num, axis=(1, 2), keepdims=True)
+    r = num / p                                        # [E, K, K]
+    theta_sum = theta_b.sum(-1)                        # [K, K]
+    inv_ts = 1.0 / theta_sum
+    yf = y.astype(pi.dtype)[:, None, None]
+    g0 = r * ((1.0 - yf) / theta_b[..., 0] - inv_ts)
+    g1 = r * (yf / theta_b[..., 1] - inv_ts)
+    m = mask.astype(pi.dtype)[:, None, None]
+    g = jnp.stack([(g0 * m).sum(0), (g1 * m).sum(0)], axis=-1)
+    # undirected graphs: B is symmetric; averaging the gradient with its
+    # transpose is processing each edge in both orientations
+    return 0.5 * (g + g.transpose(1, 0, 2))
+
+
+def mmsb_theta_step(cfg: Config, theta_b, grads, scale, count, noise):
+    eps_t = jnp.asarray(cfg.eps_t(count), theta_b.dtype)
+    eta = jnp.asarray([cfg.eta0, cfg.eta1], theta_b.dtype)
+    theta_new = jnp.abs(
+        theta_b + eps_t / 2.0 * (eta - theta_b + scale * grads)
+        + jnp.sqrt(eps_t * theta_b) * noise)
+    theta_new = jnp.maximum(theta_new, _FLOOR)
+    b_new = theta_new[..., 1] / theta_new.sum(-1)
+    return theta_new, b_new
+
+
+def mmsb_train_step(cfg: Config, edge_set: EdgeSet, state: MMSBState,
+                    batch: DeviceBatch) -> MMSBState:
+    step = state.step_count
+    k_nbr = jax.random.fold_in(state.neighbor_key, step)
+    neighbors = sample_neighbors(k_nbr, batch.nodes, cfg.N,
+                                 cfg.num_node_sample)
+    b_nodes = batch.nodes.shape[0]
+    if cfg.phi_disable_noise:
+        noise = jnp.ones((b_nodes, cfg.K), state.pi.dtype)
+    else:
+        noise = native_rng.randn(
+            jax.random.fold_in(state.phi_key, step),
+            (b_nodes, cfg.K), state.pi.dtype)
+    rows, sums = mmsb_phi_rows(cfg, state.pi, state.phi_sum, state.b,
+                               edge_set, batch.nodes, neighbors, step,
+                               noise)
+    safe = jnp.where(batch.node_mask, batch.nodes, cfg.N)
+    pi = state.pi.at[safe].set(rows, mode="drop")
+    phi_sum = state.phi_sum.at[safe].set(sums, mode="drop")
+
+    count = state.theta_count + 1
+    t_noise = native_rng.randn(
+        jax.random.fold_in(state.theta_key, step),
+        (cfg.K, cfg.K, 2), state.pi.dtype)
+    grads = mmsb_theta_grads(cfg, state.theta_b, state.b, pi, edge_set,
+                             batch.edges_u, batch.edges_v,
+                             batch.edge_mask)
+    theta_b, b = mmsb_theta_step(cfg, state.theta_b, grads,
+                                 batch.weight, count, t_noise)
+    return state._replace(pi=pi, phi_sum=phi_sum, theta_b=theta_b, b=b,
+                          step_count=step + 1, theta_count=count)
+
+
+def mmsb_perplexity(cfg: Config, heldout_set: EdgeSet, eu, ev,
+                    state: MMSBState):
+    count = state.ppx_count + 1
+    y = heldout_set.has_edges(eu, ev)
+    pi_u = state.pi[eu]
+    pi_v = state.pi[ev]
+    link = jnp.einsum("ek,kl,el->e", pi_u, state.b, pi_v)
+    non = jnp.einsum("ek,kl,el->e", pi_u, 1.0 - state.b, pi_v)
+    lik = jnp.maximum(jnp.where(y, link, non), 1e-30)
+    c = count.astype(pi_u.dtype)
+    ppx_new = (state.ppx_per_edge * (c - 1.0) + lik) / c
+    neg_avg = -jnp.mean(jnp.log(ppx_new))
+    state = state._replace(ppx_per_edge=ppx_new, ppx_count=count)
+    return state, neg_avg
+
+
+def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
+                    batches: DeviceBatch) -> MMSBState:
+    def body(s, batch):
+        return mmsb_train_step(cfg, edge_set, s, batch), None
+
+    state, _ = jax.lax.scan(body, state, batches,
+                            unroll=cfg.scan_unroll)
+    return state
+
+
+class FullMMSBLearner:
+    """Orchestrator for the full-B MMSB (mirrors learner.Learner)."""
+
+    def __init__(self, cfg: Config, graph: Graph, split: DataSplit):
+        self.cfg = cfg
+        self.graph = graph
+        self.split = split
+        self.training_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+        self.heldout_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
+        self.heldout_u = jnp.asarray(split.heldout_edges_u)
+        self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.state = init_mmsb_state(cfg, len(split.heldout_edges_u))
+        self.sampler = MiniBatchSampler(cfg, graph, split)
+        self.timers = StageTimers()
+        self._scan = jax.jit(partial(mmsb_steps_scan, cfg),
+                             donate_argnums=(1,))
+        self._ppx = jax.jit(partial(mmsb_perplexity, cfg),
+                            donate_argnums=(3,))
+
+    def run(self, max_iters: int) -> None:
+        spc = max(1, self.cfg.steps_per_call)
+        with self.timers.stage("total"):
+            done = 0
+            while done < max_iters:
+                take = min(spc, max_iters - done)
+                with self.timers.stage("sampling"):
+                    stacked = self.sampler.sample_many(take)
+                    batches = DeviceBatch.from_stacked(stacked)
+                with self.timers.stage("device_step"):
+                    self.state = self._scan(self.training_set,
+                                            self.state, batches)
+                done += take
+        int(self.state.step_count)  # fence
+
+    def heldout_perplexity(self) -> float:
+        with self.timers.stage("ppx"):
+            self.state, neg = self._ppx(
+                self.heldout_set, self.heldout_u, self.heldout_v,
+                self.state)
+            return float(jnp.exp(neg))

@@ -1,0 +1,132 @@
+"""Full (non-assortative) MMSB model-family tests: numpy-oracle golden
+checks for the new update math + semantic recovery of planted block
+structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_ammsb_tpu.config import Config, EdgeSetBackend
+from mcmc_ammsb_tpu.data import (Graph, generate_sets, synthetic_edges,
+                                 synthetic_sbm_edges)
+from mcmc_ammsb_tpu.models.mmsb import (FullMMSBLearner, mmsb_phi_rows,
+                                        mmsb_theta_grads)
+from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
+
+
+@pytest.fixture(scope="module")
+def mmsb_fixture():
+    n, u, v = synthetic_edges(300, 10, seed=71)
+    graph = Graph.from_edges(n, u, v)
+    cfg = Config(K=6, mini_batch_size=8, num_node_sample=6,
+                 host_sampler="numpy")
+    cfg = cfg.finalize(n, len(u), graph.max_fan_out)
+    rng = np.random.RandomState(0)
+    pi_raw = rng.gamma(1.0, 1.0, (n, cfg.K)).astype(np.float32)
+    phi_sum = pi_raw.sum(-1)
+    pi = pi_raw / phi_sum[:, None]
+    theta_b = rng.gamma(1.0, 1.0, (cfg.K, cfg.K, 2)).astype(np.float32)
+    b = theta_b[..., 1] / theta_b.sum(-1)
+    es = build_edge_set(EdgeSetBackend.CSR, n, graph.edges_u,
+                        graph.edges_v)
+    return cfg, graph, pi, phi_sum, theta_b, b, es
+
+
+def test_mmsb_phi_matches_oracle(mmsb_fixture):
+    cfg, graph, pi, phi_sum, theta_b, b, es = mmsb_fixture
+    rng = np.random.RandomState(2)
+    bsz = 6
+    nodes = rng.choice(cfg.N, bsz, replace=False).astype(np.int32)
+    nbrs = rng.randint(0, cfg.N, (bsz, cfg.num_node_sample)).astype(np.int32)
+    noise = rng.randn(bsz, cfg.K).astype(np.float32)
+    step = 4
+
+    rows, sums = jax.jit(lambda *a: mmsb_phi_rows(cfg, *a))(
+        jnp.asarray(pi), jnp.asarray(phi_sum), jnp.asarray(b), es,
+        jnp.asarray(nodes), jnp.asarray(nbrs),
+        jnp.asarray(step, jnp.int32), jnp.asarray(noise))
+
+    # numpy oracle, straight from the derivation in the module docstring
+    et = cfg.a * (1 + step / cfg.b) ** (-cfg.c)
+    want_rows = np.zeros((bsz, cfg.K))
+    want_sums = np.zeros(bsz)
+    for i, a_node in enumerate(nodes):
+        pa = pi[a_node].astype(np.float64)
+        fa = float(phi_sum[a_node])
+        grads = np.zeros(cfg.K)
+        for j in range(cfg.num_node_sample):
+            nb = nbrs[i, j]
+            y = graph.has_edge(min(a_node, nb), max(a_node, nb))
+            f = b if y else 1.0 - b
+            g = f @ pi[nb].astype(np.float64)
+            probs = pa * g
+            grads += probs / probs.sum() / (pa * fa) - 1.0 / fa
+        phi_a = pa * fa
+        upd = np.abs(phi_a + et / 2 * (cfg.alpha_value - phi_a
+                                       + cfg.N / cfg.num_node_sample * grads)
+                     + np.sqrt(et * phi_a) * noise[i])
+        upd = np.maximum(upd, 1e-24)
+        want_sums[i] = upd.sum()
+        want_rows[i] = upd / upd.sum()
+    np.testing.assert_allclose(np.asarray(rows), want_rows, rtol=3e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sums), want_sums, rtol=3e-4)
+
+
+def test_mmsb_theta_grads_match_oracle(mmsb_fixture):
+    cfg, graph, pi, phi_sum, theta_b, b, es = mmsb_fixture
+    rng = np.random.RandomState(3)
+    ne = 6
+    eu = graph.edges_u[:ne // 2]
+    ev = graph.edges_v[:ne // 2]
+    ru = rng.randint(0, cfg.N, ne - len(eu)).astype(np.int32)
+    rv = rng.randint(0, cfg.N, ne - len(ev)).astype(np.int32)
+    keep = ru != rv
+    eu = np.concatenate([eu, np.minimum(ru, rv)[keep]])
+    ev = np.concatenate([ev, np.maximum(ru, rv)[keep]])
+    mask = np.ones(len(eu), bool)
+
+    got = jax.jit(lambda *a: mmsb_theta_grads(cfg, *a))(
+        jnp.asarray(theta_b), jnp.asarray(b), jnp.asarray(pi), es,
+        jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(mask))
+
+    want = np.zeros((cfg.K, cfg.K, 2))
+    ts = theta_b.sum(-1).astype(np.float64)
+    for a_node, v_node in zip(eu, ev):
+        y = graph.has_edge(min(a_node, v_node), max(a_node, v_node))
+        f = b if y else 1.0 - b
+        outer = np.outer(pi[a_node], pi[v_node]).astype(np.float64)
+        num = outer * f
+        r = num / num.sum()
+        want[..., 0] += r * ((0.0 if y else 1.0) / theta_b[..., 0] - 1 / ts)
+        want[..., 1] += r * ((1.0 if y else 0.0) / theta_b[..., 1] - 1 / ts)
+    want = 0.5 * (want + want.transpose(1, 0, 2))  # undirected symmetry
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=1e-6)
+
+
+def test_mmsb_trains_stably():
+    """Train on a planted-partition graph: perplexity falls from its
+    start and the chain stays numerically healthy. (Short-run
+    *discrimination* is not asserted: without the a-MMSB's epsilon
+    background the full model's off-diagonal cells are weakly
+    identified on small data and SGRLD wanders the label-symmetric
+    plateau — the measured behavior that motivates the assortative
+    variant; see the module docstring.)"""
+    n, u, v = synthetic_sbm_edges(400, 4, p_in=0.2, p_out=0.004, seed=31)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=32)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=4, mini_batch_size=16, num_node_sample=12,
+                 steps_per_call=50, host_sampler="numpy")
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    lrn = FullMMSBLearner(cfg, graph, split)
+    p0 = lrn.heldout_perplexity()
+    lrn.run(1500)
+    p1 = lrn.heldout_perplexity()
+    assert np.isfinite([p0, p1]).all()
+    assert p1 < p0
+    b = np.asarray(lrn.state.b)
+    assert ((b > 0) & (b < 1)).all()
+    np.testing.assert_allclose(np.asarray(lrn.state.pi).sum(-1), 1.0,
+                               atol=1e-5)
