@@ -143,6 +143,22 @@ def _init_gamma_reference(cfg: Config, dtype):
     return theta, phi_raw
 
 
+def chunked_gamma_rows(cfg: Config, key: jax.Array,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """[N, K] gamma draws in row blocks: jax.random.gamma's rejection
+    sampler holds ~10 output-sized temporaries, which at
+    N=317k x K=1024 would exceed HBM in one shot."""
+    block = max(1, (1 << 24) // max(cfg.K, 1))
+    chunks = []
+    for i, start in enumerate(range(0, cfg.N, block)):
+        rows = min(block, cfg.N - start)
+        chunks.append(native_rng.gamma(
+            jax.random.fold_in(key, i), (rows, cfg.K),
+            cfg.eta0, cfg.eta1, dtype))
+    return (chunks[0] if len(chunks) == 1
+            else jnp.concatenate(chunks, axis=0))
+
+
 def init_state(cfg: Config, heldout_size: int,
                train_ppx_size: int = 0,
                dtype=jnp.float32) -> TrainState:
@@ -160,18 +176,7 @@ def init_state(cfg: Config, heldout_size: int,
         k_theta, k_pi = jax.random.split(root)
         theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1,
                                  dtype)
-        # draw pi's gamma init in row blocks: jax.random.gamma's
-        # rejection sampler holds ~10 [rows, K]-sized temporaries, which
-        # at N=317k x K=1024 would exceed HBM in one shot
-        block = max(1, (1 << 24) // max(cfg.K, 1))
-        chunks = []
-        for i, start in enumerate(range(0, cfg.N, block)):
-            rows = min(block, cfg.N - start)
-            chunks.append(native_rng.gamma(
-                jax.random.fold_in(k_pi, i), (rows, cfg.K),
-                cfg.eta0, cfg.eta1, dtype))
-        phi_raw = (chunks[0] if len(chunks) == 1
-                   else jnp.concatenate(chunks, axis=0))
+        phi_raw = chunked_gamma_rows(cfg, k_pi, dtype)
         ref_seeds = None
     beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
     phi_sum = jnp.sum(phi_raw, axis=-1)

@@ -80,11 +80,18 @@ class MMSBState(NamedTuple):
 
 def init_mmsb_state(cfg: Config, heldout_size: int,
                     dtype=jnp.float32) -> MMSBState:
+    from mcmc_ammsb_tpu.learner import chunked_gamma_rows
+
     root = native_rng.key_from_seed((cfg.init_seed & 0xFFFFFFFF,
                                      cfg.init_seed >> 32))
     k_theta, k_pi = jax.random.split(root)
     theta_b = native_rng.gamma(k_theta, (cfg.K, cfg.K, 2), cfg.eta0,
                                cfg.eta1, dtype)
+    # undirected graphs: B is symmetric. theta starts symmetric here and
+    # the gradient + noise are symmetrized each step (mmsb_theta_grads /
+    # mmsb_train_step), so it stays exactly symmetric — one consistent
+    # likelihood per unordered pair regardless of orientation.
+    theta_b = 0.5 * (theta_b + theta_b.transpose(1, 0, 2))
     # break the label-symmetry saddle (pi uniform + B ~ density) with a
     # diagonal tilt at init — the full model has no epsilon background
     # forcing assortativity, so without it SGRLD can stall at the
@@ -92,8 +99,9 @@ def init_mmsb_state(cfg: Config, heldout_size: int,
     diag_boost = 1.0 + 2.0 * jnp.eye(cfg.K, dtype=dtype)
     theta_b = theta_b.at[..., 1].mul(diag_boost)
     b = theta_b[..., 1] / theta_b.sum(-1)
-    phi_raw = native_rng.gamma(k_pi, (cfg.N, cfg.K), cfg.eta0, cfg.eta1,
-                               dtype)
+    # chunked rows: one-shot gamma at N*K >= ~300M would OOM (see
+    # learner.init_state)
+    phi_raw = chunked_gamma_rows(cfg, k_pi, dtype)
     phi_sum = phi_raw.sum(-1)
     return MMSBState(
         pi=phi_raw / phi_sum[:, None],
@@ -114,17 +122,25 @@ def mmsb_phi_rows(cfg: Config, pi, phi_sum, b, edge_set, nodes,
                   neighbors, step_count, noise):
     """Staged phi' rows. The inner product over communities is
     g = F @ pi_b — an MXU matmul over the [B*n, K] neighbor batch."""
+    y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n]
+    return _phi_rows_core(cfg, pi, phi_sum, b, nodes, neighbors, y,
+                          step_count, noise)
+
+
+def _phi_rows_core(cfg: Config, pi, phi_sum, b, nodes, neighbors, y,
+                   step_count, noise):
+    """phi math with membership labels precomputed (hoisted scan)."""
     n_nb = cfg.num_node_sample
     pi_n = pi[nodes]                                   # [B, K]
     phis = phi_sum[nodes]                              # [B]
     pi_nb = pi[neighbors]                              # [B, n, K]
-    y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n]
 
     flat_nb = pi_nb.reshape(-1, cfg.K)
     g_link = jnp.dot(flat_nb, b.T,
                      preferred_element_type=jnp.float32)
-    g_non = jnp.dot(flat_nb, (1.0 - b).T,
-                    preferred_element_type=jnp.float32)
+    # (1-B) pi_b = rowsum(pi_b) - B pi_b; pi rows are normalized, so the
+    # non-link contraction is free given the link one (one matmul, not two)
+    g_non = flat_nb.sum(-1, keepdims=True) - g_link
     g = jnp.where(y.reshape(-1, 1), g_link, g_non).reshape(pi_nb.shape)
 
     probs = pi_n[:, None, :] * g                       # [B, n, K]
@@ -147,8 +163,12 @@ def mmsb_theta_grads(cfg: Config, theta_b, b, pi, edge_set,
                      eu, ev, mask):
     """Responsibility outer-product fan-in. Returns [K, K, 2]."""
     y = edge_set.has_edges(eu, ev)                     # [E]
-    pi_u = pi[eu]                                      # [E, K]
-    pi_v = pi[ev]
+    return _theta_grads_core(cfg, theta_b, b, pi[eu], pi[ev], y, mask)
+
+
+def _theta_grads_core(cfg: Config, theta_b, b, pi_u, pi_v, y, mask):
+    """Gradient math on pre-gathered rows + precomputed labels."""
+    pi = pi_u  # dtype carrier
     f = jnp.where(y[:, None, None], b, 1.0 - b)        # [E, K, K]
     outer = pi_u[:, :, None] * pi_v[:, None, :]        # [E, K, K]
     num = outer * f
@@ -177,6 +197,16 @@ def mmsb_theta_step(cfg: Config, theta_b, grads, scale, count, noise):
     return theta_new, b_new
 
 
+def _symmetrize_noise(cfg: Config, t_noise: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric theta noise keeps theta_b exactly symmetric: the upper
+    triangle is the true parameter set. Off-diagonal pairs are tied
+    ((xi + xi^T)/sqrt(2) restores unit marginal variance); diagonal
+    entries keep their own draw (variance would double otherwise)."""
+    sym = (t_noise + t_noise.transpose(1, 0, 2)) / jnp.sqrt(2.0)
+    eye = jnp.eye(cfg.K, dtype=bool)[..., None]
+    return jnp.where(eye, t_noise, sym)
+
+
 def mmsb_train_step(cfg: Config, edge_set: EdgeSet, state: MMSBState,
                     batch: DeviceBatch) -> MMSBState:
     step = state.step_count
@@ -201,6 +231,7 @@ def mmsb_train_step(cfg: Config, edge_set: EdgeSet, state: MMSBState,
     t_noise = native_rng.randn(
         jax.random.fold_in(state.theta_key, step),
         (cfg.K, cfg.K, 2), state.pi.dtype)
+    t_noise = _symmetrize_noise(cfg, t_noise)
     grads = mmsb_theta_grads(cfg, state.theta_b, state.b, pi, edge_set,
                              batch.edges_u, batch.edges_v,
                              batch.edge_mask)
@@ -217,7 +248,8 @@ def mmsb_perplexity(cfg: Config, heldout_set: EdgeSet, eu, ev,
     pi_u = state.pi[eu]
     pi_v = state.pi[ev]
     link = jnp.einsum("ek,kl,el->e", pi_u, state.b, pi_v)
-    non = jnp.einsum("ek,kl,el->e", pi_u, 1.0 - state.b, pi_v)
+    # pi rows normalized: sum_kl pi_u (1-B) pi_v = 1 - link
+    non = 1.0 - link
     lik = jnp.maximum(jnp.where(y, link, non), 1e-30)
     c = count.astype(pi_u.dtype)
     ppx_new = (state.ppx_per_edge * (c - 1.0) + lik) / c
@@ -228,11 +260,52 @@ def mmsb_perplexity(cfg: Config, heldout_set: EdgeSet, eu, ev,
 
 def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
                     batches: DeviceBatch) -> MMSBState:
-    def body(s, batch):
-        return mmsb_train_step(cfg, edge_set, s, batch), None
+    """Scan with the same state-independent hoisting as the a-MMSB
+    (learner.train_steps_scan; measured 2x there): neighbor draws,
+    noise, and membership labels for all S steps are produced in one
+    vectorized block before the loop."""
+    s_len, b_sz = batches.nodes.shape
+    steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
 
-    state, _ = jax.lax.scan(body, state, batches,
-                            unroll=cfg.scan_unroll)
+    nbr_keys = jax.vmap(
+        lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
+    neighbors = jax.vmap(
+        lambda k, nd: sample_neighbors(k, nd, cfg.N, cfg.num_node_sample)
+    )(nbr_keys, batches.nodes)
+    y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+    if cfg.phi_disable_noise:
+        phi_noise = jnp.ones((s_len, b_sz, cfg.K), state.pi.dtype)
+    else:
+        phi_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.phi_key, s), (b_sz, cfg.K),
+            state.pi.dtype))(steps)
+    t_noise = jax.vmap(lambda s: _symmetrize_noise(cfg, native_rng.randn(
+        jax.random.fold_in(state.theta_key, s), (cfg.K, cfg.K, 2),
+        state.pi.dtype)))(steps)
+    y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+
+    def body(s: MMSBState, xs):
+        batch, nbrs, y_n, n_phi, n_theta, y_e = xs
+        rows, sums = _phi_rows_core(cfg, s.pi, s.phi_sum, s.b,
+                                    batch.nodes, nbrs, y_n,
+                                    s.step_count, n_phi)
+        safe = jnp.where(batch.node_mask, batch.nodes, cfg.N)
+        pi = s.pi.at[safe].set(rows, mode="drop")
+        phi_sum = s.phi_sum.at[safe].set(sums, mode="drop")
+        count = s.theta_count + 1
+        grads = _theta_grads_core(cfg, s.theta_b, s.b, pi[batch.edges_u],
+                                  pi[batch.edges_v], y_e,
+                                  batch.edge_mask)
+        theta_b, b = mmsb_theta_step(cfg, s.theta_b, grads, batch.weight,
+                                     count, n_theta)
+        return s._replace(pi=pi, phi_sum=phi_sum, theta_b=theta_b, b=b,
+                          step_count=s.step_count + 1,
+                          theta_count=count), None
+
+    state, _ = jax.lax.scan(
+        body, state,
+        (batches, neighbors, y_phi, phi_noise, t_noise, y_edges),
+        unroll=cfg.scan_unroll)
     return state
 
 

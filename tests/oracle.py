@@ -86,3 +86,51 @@ def perplexity_oracle(cfg, pi, beta, edge_oracle, eu, ev, ppx_per_edge,
     lg = np.log(ppx_new)
     neg_avg = -lg.mean()
     return ppx_new, neg_avg, y_arr
+
+
+def mmsb_phi_oracle(cfg, pi, phi_sum, b, edge_oracle, nodes, neighbors,
+                    step_count, noise):
+    """Full-MMSB staged phi update (models/mmsb.py derivation):
+    g = F pi_b with F = B (link) or 1-B (non-link)."""
+    n_nb = neighbors.shape[1]
+    rows = np.zeros((len(nodes), pi.shape[1]), np.float64)
+    sums = np.zeros(len(nodes), np.float64)
+    et = eps_t(cfg.a, cfg.b, cfg.c, step_count)
+    for i, a_node in enumerate(nodes):
+        pa = pi[a_node].astype(np.float64)
+        fa = float(phi_sum[a_node])
+        grads = np.zeros(pi.shape[1], np.float64)
+        for j in range(n_nb):
+            nb = neighbors[i, j]
+            y = edge_oracle(min(a_node, nb), max(a_node, nb))
+            f = b if y else 1.0 - b
+            g = f @ pi[nb].astype(np.float64)
+            probs = pa * g
+            grads += probs / probs.sum() / (pa * fa) - 1.0 / fa
+        phi_a = pa * fa
+        upd = np.abs(phi_a + et / 2 * (cfg.alpha_value - phi_a
+                                       + cfg.N / n_nb * grads)
+                     + np.sqrt(et * phi_a) * noise[i])
+        upd = np.maximum(upd, 1e-24)
+        sums[i] = upd.sum()
+        rows[i] = upd / upd.sum()
+    return rows, sums
+
+
+def mmsb_theta_grads_oracle(cfg, theta_b, b, pi, edge_oracle, eu, ev):
+    """Full-MMSB responsibility fan-in, symmetrized for undirected
+    graphs (models/mmsb.py)."""
+    k = theta_b.shape[0]
+    want = np.zeros((k, k, 2))
+    ts = theta_b.sum(-1).astype(np.float64)
+    for a_node, v_node in zip(eu, ev):
+        y = edge_oracle(min(a_node, v_node), max(a_node, v_node))
+        f = b if y else 1.0 - b
+        outer = np.outer(pi[a_node], pi[v_node]).astype(np.float64)
+        num = outer * f
+        r = num / num.sum()
+        want[..., 0] += r * ((0.0 if y else 1.0) / theta_b[..., 0]
+                             - 1 / ts)
+        want[..., 1] += r * ((1.0 if y else 0.0) / theta_b[..., 1]
+                             - 1 / ts)
+    return 0.5 * (want + want.transpose(1, 0, 2))

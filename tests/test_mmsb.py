@@ -14,6 +14,8 @@ from mcmc_ammsb_tpu.models.mmsb import (FullMMSBLearner, mmsb_phi_rows,
                                         mmsb_theta_grads)
 from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
 
+from oracle import mmsb_phi_oracle, mmsb_theta_grads_oracle
+
 
 @pytest.fixture(scope="module")
 def mmsb_fixture():
@@ -47,28 +49,8 @@ def test_mmsb_phi_matches_oracle(mmsb_fixture):
         jnp.asarray(nodes), jnp.asarray(nbrs),
         jnp.asarray(step, jnp.int32), jnp.asarray(noise))
 
-    # numpy oracle, straight from the derivation in the module docstring
-    et = cfg.a * (1 + step / cfg.b) ** (-cfg.c)
-    want_rows = np.zeros((bsz, cfg.K))
-    want_sums = np.zeros(bsz)
-    for i, a_node in enumerate(nodes):
-        pa = pi[a_node].astype(np.float64)
-        fa = float(phi_sum[a_node])
-        grads = np.zeros(cfg.K)
-        for j in range(cfg.num_node_sample):
-            nb = nbrs[i, j]
-            y = graph.has_edge(min(a_node, nb), max(a_node, nb))
-            f = b if y else 1.0 - b
-            g = f @ pi[nb].astype(np.float64)
-            probs = pa * g
-            grads += probs / probs.sum() / (pa * fa) - 1.0 / fa
-        phi_a = pa * fa
-        upd = np.abs(phi_a + et / 2 * (cfg.alpha_value - phi_a
-                                       + cfg.N / cfg.num_node_sample * grads)
-                     + np.sqrt(et * phi_a) * noise[i])
-        upd = np.maximum(upd, 1e-24)
-        want_sums[i] = upd.sum()
-        want_rows[i] = upd / upd.sum()
+    want_rows, want_sums = mmsb_phi_oracle(
+        cfg, pi, phi_sum, b, graph.has_edge, nodes, nbrs, step, noise)
     np.testing.assert_allclose(np.asarray(rows), want_rows, rtol=3e-4,
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(sums), want_sums, rtol=3e-4)
@@ -91,17 +73,8 @@ def test_mmsb_theta_grads_match_oracle(mmsb_fixture):
         jnp.asarray(theta_b), jnp.asarray(b), jnp.asarray(pi), es,
         jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(mask))
 
-    want = np.zeros((cfg.K, cfg.K, 2))
-    ts = theta_b.sum(-1).astype(np.float64)
-    for a_node, v_node in zip(eu, ev):
-        y = graph.has_edge(min(a_node, v_node), max(a_node, v_node))
-        f = b if y else 1.0 - b
-        outer = np.outer(pi[a_node], pi[v_node]).astype(np.float64)
-        num = outer * f
-        r = num / num.sum()
-        want[..., 0] += r * ((0.0 if y else 1.0) / theta_b[..., 0] - 1 / ts)
-        want[..., 1] += r * ((1.0 if y else 0.0) / theta_b[..., 1] - 1 / ts)
-    want = 0.5 * (want + want.transpose(1, 0, 2))  # undirected symmetry
+    want = mmsb_theta_grads_oracle(cfg, theta_b, b, pi, graph.has_edge,
+                                   eu, ev)
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
                                atol=1e-6)
 
