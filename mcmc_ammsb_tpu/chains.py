@@ -99,32 +99,42 @@ class MultiChainLearner:
         self.states: TrainState = jax.tree.map(
             lambda *xs: jnp.stack(xs), *states)
 
-        self._fused = jax.jit(
-            jax.vmap(
-                lambda st: train_steps_fused(
-                    cfg, self.training_set, self.heldout_set, st,
-                    cfg.steps_per_call),
-            ),
-            donate_argnums=(0,),
-        )
+        # edge sets / heldout arrays are jit ARGUMENTS (broadcast over
+        # the chain vmap axis), not trace-time constants
+        self._fused_fns = {}
+
+        def make_fused(num_steps):
+            return jax.jit(jax.vmap(
+                lambda tr, ho, st: train_steps_fused(cfg, tr, ho, st,
+                                                     num_steps),
+                in_axes=(None, None, 0)), donate_argnums=(2,))
+
+        self._make_fused = make_fused
         self._ppx = jax.jit(jax.vmap(
-            lambda st: heldout_perplexity_step(
-                cfg, self.heldout_set, self.heldout_u, self.heldout_v, st)
-        ), donate_argnums=(0,))
+            lambda ho, hu, hv, st: heldout_perplexity_step(
+                cfg, ho, hu, hv, st),
+            in_axes=(None, None, None, 0)), donate_argnums=(3,))
 
     def run(self, max_iters: int) -> None:
         spc = max(1, self.cfg.steps_per_call)
-        assert max_iters % spc == 0, "run length must be a chunk multiple"
         with self.timers.stage("total"):
-            for _ in range(max_iters // spc):
+            done = 0
+            while done < max_iters:
+                take = min(spc, max_iters - done)
+                if take not in self._fused_fns:
+                    self._fused_fns[take] = self._make_fused(take)
                 with self.timers.stage("device_step"):
-                    self.states = self._fused(self.states)
-        int(self.states.step_count[0])  # fence
+                    self.states = self._fused_fns[take](
+                        self.training_set, self.heldout_set, self.states)
+                done += take
+            int(self.states.step_count[0])  # fence inside the timer
 
     def heldout_perplexity(self) -> np.ndarray:
         """Per-chain perplexities [C]."""
         with self.timers.stage("ppx"):
-            self.states, res = self._ppx(self.states)
+            self.states, res = self._ppx(
+                self.heldout_set, self.heldout_u, self.heldout_v,
+                self.states)
             return np.exp(np.asarray(res.neg_avg_log))
 
     def beta_rhat(self, draws: int = 10) -> np.ndarray:

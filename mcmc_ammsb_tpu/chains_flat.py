@@ -235,7 +235,7 @@ class FlatChainLearner:
                         self.training_set, self.heldout_set, self.state,
                         num_steps=take)
                 done += take
-        int(self.state.step_count)  # fence
+            int(self.state.step_count)  # fence inside the timer
 
     def heldout_perplexity(self) -> np.ndarray:
         with self.timers.stage("ppx"):

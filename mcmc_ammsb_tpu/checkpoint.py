@@ -56,7 +56,13 @@ def _config_from_json(d: dict) -> Config:
 
 
 def save_checkpoint(path: str, learner: Learner) -> None:
-    """Full-fidelity checkpoint: state pytree + config + sampler RNG."""
+    """Full-fidelity checkpoint: state pytree + config + the complete
+    host-sampling position — the numpy RNG state, the native sampler's
+    chunk counter, and any produced-but-unconsumed prefetched batches
+    (the in-flight pipeline state; the reference serializes its
+    pipelined minibatch identically, learner.cc:307-315)."""
+    pending = (learner.drain_sampling()
+               if hasattr(learner, "drain_sampling") else [])
     leaves, treedef = jax.tree_util.tree_flatten(learner.state)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     manifest = {
@@ -65,12 +71,16 @@ def save_checkpoint(path: str, learner: Learner) -> None:
         "num_leaves": len(leaves),
         "timers": {k: v for k, v in learner.timers.seconds.items()},
         "timer_calls": {k: v for k, v in learner.timers.calls.items()},
+        "native_call_count": getattr(learner.sampler,
+                                     "_native_call_count", 0),
     }
     sampler_rng = pickle.dumps(learner.sampler.rng.get_state())
+    pending_blob = pickle.dumps(pending)
     np.savez_compressed(
         path,
         manifest=np.frombuffer(json.dumps(manifest).encode(), np.uint8),
         sampler_rng=np.frombuffer(sampler_rng, np.uint8),
+        pending=np.frombuffer(pending_blob, np.uint8),
         **arrays,
     )
 
@@ -105,6 +115,10 @@ def load_checkpoint(path: str, learner: Learner) -> Learner:
             state, learner.state_spec)
     learner.state = state
     learner.sampler.rng.set_state(pickle.loads(bytes(z["sampler_rng"])))
+    learner.sampler._native_call_count = int(
+        manifest.get("native_call_count", 0))
+    if "pending" in z and hasattr(learner, "_pending"):
+        learner._pending = pickle.loads(bytes(z["pending"]))
     for k, v in manifest.get("timers", {}).items():
         learner.timers.seconds[k] = v
     for k, v in manifest.get("timer_calls", {}).items():

@@ -169,11 +169,9 @@ def main(argv=None) -> int:
         from mcmc_ammsb_tpu.chains import MultiChainLearner
         chains = MultiChainLearner(cfg, graph, split, args.num_chains)
         log.info("ppx[0] = %s", chains.heldout_perplexity())
-        spc = max(1, cfg.steps_per_call)
         i = 0
         while i < args.max_iters and not signaled["flag"]:
             step = min(args.max_iters - i, cfg.ppx_interval)
-            step = max(spc, (step // spc) * spc)
             chains.run(step)
             i += step
             if not signaled["flag"]:

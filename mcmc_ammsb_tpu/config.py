@@ -121,7 +121,9 @@ class Config:
                                      # control overhead vs binary size)
     device_sampling: bool = False    # sample minibatches on-device inside scan
     node_tile: int = 8               # Pallas: minibatch nodes per block
-    dtype: str = "float32"
+    # precision is fp32 by design (SGRLD floors at 1e-24 + per-step row
+    # renormalization lose the sparse small memberships in bf16;
+    # docs/design.md "Memory")
     host_sampler: str = "auto"       # auto | native (C++) | numpy
     # Explicit batch-capacity overrides (0 = derive from m / max_fan_out).
     # The sharded learner rounds capacities up to mesh multiples.

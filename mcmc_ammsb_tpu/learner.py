@@ -456,6 +456,10 @@ class Learner:
         self.sampler = MiniBatchSampler(cfg, graph, split)
         self._prefetcher: Optional[PrefetchingSampler] = None
         self._use_prefetch = prefetch
+        # in-flight batches restored from a checkpoint (consumed before
+        # any new sampling; the reference serializes its pipelined
+        # minibatch the same way, learner.cc:307-315)
+        self._pending = []
         self.timers = StageTimers()
         self.last_ppx_stats = {}
 
@@ -498,27 +502,42 @@ class Learner:
                     self.training_set, self.heldout_set, self.state,
                     num_steps=take)
             done += take
-        jax.block_until_ready(self.state.pi)
+        self._fence()
 
     def _get_prefetcher(self, chunk: int) -> PrefetchingSampler:
         if self._prefetcher is None or self._prefetcher._chunk != chunk:
             if self._prefetcher is not None:
-                self._prefetcher.close()
+                # keep already-drawn batches (stream position) intact
+                self._pending.extend(self._prefetcher.drain())
             self._prefetcher = PrefetchingSampler(
                 self.sampler, depth=2, chunk=chunk
             )
         return self._prefetcher
 
+    def _fence(self) -> None:
+        """Scalar device->host readback: reliably waits for execution
+        even on tunneled backends where block_until_ready can return
+        early (docs/design.md)."""
+        int(self.state.step_count)
+
+    def _next_pending(self, want_cls):
+        """Pop a checkpoint-restored in-flight batch, if type-compatible
+        with the current run mode."""
+        if self._pending and isinstance(self._pending[0], want_cls):
+            return self._pending.pop(0)
+        return None
+
     def _run_single(self, max_iters: int) -> None:
         src = (self._get_prefetcher(1) if self._use_prefetch else None)
         for _ in range(max_iters):
             with self.timers.stage("sampling"):
-                hb = src.get() if src else self.sampler.sample()
+                hb = (self._next_pending(MiniBatch)
+                      or (src.get() if src else self.sampler.sample()))
                 batch = DeviceBatch.from_host(hb)
             with self.timers.stage("device_step"):
                 self.state = self._step_fn(self.training_set, self.state,
                                            batch)
-        jax.block_until_ready(self.state.pi)
+        self._fence()
 
     def _run_scanned(self, max_iters: int, spc: int) -> None:
         done = 0
@@ -526,7 +545,9 @@ class Learner:
         while done < max_iters:
             take = min(spc, max_iters - done)
             with self.timers.stage("sampling"):
-                stacked = src.get() if src else self.sampler.sample_many(spc)
+                stacked = (self._next_pending(StackedBatches)
+                           or (src.get() if src
+                               else self.sampler.sample_many(spc)))
                 if take < spc:  # tail: slice the stacked chunk
                     stacked = StackedBatches(
                         *(a[:take] for a in (
@@ -540,7 +561,7 @@ class Learner:
                 self.state = self._scan_fn(self.training_set, self.state,
                                            batches)
             done += take
-        jax.block_until_ready(self.state.pi)
+        self._fence()
 
     # -- evaluation --------------------------------------------------------
 
@@ -652,6 +673,15 @@ class Learner:
         for label, key in names:
             v = prof[key]
             log(f"{label:18s}: {v*1e6:9.1f} us (%{100*v/total:5.1f})")
+
+    def drain_sampling(self):
+        """Quiesce the prefetch pipeline; any produced-but-unconsumed
+        batches move to the pending list (checkpointable in-flight
+        state)."""
+        if self._prefetcher is not None:
+            self._pending.extend(self._prefetcher.drain())
+            self._prefetcher = None
+        return self._pending
 
     def close(self) -> None:
         if self._prefetcher is not None:

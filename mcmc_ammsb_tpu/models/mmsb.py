@@ -343,7 +343,7 @@ class FullMMSBLearner:
                     self.state = self._scan(self.training_set,
                                             self.state, batches)
                 done += take
-        int(self.state.step_count)  # fence
+            int(self.state.step_count)  # fence inside the timer
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):

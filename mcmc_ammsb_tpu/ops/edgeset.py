@@ -270,14 +270,20 @@ def _cuckoo_hashes(key: np.uint64, num_bins: int):
 
 def _build_cuckoo_host(u: np.ndarray, v: np.ndarray):
     """Host cuckoo build: 2 buckets x bins x 4 slots, load factor 1/1.15,
-    random-walk displacement (mcmc/cuckoo.cc:98-189 semantics)."""
+    random-walk displacement (mcmc/cuckoo.cc:98-189 semantics).
+    uint64 hash arithmetic intentionally wraps; overflow warnings are
+    suppressed only within this scope."""
+    with np.errstate(over="ignore"):
+        return _build_cuckoo_host_impl(u, v)
+
+
+def _build_cuckoo_host_impl(u: np.ndarray, v: np.ndarray):
     n = len(u)
     keys = (np.asarray(u, np.uint64) << np.uint64(32)) | np.asarray(
         v, np.uint64
     ).astype(np.uint64)
     num_bins = int(1 + np.ceil((1.15 * max(n, 1)) / (2 * 4)))
     rng = np.random.RandomState(42)
-    np.seterr(over="ignore")
     for _attempt in range(12):
         slots = np.full((2, num_bins, 4), _EMPTY64)
         ok = True

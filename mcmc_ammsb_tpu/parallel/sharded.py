@@ -432,7 +432,7 @@ class ShardedLearner:
                         self.state = self._scan_fn(
                             self.training_set, self.state, batch)
                 done += take
-        jax.block_until_ready(self.state.pi)
+            int(self.state.step_count)  # fence inside the timer
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):

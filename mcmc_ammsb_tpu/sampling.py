@@ -63,9 +63,8 @@ class MiniBatchSampler:
                  seed: Optional[int] = None):
         self.cfg = cfg
         self.graph = graph
-        self.rng = np.random.RandomState(
-            cfg.sample_seed if seed is None else seed
-        )
+        self.seed0 = cfg.sample_seed if seed is None else seed
+        self.rng = np.random.RandomState(self.seed0)
         # membership oracles for NodeNonLink exclusion (sample.cc:286-287)
         self._heldout_sorted = np.sort(
             pack_edges(split.heldout_u, split.heldout_v))
@@ -212,7 +211,7 @@ class MiniBatchSampler:
 
         cfg, g = self.cfg, self.graph
         self._native_call_count += 1
-        seed = (cfg.sample_seed * 0x9E3779B9 + self._native_call_count)
+        seed = (self.seed0 * 0x9E3779B9 + self._native_call_count)
         eu, ev, em, nd, nm, w = native.sample_batches(
             g.offsets, g.cols, g.num_nodes, self._heldout_sorted,
             cfg.strategy.value, cfg.mini_batch_size,
@@ -262,6 +261,12 @@ class PrefetchingSampler:
     The TPU analog of the reference's std::async double-buffered sampling
     (learner.cc:216-246): JAX dispatch is already asynchronous, so a
     depth-2 host queue fully hides sampling latency behind device work.
+
+    Producer exceptions propagate to the consumer (re-raised from
+    ``get``), and ``drain()`` quiesces the thread and hands back every
+    produced-but-unconsumed item — the in-flight state a checkpoint must
+    capture for bit-exact resume (the reference serializes its
+    in-flight minibatch the same way, learner.cc:307-315).
     """
 
     def __init__(self, sampler: MiniBatchSampler, depth: int = 2,
@@ -270,13 +275,19 @@ class PrefetchingSampler:
         self._chunk = chunk
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
     def _produce(self):
         while not self._stop.is_set():
-            item = (self._sampler.sample() if self._chunk == 1
-                    else self._sampler.sample_many(self._chunk))
+            try:
+                item = (self._sampler.sample() if self._chunk == 1
+                        else self._sampler.sample_many(self._chunk))
+            except BaseException as e:  # surface instead of deadlock
+                self._error = e
+                self._q.put(_ProducerFailed(e))
+                return
             while not self._stop.is_set():
                 try:
                     self._q.put(item, timeout=0.1)
@@ -285,7 +296,27 @@ class PrefetchingSampler:
                     continue
 
     def get(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _ProducerFailed):
+            raise RuntimeError("sampling producer failed") from item.error
+        return item
+
+    def drain(self):
+        """Stop the producer and return the unconsumed in-flight items,
+        in production order."""
+        self._stop.set()
+        self._thread.join()
+        pending = []
+        try:
+            while True:
+                item = self._q.get_nowait()
+                if isinstance(item, _ProducerFailed):
+                    raise RuntimeError("sampling producer failed") \
+                        from item.error
+                pending.append(item)
+        except queue_mod.Empty:
+            pass
+        return pending
 
     def close(self):
         self._stop.set()
@@ -294,3 +325,8 @@ class PrefetchingSampler:
                 self._q.get_nowait()
         except queue_mod.Empty:
             pass
+
+
+class _ProducerFailed:
+    def __init__(self, error: BaseException):
+        self.error = error

@@ -102,3 +102,41 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                                   np.asarray(b.state.pi))
     # restored pi keeps its mesh sharding
     assert "model" in str(b.state.pi.sharding)
+
+
+@pytest.mark.parametrize("host_sampler", ["numpy", "auto"])
+def test_bit_exact_resume_with_prefetch(tmp_path, host_sampler):
+    """The default pipelined configuration (prefetch producer thread,
+    native sampler when available, scan chunks) must also resume
+    bit-exactly: the checkpoint captures the full host-sampling
+    position including produced-but-unconsumed chunks — the in-flight
+    state the reference serializes (learner.cc:307-315)."""
+    from mcmc_ammsb_tpu import native
+    if host_sampler == "auto" and not native.available():
+        pytest.skip("no C++ toolchain")
+    path = str(tmp_path / f"ck_{host_sampler}.npz")
+
+    def build():
+        n, u, v = synthetic_edges(250, 8, seed=17)
+        split = generate_sets(n, u, v, heldout_ratio=0.1, seed=18)
+        graph = Graph.from_edges(n, split.training_u, split.training_v)
+        cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                     steps_per_call=5, host_sampler=host_sampler)
+        cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+        return Learner(cfg, graph, split, prefetch=True)
+
+    a = build()
+    a.run(20)
+    save_checkpoint(path, a)
+    a.run(15)
+    ppx_a = a.heldout_perplexity()
+    a.close()
+
+    b = build()
+    load_checkpoint(path, b)
+    b.run(15)
+    ppx_b = b.heldout_perplexity()
+    b.close()
+    assert ppx_a == ppx_b
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
