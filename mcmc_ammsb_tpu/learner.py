@@ -567,6 +567,11 @@ class Learner:
 
     def heldout_perplexity(self) -> float:
         """exp(-avg log running-averaged likelihood) (learner.cc:196-202)."""
+        if self.heldout_u.shape[0] == 0:
+            raise RuntimeError(
+                "no held-out edges: heldout_ratio too small for this "
+                "graph (the reference likewise only evaluates when the "
+                "split is non-empty, data.cc:89-98)")
         with self.timers.stage("ppx"):
             self.state, res = self._ppx_fn(
                 self.heldout_set, self.heldout_u, self.heldout_v, self.state

@@ -137,3 +137,21 @@ def test_training_perplexity():
     assert t1 < t0 * 1.1
     assert int(learner.state.train_ppx_count) == 2
     learner.close()
+
+
+def test_empty_heldout_guard():
+    """heldout_ratio too small for the graph -> informative error at
+    evaluation, not a NaN (the reference only evaluates when the split
+    is non-empty, data.cc:89-98)."""
+    n, u, v = synthetic_edges(120, 6, seed=77)
+    split = generate_sets(n, u, v, heldout_ratio=0.0, seed=78)
+    assert len(split.heldout_edges_u) == 0
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=4, mini_batch_size=4, num_node_sample=4,
+                 host_sampler="numpy")
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    lrn = Learner(cfg, graph, split, prefetch=False)
+    lrn.run(3)  # training itself is fine
+    with pytest.raises(RuntimeError, match="held-out"):
+        lrn.heldout_perplexity()
+    lrn.close()
