@@ -38,7 +38,21 @@ def pallas_fixture(request):
 
 @pytest.mark.parametrize("b", [8, 12])
 def test_pallas_matches_jnp(pallas_fixture, b):
+    _run_pallas_match(pallas_fixture, b, node_tile=None)
+
+
+@pytest.mark.parametrize("tile", [2, 3, 5, 8])
+def test_pallas_tile_sizes(pallas_fixture, tile):
+    """Parametrize the block size incl. non-powers-of-2 — the pattern
+    of the reference's wg-size sweeps (wg-sum-test.cc:22-130,
+    wg-phi-test.cc parametrized wg in {32..256})."""
+    _run_pallas_match(pallas_fixture, 12, node_tile=tile)
+
+
+def _run_pallas_match(pallas_fixture, b, node_tile):
     cfg, pi, phi_sum, beta, es = pallas_fixture
+    if node_tile is not None:
+        cfg = cfg.replace(node_tile=node_tile)
     rng = np.random.RandomState(7)
     nodes = rng.choice(cfg.N, b, replace=False).astype(np.int32)
     neighbors = rng.randint(0, cfg.N, size=(b, cfg.num_node_sample)
