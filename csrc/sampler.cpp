@@ -47,6 +47,7 @@ inline bool in_sorted(const uint64_t* arr, int64_t n, uint64_t key) {
 struct Raw {
   std::vector<int32_t> eu, ev;
   double weight;
+  bool ok = true;   // false: retry budget exhausted (caller returns -4)
 };
 
 using Rng = std::mt19937_64;
@@ -59,7 +60,8 @@ inline int64_t randn_below(Rng& rng, int64_t n) {
 // (semantics of mcmc/sample.cc:253-268).
 Raw sample_node_link(const Csr& g, Rng& rng, double n_f) {
   Raw r;
-  for (;;) {
+  for (int64_t attempts = 0;; ++attempts) {
+    if (attempts > 100 * g.n + 1000) { r.ok = false; return r; }
     int32_t u = static_cast<int32_t>(randn_below(rng, g.n));
     int64_t deg = g.off[u + 1] - g.off[u];
     if (deg == 0) continue;
@@ -82,7 +84,9 @@ Raw sample_node_non_link(const Csr& g, Rng& rng, const uint64_t* heldout,
   Raw r;
   int32_t u = static_cast<int32_t>(randn_below(rng, g.n));
   std::vector<int32_t> seen;
+  int64_t attempts = 0;
   while (static_cast<int64_t>(r.eu.size()) < m) {
+    if (++attempts > 100 * (m + g.n) + 1000) { r.ok = false; return r; }
     int32_t v = static_cast<int32_t>(randn_below(rng, g.n));
     if (v == u) continue;
     if (std::find(seen.begin(), seen.end(), v) != seen.end()) continue;
@@ -105,15 +109,20 @@ Raw sample_bf(const Csr& g, Rng& rng, const bool link, int64_t m,
   std::vector<int32_t> queue;
   std::vector<uint64_t> edges;
   size_t qhead = 0;
+  int64_t attempts = 0;
   while (static_cast<int64_t>(edges.size()) < m) {
+    if (++attempts > 100 * (m + g.n) + 1000) { r.ok = false; return r; }
     if (qhead >= queue.size()) {
-      for (;;) {
+      bool found = false;
+      for (int64_t t = 0; t < 100 * g.n + 1000; ++t) {
         int32_t u = static_cast<int32_t>(randn_below(rng, g.n));
         if (!seen_u[u]) {
           queue.push_back(u);
+          found = true;
           break;
         }
       }
+      if (!found) { r.ok = false; return r; }
     }
     int32_t u = queue[qhead++];
     if (seen_u[u]) continue;
@@ -129,8 +138,9 @@ Raw sample_bf(const Csr& g, Rng& rng, const bool link, int64_t m,
       }
     } else {
       for (int i = 0; i < 32 && static_cast<int64_t>(edges.size()) < m; ++i) {
-        int32_t v;
-        for (;;) {
+        int32_t v = -1;
+        for (int64_t t = 0;; ++t) {
+          if (t > 100 * g.n + 1000) { r.ok = false; return r; }
           v = static_cast<int32_t>(randn_below(rng, g.n));
           if (v != u && !has_edge(g, std::min(u, v), std::max(u, v))) break;
         }
@@ -180,6 +190,7 @@ int sample_batches(
       case 4: r = sample_bf(g, rng, false, mini_batch, n_f, e_f); break;
       default: return -1;
     }
+    if (!r.ok) return -4;
     int64_t ne = static_cast<int64_t>(r.eu.size());
     if (ne > e_cap) return -2;
     int32_t* bu = edges_u + s * e_cap;
@@ -221,8 +232,9 @@ int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
                    int64_t* out_v) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  std::fseek(f, 0, SEEK_END);
+  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return -1; }
   long size = std::ftell(f);
+  if (size < 0) { std::fclose(f); return -1; }  // unseekable (FIFO etc.)
   std::fseek(f, 0, SEEK_SET);
   std::vector<char> buf(size + 1);
   if (std::fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {

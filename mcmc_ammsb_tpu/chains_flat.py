@@ -103,8 +103,11 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
                  )(steps),
         flat_nodes_all)                   # [S, C*B, n]
     y_phi = edge_set.has_edges(flat_nodes_all[:, :, None], neighbors)
-    phi_noise = jax.vmap(lambda s: native_rng.randn(
-        jax.random.fold_in(state.phi_key, s), (c * b_cap, k)))(steps)
+    if cfg.phi_disable_noise:
+        phi_noise = jnp.ones((s_len, c * b_cap, k), jnp.float32)
+    else:
+        phi_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.phi_key, s), (c * b_cap, k)))(steps)
     beta_noise = jax.vmap(lambda s: native_rng.randn(
         jax.random.fold_in(state.beta_key, s), (c, k, 2)))(steps)
     y_edges = edge_set.has_edges(eu, ev)   # [S,C,E]
@@ -184,7 +187,17 @@ class FlatChainLearner:
 
     def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
                  num_chains: int):
+        from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
         assert num_chains >= 1
+        if cfg.rng_backend != RngBackend.NATIVE:
+            raise ValueError("FlatChainLearner supports the native RNG "
+                             "backend only (per-thread reference streams "
+                             "are single-chain semantics)")
+        if cfg.phi_impl != PhiImpl.JNP:
+            raise ValueError("FlatChainLearner supports phi_impl=jnp only")
+        if len(split.heldout_edges_u) == 0:
+            raise ValueError("no held-out edges: heldout_ratio too small "
+                             "for this graph")
         cfg = cfg.replace(device_sampling=True)
         self.cfg = cfg
         self.num_chains = num_chains

@@ -39,12 +39,20 @@ def _build() -> bool:
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return True
+    # build to a temp path + atomic rename: a killed/concurrent build
+    # must never leave a truncated .so at the final path
+    tmp = _LIB_PATH + f".tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           _SRC, "-o", _LIB_PATH]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -56,7 +64,21 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if not _build():
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/corrupt artifact: rebuild once from scratch, else
+            # degrade to the numpy implementations
+            try:
+                os.unlink(_LIB_PATH)
+            except OSError:
+                return None
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         i64 = ctypes.c_int64
         lib.sample_batches.restype = ctypes.c_int
         lib.sample_batches.argtypes = [
@@ -114,7 +136,12 @@ def sample_batches(
         _ptr(eu), _ptr(ev), _ptr(em), _ptr(nd), _ptr(nm), _ptr(w),
     )
     if rc != 0:
-        raise RuntimeError(f"native sample_batches failed: rc={rc}")
+        reasons = {-1: "unknown strategy", -2: "edge capacity exceeded",
+                   -3: "node capacity exceeded",
+                   -4: "sampling retry budget exhausted (graph cannot "
+                       "supply the requested minibatch)"}
+        raise RuntimeError("native sample_batches failed: "
+                           f"{reasons.get(rc, f'rc={rc}')}")
     return eu, ev, em.astype(bool), nd, nm.astype(bool), w
 
 

@@ -58,6 +58,12 @@ def _extract_nodes(cfg: Config, eu, ev, mask):
         jnp.where(mask, eu, sentinel),
         jnp.where(mask, ev, sentinel),
     ], axis=-1)                                   # [S, 2*E_cap]
+    if ids.shape[-1] < cfg.max_batch_nodes:
+        # keep the documented [*, B_cap] output shape even when the
+        # node capacity exceeds twice the edge capacity
+        pad = cfg.max_batch_nodes - ids.shape[-1]
+        ids = jnp.pad(ids, [(0, 0)] * (ids.ndim - 1) + [(0, pad)],
+                      constant_values=sentinel)
     s = jnp.sort(ids, axis=-1)
     dup = jnp.concatenate(
         [jnp.zeros((*s.shape[:-1], 1), jnp.bool_),
@@ -72,7 +78,7 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
     """[S] NodeLink draws: random non-isolated pivots (masked redraw
     rounds instead of the host's unbounded retry) + their CSR rows."""
     e_cap = cfg.max_batch_edges
-    keys = jax.random.split(key, rounds + 1)
+    keys = jax.random.split(key, 2)
     u = jax.random.randint(keys[0], (s_len,), 0, cfg.N, jnp.int32)
 
     def fixup(i, u):
@@ -142,6 +148,15 @@ def sample_minibatches_device(
     if training_set.backend != "csr":
         raise ValueError("device sampling requires the CSR edge-set "
                          f"backend, got {training_set.backend!r}")
+    if (cfg.strategy != SampleStrategy.NODE_NON_LINK
+            and cfg.max_batch_edges < cfg.max_fan_out):
+        # the host paths fail loudly on overflow (pad_batch / native
+        # rc=-2); the device path must not silently truncate a pivot's
+        # edge list while keeping weight N
+        raise ValueError(
+            f"batch edge capacity {cfg.max_batch_edges} cannot hold the "
+            f"max fan-out {cfg.max_fan_out}; NodeLink batches would be "
+            "silently truncated")
     offsets, cols = training_set.arrays
     k_coin, k_link, k_non = jax.random.split(key, 3)
 

@@ -20,8 +20,10 @@ def make_learner(cfg_kw=None, n_nodes=300, avg_deg=12, seed=21):
     # numpy sampler: single-step and scan paths share one RNG stream,
     # which the cross-path equivalence tests rely on (the native C++
     # sampler reseeds per chunk call)
-    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
-                 host_sampler="numpy", **(cfg_kw or {}))
+    kw = dict(K=8, mini_batch_size=8, num_node_sample=8,
+              host_sampler="numpy")
+    kw.update(cfg_kw or {})
+    cfg = Config(**kw)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     return Learner(cfg, graph, split, prefetch=False), split
 
@@ -155,3 +157,22 @@ def test_empty_heldout_guard():
     with pytest.raises(RuntimeError, match="held-out"):
         lrn.heldout_perplexity()
     lrn.close()
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    {"steps_per_call": 4, "rng_backend": __import__(
+        "mcmc_ammsb_tpu.config", fromlist=["RngBackend"]
+     ).RngBackend.REFERENCE},
+    {"steps_per_call": 4, "K": 128, "phi_impl": __import__(
+        "mcmc_ammsb_tpu.config", fromlist=["PhiImpl"]).PhiImpl.PALLAS},
+])
+def test_scan_in_loop_body_paths(cfg_kw):
+    """The scan's in-loop body branch (reference RNG backend / pallas
+    phi) trains and advances counters like the hoisted path."""
+    learner, _ = make_learner(cfg_kw)
+    p0 = learner.heldout_perplexity()
+    learner.run(12)
+    p1 = learner.heldout_perplexity()
+    assert int(learner.state.step_count) == 13
+    assert np.isfinite([p0, p1]).all()
+    learner.close()
