@@ -69,22 +69,30 @@ def main():
           file=sys.stderr)
 
     # convergence sanity on a structured (planted-partition) graph:
-    # held-out perplexity must fall substantially from its start
-    t0 = time.time()
-    n2, u2, v2 = synthetic_sbm_edges(20_000, 32, p_in=0.01, p_out=2e-4,
-                                     seed=3)
-    split2 = generate_sets(n2, u2, v2, heldout_ratio=0.02, seed=4)
-    graph2 = Graph.from_edges(n2, split2.training_u, split2.training_v)
-    cfg2 = Config(K=32, mini_batch_size=32, num_node_sample=32,
-                  steps_per_call=200)
-    cfg2 = cfg2.finalize(n2, split2.total_edges, graph2.max_fan_out)
-    l2 = Learner(cfg2, graph2, split2)
-    ppx_start = l2.heldout_perplexity()
-    l2.run(6000)
-    ppx_end = l2.heldout_perplexity()
-    l2.close()
-    print(f"# SBM convergence: ppx {ppx_start:.3f} -> {ppx_end:.3f} "
-          f"after 6000 steps ({time.time()-t0:.1f}s)", file=sys.stderr)
+    # held-out perplexity must fall substantially from its start.
+    # best-effort: a failure here (e.g. a slow tunnel compile) must not
+    # lose the headline metric
+    ppx_start = ppx_end = None
+    try:
+        t0 = time.time()
+        n2, u2, v2 = synthetic_sbm_edges(20_000, 32, p_in=0.01,
+                                         p_out=2e-4, seed=3)
+        split2 = generate_sets(n2, u2, v2, heldout_ratio=0.02, seed=4)
+        graph2 = Graph.from_edges(n2, split2.training_u,
+                                  split2.training_v)
+        cfg2 = Config(K=32, mini_batch_size=32, num_node_sample=32,
+                      steps_per_call=200)
+        cfg2 = cfg2.finalize(n2, split2.total_edges, graph2.max_fan_out)
+        l2 = Learner(cfg2, graph2, split2)
+        ppx_start = l2.heldout_perplexity()
+        l2.run(6000)
+        ppx_end = l2.heldout_perplexity()
+        l2.close()
+        print(f"# SBM convergence: ppx {ppx_start:.3f} -> {ppx_end:.3f} "
+              f"after 6000 steps ({time.time()-t0:.1f}s)",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# SBM convergence phase skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "minibatch phi+beta updates/sec "
@@ -97,8 +105,10 @@ def main():
             "steps_per_call": cfg.steps_per_call,
             "seconds": round(dt, 3),
             "heldout_ppx": round(float(ppx), 4),
-            "sbm_ppx_start": round(float(ppx_start), 4),
-            "sbm_ppx_end": round(float(ppx_end), 4),
+            "sbm_ppx_start": (round(float(ppx_start), 4)
+                              if ppx_start is not None else None),
+            "sbm_ppx_end": (round(float(ppx_end), 4)
+                            if ppx_end is not None else None),
         },
     }))
 

@@ -78,7 +78,7 @@ class Graph:
 
 
 def load_snap_edges(
-    path: str, shuffle_seed: int = 0
+    path: str, shuffle_seed: int = 0, use_native: str = "auto"
 ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Parse a SNAP edge-list file.
 
@@ -86,7 +86,19 @@ def load_snap_edges(
     (min, max), renumber vertices to [0, N), dedup, shuffle. The reference
     skips exactly 4 header lines; we skip any '#'-prefixed comment lines
     (equivalent for SNAP files, robust to others). Returns (N, u, v).
+
+    Plain-text files go through the native C++ parser when available
+    (csrc/sampler.cpp — the load-bearing path for multi-GB edge lists);
+    gzip files and toolchain-less hosts use the numpy path. Both are
+    cross-checked by tests (test_native.py).
     """
+    if use_native != "never" and not path.endswith(".gz"):
+        from mcmc_ammsb_tpu import native
+        if native.available():
+            a, b = native.snap_parse(path)
+            return renumber_dedup_shuffle(a, b, shuffle_seed)
+        if use_native == "always":
+            raise RuntimeError("native parser requested but unavailable")
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         text = f.read()

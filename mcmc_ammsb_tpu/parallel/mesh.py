@@ -20,11 +20,14 @@ def make_mesh(n_data: Optional[int] = None,
     both axes ride ICI; contiguous device order keeps the model axis on
     nearest neighbors.
     """
-    n = len(jax.devices())
+    devices = jax.devices()
+    n = len(devices)
     if n_data is None or n_model is None:
         n_model = min(4, n)
         while n % n_model:
             n_model //= 2
         n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
-    return jax.make_mesh((n_data, n_model), (DATA_AXIS, MODEL_AXIS))
+    need = n_data * n_model
+    assert need <= n, (n_data, n_model, n)
+    return jax.make_mesh((n_data, n_model), (DATA_AXIS, MODEL_AXIS),
+                         devices=devices[:need])

@@ -91,7 +91,7 @@ def test_native_matches_python_parser(tmp_path):
     b = rng.randint(0, 1000, 5000)
     p = tmp_path / "big.txt"
     p.write_text("# hdr\n" + "\n".join(f"{x}\t{y}" for x, y in zip(a, b)))
-    n1, u1, v1 = load_snap_edges(str(p))
+    n1, u1, v1 = load_snap_edges(str(p), use_native="never")
     un, vn = native.snap_parse(str(p))
     n2, u2, v2 = renumber_dedup_shuffle(un, vn)
     assert n1 == n2

@@ -90,3 +90,26 @@ def test_sharded_device_sampling():
     assert np.isfinite([p0, p1]).all() and p1 < p0
     pi = np.asarray(lrn.state.pi)[: cfg.N]
     np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+
+
+def test_model_sharding_is_semantically_invisible():
+    """Golden cross-mesh equivalence (the sharding analog of the
+    reference's cross-mode kernel tests): with the data axis fixed at 1,
+    every RNG key law is identical, so a (1,8)-mesh run must reproduce
+    the (1,1)-mesh trajectory to fp tolerance — the gather-psum row
+    fetch and all_gather write-back must be exact no-ops semantically."""
+    cfg, graph, split = make_pair(seed=55)
+    a = ShardedLearner(cfg, graph, split, make_mesh(1, 1))
+    b = ShardedLearner(cfg, graph, split, make_mesh(1, 8))
+    a.run(30)
+    b.run(30)
+    n = cfg.N
+    np.testing.assert_allclose(np.asarray(a.state.pi)[:n],
+                               np.asarray(b.state.pi)[:n],
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.state.theta),
+                               np.asarray(b.state.theta),
+                               rtol=2e-4, atol=1e-7)
+    pa = a.heldout_perplexity()
+    pb = b.heldout_perplexity()
+    np.testing.assert_allclose(pa, pb, rtol=1e-4)
