@@ -51,8 +51,9 @@ class RefRngState(NamedTuple):
     across steps exactly like the checkpointed rand->base_ arrays.
     """
 
-    phi: jnp.ndarray    # [max_batch_nodes, 4] uint32
-    beta: jnp.ndarray   # [K, 4] uint32
+    phi: jnp.ndarray       # [max_batch_nodes, 4] uint32
+    beta: jnp.ndarray      # [K, 4] uint32
+    neighbor: jnp.ndarray  # [max_batch_nodes, 4] uint32 (sample.cc:56)
 
 
 class TrainState(NamedTuple):
@@ -169,6 +170,8 @@ def init_state(cfg: Config, heldout_size: int,
         ref_seeds = RefRngState(
             phi=ref.make_seeds(cfg.phi_seed, cfg.max_batch_nodes),
             beta=ref.make_seeds(cfg.beta_seed, cfg.K),
+            neighbor=ref.make_seeds(cfg.neighbor_seed,
+                                    cfg.max_batch_nodes),
         )
     else:
         root = native_rng.key_from_seed((cfg.init_seed & 0xFFFFFFFF,
@@ -209,16 +212,25 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     """One SGRLD step: neighbor sampling + phi/pi update + theta/beta
     update. Pure; jit/scan/shard_map compatible."""
     step = state.step_count
+    ref_seeds = state.ref_seeds
 
-    # 1. device neighbor sampling (sample.cc:13-78's role)
-    k_nbr = jax.random.fold_in(state.neighbor_key, step)
-    neighbors = sample_neighbors(
-        k_nbr, batch.nodes, cfg.N, cfg.num_node_sample
-    )
+    # 1. device neighbor sampling (sample.cc:13-78)
+    if cfg.rng_backend == RngBackend.REFERENCE:
+        # exact reference algorithm: per-lane xorshift streams +
+        # open-addressing hash dedup, bit-exact draw discipline
+        from mcmc_ammsb_tpu.rng import reference as ref
+        neighbors, nbr_seeds = ref.sample_neighbors_reference(
+            ref_seeds.neighbor, batch.nodes, cfg.N,
+            cfg.num_node_sample, batch.node_mask)
+        ref_seeds = ref_seeds._replace(neighbor=nbr_seeds)
+    else:
+        k_nbr = jax.random.fold_in(state.neighbor_key, step)
+        neighbors = sample_neighbors(
+            k_nbr, batch.nodes, cfg.N, cfg.num_node_sample
+        )
 
     # 2. phi/pi update (phi.cc:76-175)
     b = batch.nodes.shape[0]
-    ref_seeds = state.ref_seeds
     if cfg.phi_disable_noise:
         phi_noise = jnp.ones((b, cfg.K), state.pi.dtype)
     elif cfg.rng_backend == RngBackend.REFERENCE:

@@ -296,3 +296,95 @@ def rand_gamma(seeds, a: float, b: float, mask=None):
 
     seeds, _, res = jax.lax.while_loop(cond, body, (seeds, done, res))
     return f_boost * jnp.float32(b) * res, seeds
+
+
+# ---------------------------------------------------------------------------
+# Reference neighbor sampler (mcmc/sample.cc:13-78): per-lane open-
+# addressing dedup hash with the exact draw discipline of
+# generate_random_int_kernel — each lane keeps drawing randints
+# (redrawing on r == node and on duplicates detected by the hash probe)
+# until `num` distinct ids are inserted; the packed output is in HASH-
+# SLOT order, not draw order, capacity = 2*num, probe stride
+# 1 + (capacity << 1), h1 = (r ^ 553105253) % capacity.
+# ---------------------------------------------------------------------------
+
+_NBR_H1_XOR = 553105253
+
+
+def sample_neighbors_reference(seeds, nodes, num_nodes: int, num: int,
+                               mask=None):
+    """Draw `num` distinct neighbors != node per lane, reference
+    semantics and bit-exact stream consumption. Returns
+    (packed [B, num] int32, seeds')."""
+    b = nodes.shape[0]
+    capacity = 2 * num
+    sentinel = jnp.int32(num_nodes)
+    stride = _U32(1 + (capacity << 1))
+    cap = _U32(capacity)
+    if mask is None:
+        mask = jnp.ones((b,), jnp.bool_)
+    lanes = jnp.arange(b, dtype=jnp.int32)
+    out0 = jnp.full((b, capacity), sentinel, jnp.int32)
+
+    def insert_one(carry, _):
+        seeds, out = carry
+        done = ~mask
+
+        def draw_cond(c):
+            return jnp.any(~c[3])
+
+        def draw_body(c):
+            seeds, out, _, done = c
+            active = ~done
+            r, seeds = randint(seeds, 0, num_nodes - 1, active)
+
+            # inner do-while: redraw while r == node
+            def rcond(rc):
+                r2, _ = rc
+                return jnp.any(active & (r2 == nodes))
+
+            def rbody(rc):
+                r2, s2 = rc
+                redraw = active & (r2 == nodes)
+                r3, s2 = randint(s2, 0, num_nodes - 1, redraw)
+                return jnp.where(redraw, r3, r2), s2
+
+            r, seeds = jax.lax.while_loop(rcond, rbody, (r, seeds))
+
+            # probe until duplicate (redraw) or empty slot (insert)
+            l1 = (r.astype(_U32) ^ _U32(_NBR_H1_XOR)) % cap
+
+            def pcond(pc):
+                _, _, resolved, _ = pc
+                return jnp.any(active & ~resolved)
+
+            def pbody(pc):
+                i, out2, resolved, dup = pc
+                offset = ((l1 + i.astype(_U32) * stride) % cap
+                          ).astype(jnp.int32)
+                val = out2[lanes, offset]
+                is_dup = active & ~resolved & (val == r)
+                can_ins = active & ~resolved & (val == sentinel)
+                row = jnp.where(can_ins, lanes, b)
+                out2 = out2.at[row, offset].set(r, mode="drop")
+                return (i + 1, out2, resolved | is_dup | can_ins,
+                        dup | is_dup)
+
+            zero = jnp.zeros((b,), jnp.int32)
+            false = jnp.zeros((b,), jnp.bool_)
+            _, out, resolved, dup = jax.lax.while_loop(
+                pcond, pbody, (zero, out, false, false))
+            done = done | (active & ~dup)   # inserted lanes finish
+            return seeds, out, r, done
+
+        seeds, out, _, _ = jax.lax.while_loop(
+            draw_cond, draw_body,
+            (seeds, out, jnp.zeros((b,), jnp.int32), done))
+        return (seeds, out), None
+
+    (seeds, out), _ = jax.lax.scan(insert_one, (seeds, out0), None,
+                                   length=num)
+    # compact: first `num` non-sentinel entries in slot order
+    order = jnp.argsort(out == sentinel, axis=1, stable=True)
+    packed = jnp.take_along_axis(out, order, axis=1)[:, :num]
+    return packed, seeds

@@ -172,3 +172,71 @@ def test_learner_with_reference_backend():
     np.testing.assert_array_equal(np.asarray(a.state.pi),
                                   np.asarray(b.state.pi))
     a.close(); b.close()
+
+
+def _nbr_oracle(state, node, n, num):
+    """numpy oracle of generate_random_int_kernel (sample.cc:13-78)."""
+    x, y = np.uint64(state[0]), np.uint64(state[1])
+    capacity = 2 * num
+
+    def rand():
+        nonlocal x, y
+        with np.errstate(over="ignore"):
+            s1, s0 = x, y
+            x = s0
+            s1 ^= np.uint64((int(s1) << 23) & 0xFFFFFFFFFFFFFFFF)
+            y = s1 ^ s0 ^ (s1 >> np.uint64(17)) ^ (s0 >> np.uint64(26))
+            return np.uint64((int(y) + int(s0)) & 0xFFFFFFFFFFFFFFFF)
+
+    out = [n] * capacity
+    stride = 1 + (capacity << 1)
+    for _ in range(num):
+        while True:
+            while True:
+                r = int(rand() % np.uint64(n))
+                if r != node:
+                    break
+            l1 = (r ^ 553105253) % capacity
+            val = None
+            i = 0
+            while True:
+                off = (l1 + i * stride) % capacity
+                val = out[off]
+                if val == r:
+                    break
+                if val == n:
+                    out[off] = r
+                    break
+                i += 1
+            if val != r:
+                break
+    packed = [v for v in out if v != n][:num]
+    return packed, (int(x), int(y))
+
+
+def test_neighbor_sampler_reference_bit_exact():
+    """The reference neighbor sampler (hash-dedup, slot-order packing)
+    must match a per-lane numpy oracle bit for bit, including stream
+    positions after the call."""
+    n, num, b = 97, 4, 6
+    base = (123456789, 987654321)
+    seeds = ref.make_seeds(base, b)
+    nodes = jnp.asarray([3, 10, 50, 96, 0, 7], jnp.int32)
+    packed, seeds2 = jax.jit(
+        lambda s, nd: ref.sample_neighbors_reference(s, nd, n, num)
+    )(seeds, nodes)
+    packed = np.asarray(packed)
+    seeds2 = np.asarray(seeds2)
+    for lane in range(b):
+        want, (wx, wy) = _nbr_oracle(
+            (base[0] + lane, base[1] + lane), int(nodes[lane]), n, num)
+        assert packed[lane].tolist() == want, (lane, packed[lane], want)
+        gx = (int(seeds2[lane, 0]) << 32) | int(seeds2[lane, 1])
+        gy = (int(seeds2[lane, 2]) << 32) | int(seeds2[lane, 3])
+        assert (gx, gy) == (wx, wy), lane
+    # invariants
+    for lane in range(b):
+        row = packed[lane]
+        assert len(set(row.tolist())) == num
+        assert int(nodes[lane]) not in row
+        assert row.min() >= 0 and row.max() < n
