@@ -84,10 +84,12 @@ def main():
                       steps_per_call=200)
         cfg2 = cfg2.finalize(n2, split2.total_edges, graph2.max_fan_out)
         l2 = Learner(cfg2, graph2, split2)
-        ppx_start = l2.heldout_perplexity()
-        l2.run(6000)
-        ppx_end = l2.heldout_perplexity()
-        l2.close()
+        try:
+            ppx_start = l2.heldout_perplexity()
+            l2.run(6000)
+            ppx_end = l2.heldout_perplexity()
+        finally:
+            l2.close()
         print(f"# SBM convergence: ppx {ppx_start:.3f} -> {ppx_end:.3f} "
               f"after 6000 steps ({time.time()-t0:.1f}s)",
               file=sys.stderr)

@@ -264,8 +264,14 @@ int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
       while (p < end && *p >= '0' && *p <= '9') x = x * 10 + (*p++ - '0');
       vals[got++] = x;
     }
-    while (p < end && *p != '\n') ++p;  // rest of line
-    if (got != 2 || vals[0] == vals[1]) continue;
+    // strict: a non-comment line must be exactly two non-negative ints
+    // (numpy's loadtxt raises on malformed lines; so do we, via -3)
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    if (got != 2 || (p < end && *p != '\n')) {
+      while (p < end && *p != '\n') ++p;  // position is irrelevant now
+      return -3;
+    }
+    if (vals[0] == vals[1]) continue;
     if (cap > 0) {
       if (count >= cap) return -2;
       out_u[count] = std::min(vals[0], vals[1]);

@@ -68,6 +68,9 @@ class MultiChainLearner:
     def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
                  num_chains: int):
         assert num_chains >= 1
+        if len(split.heldout_edges_u) == 0:
+            raise ValueError("no held-out edges: heldout_ratio too small "
+                             "for this graph")
         if not cfg.device_sampling:
             cfg = cfg.replace(device_sampling=True)
         self.cfg = cfg

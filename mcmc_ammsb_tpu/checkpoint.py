@@ -31,7 +31,7 @@ from mcmc_ammsb_tpu.config import (Config, EdgeSetBackend, PhiImpl,
                                    RngBackend, SampleStrategy)
 from mcmc_ammsb_tpu.learner import Learner, TrainState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: RefRngState gained the neighbor stream array
 
 
 def _config_to_json(cfg: Config) -> dict:
@@ -95,7 +95,11 @@ def load_checkpoint(path: str, learner: Learner) -> Learner:
     z = np.load(path, allow_pickle=False)
     manifest = json.loads(bytes(z["manifest"]).decode())
     if manifest["format_version"] != _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {manifest['format_version']}")
+        raise ValueError(
+            f"checkpoint format {manifest['format_version']} != "
+            f"{_FORMAT_VERSION}: the state leaf layout changed (v2 added "
+            "the reference-backend neighbor RNG stream); re-train or "
+            "migrate the checkpoint")
     saved_cfg = _config_from_json(manifest["config"])
     if saved_cfg.K != learner.cfg.K or saved_cfg.N != learner.cfg.N:
         raise ValueError("checkpoint geometry mismatch")

@@ -156,6 +156,10 @@ class Config:
 
     def finalize(self, N: int, E: int, max_fan_out: int) -> "Config":
         """Bind dataset geometry; resolve alpha=0 -> 1/K."""
+        if self.num_node_sample >= N:
+            raise ValueError(
+                f"num_node_sample={self.num_node_sample} must be < N={N} "
+                "(cannot draw that many distinct neighbors)")
         return dataclasses.replace(
             self,
             N=int(N),

@@ -92,13 +92,19 @@ def load_snap_edges(
     gzip files and toolchain-less hosts use the numpy path. Both are
     cross-checked by tests (test_native.py).
     """
-    if use_native != "never" and not path.endswith(".gz"):
-        from mcmc_ammsb_tpu import native
-        if native.available():
-            a, b = native.snap_parse(path)
-            return renumber_dedup_shuffle(a, b, shuffle_seed)
-        if use_native == "always":
-            raise RuntimeError("native parser requested but unavailable")
+    if use_native != "never":
+        if path.endswith(".gz"):
+            if use_native == "always":
+                raise RuntimeError("native parser does not read gzip; "
+                                   "decompress first or use the numpy path")
+        else:
+            from mcmc_ammsb_tpu import native
+            if native.available():
+                a, b = native.snap_parse(path)
+                return renumber_dedup_shuffle(a, b, shuffle_seed)
+            if use_native == "always":
+                raise RuntimeError("native parser requested but "
+                                   "unavailable")
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         text = f.read()

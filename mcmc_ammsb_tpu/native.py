@@ -151,12 +151,17 @@ def snap_parse(path: str) -> Tuple[np.ndarray, np.ndarray]:
     dedup happen vectorized in data.renumber_dedup_shuffle)."""
     lib = _load()
     assert lib is not None, "native parser unavailable"
-    count = lib.snap_parse(path.encode(), 0, None, None)
-    if count < 0:
-        raise IOError(f"snap_parse failed: rc={count}")
+    reasons = {-1: "cannot read file", -2: "edge count changed between "
+               "passes", -3: "malformed line (expected two ints)"}
+
+    def check(rc):
+        if rc < 0:
+            raise IOError(f"snap_parse({path}) failed: "
+                          f"{reasons.get(rc, f'rc={rc}')}")
+        return rc
+
+    count = check(lib.snap_parse(path.encode(), 0, None, None))
     u = np.empty(count, np.int64)
     v = np.empty(count, np.int64)
-    got = lib.snap_parse(path.encode(), count, _ptr(u), _ptr(v))
-    if got < 0:
-        raise IOError(f"snap_parse failed: rc={got}")
+    got = check(lib.snap_parse(path.encode(), count, _ptr(u), _ptr(v)))
     return u[:got], v[:got]

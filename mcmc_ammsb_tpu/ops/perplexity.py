@@ -65,6 +65,9 @@ def perplexity_core(
     path, which pads the held-out population to the mesh and reduces
     partial sums with psum). Padding lanes are excluded from every sum
     and keep their running-average state unchanged."""
+    if pi_u.shape[-2] == 0:
+        raise ValueError("empty held-out population: heldout_ratio too "
+                         "small for this graph")
     eps = cfg.epsilon
     pp = pi_u * pi_v                                        # [H, K]
     pi_sum = jnp.sum(pp, axis=-1)                           # [H]

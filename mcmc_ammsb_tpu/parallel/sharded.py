@@ -310,6 +310,9 @@ class ShardedLearner:
 
         # heldout eval population padded to the data axis
         h = len(split.heldout_edges_u)
+        if h == 0:
+            raise ValueError("no held-out edges: heldout_ratio too small "
+                             "for this graph")
         h_pad = _round_up(h, n_data)
         eu = np.zeros(h_pad, np.int32); eu[:h] = split.heldout_edges_u
         ev = np.zeros(h_pad, np.int32); ev[:h] = split.heldout_edges_v

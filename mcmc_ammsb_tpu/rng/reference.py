@@ -316,6 +316,11 @@ def sample_neighbors_reference(seeds, nodes, num_nodes: int, num: int,
     """Draw `num` distinct neighbors != node per lane, reference
     semantics and bit-exact stream consumption. Returns
     (packed [B, num] int32, seeds')."""
+    if num >= num_nodes:
+        raise ValueError(
+            f"cannot draw {num} distinct neighbors != node from a "
+            f"{num_nodes}-node graph (the reference kernel would spin "
+            "forever here too)")
     b = nodes.shape[0]
     capacity = 2 * num
     sentinel = jnp.int32(num_nodes)

@@ -6,7 +6,7 @@ import jax
 import numpy as np
 import pytest
 
-from mcmc_ammsb_tpu.config import Config, SampleStrategy
+from mcmc_ammsb_tpu.config import Config, PhiImpl, RngBackend, SampleStrategy
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.learner import Learner
 from mcmc_ammsb_tpu.sampling import MiniBatchSampler
@@ -160,11 +160,8 @@ def test_empty_heldout_guard():
 
 
 @pytest.mark.parametrize("cfg_kw", [
-    {"steps_per_call": 4, "rng_backend": __import__(
-        "mcmc_ammsb_tpu.config", fromlist=["RngBackend"]
-     ).RngBackend.REFERENCE},
-    {"steps_per_call": 4, "K": 128, "phi_impl": __import__(
-        "mcmc_ammsb_tpu.config", fromlist=["PhiImpl"]).PhiImpl.PALLAS},
+    {"steps_per_call": 4, "rng_backend": RngBackend.REFERENCE},
+    {"steps_per_call": 4, "K": 128, "phi_impl": PhiImpl.PALLAS},
 ])
 def test_scan_in_loop_body_paths(cfg_kw):
     """The scan's in-loop body branch (reference RNG backend / pallas

@@ -97,3 +97,33 @@ def test_native_matches_python_parser(tmp_path):
     assert n1 == n2
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_native_snap_parse_rejects_malformed(tmp_path, setup):
+    """Strict parse: a non-comment line that is not two ints raises
+    (parity with numpy's loadtxt on the fallback path)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("1,2\n3,4\n")
+    with pytest.raises(IOError, match="malformed"):
+        native.snap_parse(str(p))
+    p2 = tmp_path / "bad2.txt"
+    p2.write_text("1 2\n3\n")
+    with pytest.raises(IOError, match="malformed"):
+        native.snap_parse(str(p2))
+    p3 = tmp_path / "neg.txt"
+    p3.write_text("1 2\n-3 4\n")
+    with pytest.raises(IOError, match="malformed"):
+        native.snap_parse(str(p3))
+
+
+def test_gz_always_native_raises(tmp_path):
+    from mcmc_ammsb_tpu.data import load_snap_edges
+    import gzip as _gz
+    p = tmp_path / "g.txt.gz"
+    with _gz.open(p, "wt") as f:
+        f.write("1 2\n")
+    with pytest.raises(RuntimeError, match="gzip"):
+        load_snap_edges(str(p), use_native="always")
+    # numpy path still reads it
+    n, u, v = load_snap_edges(str(p), use_native="auto")
+    assert n == 2 and len(u) == 1

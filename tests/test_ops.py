@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mcmc_ammsb_tpu.config import EdgeSetBackend
+from mcmc_ammsb_tpu.config import Config, EdgeSetBackend
 from mcmc_ammsb_tpu.ops import beta as beta_ops
 from mcmc_ammsb_tpu.ops import perplexity as ppx_ops
 from mcmc_ammsb_tpu.ops import phi as phi_ops
@@ -180,3 +180,12 @@ def test_row_sort():
         x = rng.rand(5, cols).astype(np.float32)
         got = np.asarray(row_sort(jnp.asarray(x)))
         np.testing.assert_allclose(got, np.sort(x, axis=-1), rtol=1e-6)
+
+
+def test_perplexity_rejects_empty_population():
+    from mcmc_ammsb_tpu.ops.perplexity import perplexity_core
+    cfg = Config(K=4, num_node_sample=4).finalize(10, 20, 5)
+    z = jnp.zeros((0, 4))
+    with pytest.raises(ValueError, match="held-out"):
+        perplexity_core(cfg, z, z, jnp.zeros(0, bool), jnp.zeros(0, bool),
+                        jnp.ones(4), jnp.zeros(0), jnp.int32(1))

@@ -240,3 +240,12 @@ def test_neighbor_sampler_reference_bit_exact():
         assert len(set(row.tolist())) == num
         assert int(nodes[lane]) not in row
         assert row.min() >= 0 and row.max() < n
+
+
+def test_neighbor_sampler_rejects_impossible_draw():
+    """num >= num_nodes would spin the device while_loop forever; the
+    wrapper must refuse at trace time."""
+    seeds = ref.make_seeds((1, 2), 2)
+    nodes = jnp.asarray([0, 1], jnp.int32)
+    with pytest.raises(ValueError, match="distinct"):
+        ref.sample_neighbors_reference(seeds, nodes, 4, 4)

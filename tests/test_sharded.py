@@ -99,7 +99,7 @@ def test_model_sharding_is_semantically_invisible():
     the (1,1)-mesh trajectory to fp tolerance — the gather-psum row
     fetch and all_gather write-back must be exact no-ops semantically."""
     cfg, graph, split = make_pair(seed=55)
-    a = ShardedLearner(cfg, graph, split, make_mesh(1, 1))
+    a = ShardedLearner(cfg, graph, split, make_mesh(1, 1, allow_subset=True))
     b = ShardedLearner(cfg, graph, split, make_mesh(1, 8))
     a.run(30)
     b.run(30)
@@ -113,3 +113,10 @@ def test_model_sharding_is_semantically_invisible():
     pa = a.heldout_perplexity()
     pb = b.heldout_perplexity()
     np.testing.assert_allclose(pa, pb, rtol=1e-4)
+
+
+def test_make_mesh_subset_requires_opt_in():
+    with pytest.raises(ValueError, match="allow_subset"):
+        make_mesh(1, 2)
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(4, 4)
