@@ -56,6 +56,7 @@ class EdgeSetBackend(enum.Enum):
     CSR = "csr"          # binary search inside the node's sorted CSR row
     SORTED = "sorted"    # lexicographic binary search over all sorted edges
     CUCKOO = "cuckoo"    # reference cuckoo layout (2 buckets x 4 slots)
+    PERFECT = "perfect"  # CHD perfect hash: 2 dependent gathers per query
 
 
 class RngBackend(enum.Enum):

@@ -4,10 +4,13 @@ The reference keeps an O(E) static cuckoo hash set with an O(1) 2-probe
 device lookup reading 8 random uint64 slots per query
 (/root/reference/mcmc/cuckoo.cc:28-69). Random 8-slot probing is a poor
 fit for the TPU memory system; the TPU-native primary backend is a
-**vectorized binary search inside the query node's sorted CSR row**
-(log2(max_degree) gather rounds, branch-free, identical lanes), with a
-globally-sorted-edge-array backend and a faithful cuckoo-layout backend
-behind the same API for comparison (SURVEY.md §2 #6-7, §7.3).
+**CHD perfect hash** (2 dependent gathers per query; see the perfect-
+backend section below), with a vectorized CSR-row binary search
+(log2(max_degree) gather rounds, branch-free), a globally-sorted-edge-
+array backend, and a faithful cuckoo-layout backend behind the same API
+for comparison (SURVEY.md §2 #6-7, §7.3). Measured membership cost on
+the benchmark query block: perfect 38 us/step, cuckoo 167, csr 199,
+sorted 1841 (docs/design.md).
 
 All backends are pytrees of device arrays; ``has_edges`` is jit-/vmap-
 compatible and shape-polymorphic in the query batch. Everything is 32-bit:
@@ -33,6 +36,28 @@ _CUCKOO_P1 = 15485807
 _CUCKOO_P2 = 920429591
 _EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# Perfect-hash (CHD) mixing constants. The bucket hash and the slot hash
+# use INDEPENDENT linear bases: at E ~ 1M keys, any scheme deriving both
+# hashes from one shared 32-bit intermediate suffers ~E^2/2^33 birthday
+# collisions of that intermediate, which collide BOTH hashes and make
+# construction fail for every seed (measured: 133 such pairs on the
+# com-DBLP-scale benchmark graph).
+_PH_C1 = np.uint32(0x9E3779B1)
+_PH_C2 = np.uint32(0x85EBCA77)
+_PH_C3 = np.uint32(0x2545F491)
+_PH_C4 = np.uint32(0xC2B2AE35)
+_PH_C5 = np.uint32(0x27D4EB2F)
+
+
+def _fmix32(x):
+    """32-bit avalanche mixer (xor-shift-multiply finalizer); works on
+    numpy and jax uint32 arrays alike."""
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> np.uint32(15))
+    x = x * np.uint32(0x846CA68B)
+    return x ^ (x >> np.uint32(16))
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +71,9 @@ class EdgeSet:
                       slots_v [2, bins, 4] i32) — the reference bucket
                       layout split into 32-bit endpoint planes; empty
                       slots hold (-1, -1). meta['num_bins'] is static.
+    backend 'perfect': arrays = (displacements [NB] i32, table [M, 2]
+                      i32 canonical key pairs, empty = (-1, -1));
+                      meta carries slot_mask/bucket_mask/seed.
     """
 
     backend: str
@@ -81,6 +109,8 @@ class EdgeSet:
             return _sorted_has_edges(self, u, v)
         if self.backend == "cuckoo":
             return _cuckoo_has_edges(self, u, v)
+        if self.backend == "perfect":
+            return _perfect_has_edges(self, u, v)
         raise ValueError(self.backend)
 
 
@@ -224,6 +254,101 @@ def _cuckoo_has_edges(s: EdgeSet, u, v):
 
 
 # ---------------------------------------------------------------------------
+# Perfect-hash backend (CHD / "hash, displace" — Belazzougui, Botelho,
+# Dietzfelbinger 2009): a static two-level scheme built once on the host.
+#   bucket  = fmix32(u*C1 + v*C2 + seed)        & (n_buckets - 1)
+#   slot    = (fmix32(u*C4 + v*C5 + seed^C3) + displacement[bucket]) & (M-1)
+# Lookup is TWO dependent scalar gathers (displacement, then the stored
+# key pair) + branch-free 32-bit hashing — vs ~8 dependent gather rounds
+# for the CSR binary search. Measured 38 us/step vs CSR's 199 us/step on
+# the [200, 64, 32] membership block of the com-DBLP benchmark shape
+# (docs/design.md). Replaces the lookup role of the reference's cuckoo
+# set (mcmc/cuckoo.cc:28-69) with a TPU-friendly 2-probe structure.
+# ---------------------------------------------------------------------------
+
+def _perfect_has_edges(s: EdgeSet, u, v):
+    d_arr, table = s.arrays
+    meta = dict(s.meta)
+    mask = np.uint32(meta["slot_mask"])
+    bmask = np.uint32(meta["bucket_mask"])
+    seed = np.uint32(meta["seed"])
+    cu = jnp.minimum(u, v).astype(jnp.uint32)
+    cv = jnp.maximum(u, v).astype(jnp.uint32)
+    b = (_fmix32(cu * _PH_C1 + cv * _PH_C2 + seed) & bmask).astype(jnp.int32)
+    h2 = _fmix32(cu * _PH_C4 + cv * _PH_C5 + (seed ^ _PH_C3)) & mask
+    d = d_arr[b].astype(jnp.uint32)
+    slot = ((h2 + d) & mask).astype(jnp.int32)
+    pair = table[slot]                                     # [..., 2]
+    return ((pair[..., 0] == cu.astype(jnp.int32))
+            & (pair[..., 1] == cv.astype(jnp.int32)))
+
+
+def _build_perfect_host(u: np.ndarray, v: np.ndarray, seed: int = 1):
+    """CHD construction: greedy displacement search, largest buckets
+    first. Load factor <= ~0.53 (M = next pow2 of E/0.8) keeps the
+    expected trials per bucket small; power-of-two table/bucket counts
+    turn every mod into a bitwise AND on device. Retries with fresh
+    hash seeds on the (rare, ~e^-1-probability) within-bucket slot-hash
+    collision. Returns (displacements, table[M,2], slot_mask,
+    bucket_mask, seed)."""
+    E = len(u)
+    u = np.asarray(u, np.int64)
+    v = np.asarray(v, np.int64)
+    M = 1 << int(np.ceil(np.log2(max(2, E / 0.8))))
+    NB = 1 << max(0, int(np.ceil(np.log2(max(1, E // 4)))))
+    with np.errstate(over="ignore"):
+        cu = u.astype(np.uint32)
+        cv = v.astype(np.uint32)
+        for attempt in range(16):
+            s = np.uint32((seed + attempt * 0x9E3779B9) & 0xFFFFFFFF)
+            b = (_fmix32(cu * _PH_C1 + cv * _PH_C2 + s)
+                 & np.uint32(NB - 1)).astype(np.int64)
+            h2 = (_fmix32(cu * _PH_C4 + cv * _PH_C5 + (s ^ _PH_C3))
+                  & np.uint32(M - 1)).astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            bs, h2s = b[order], h2[order]
+            starts = np.searchsorted(bs, np.arange(NB))
+            ends = np.searchsorted(bs, np.arange(NB), side="right")
+            sizes = ends - starts
+            bucket_order = np.argsort(-sizes, kind="stable")
+            taken = np.zeros(M, bool)
+            d_arr = np.zeros(NB, np.int32)
+            slot_of = np.empty(E, np.int64)
+            ok = True
+            mask = M - 1
+            trial_block = np.arange(64)
+            for bi in bucket_order:
+                k = sizes[bi]
+                if k == 0:
+                    continue
+                hs = h2s[starts[bi]:ends[bi]]
+                if len(np.unique(hs)) != int(k):
+                    ok = False          # same slot for every displacement
+                    break
+                found = -1
+                for dbase in range(0, 1 << 16, 64):
+                    cand = (hs[None, :] + (trial_block + dbase)[:, None]) & mask
+                    good = np.nonzero(~taken[cand].any(axis=1))[0]
+                    if len(good):
+                        found = dbase + int(good[0])
+                        slots = cand[good[0]]
+                        break
+                if found < 0:
+                    ok = False
+                    break
+                d_arr[bi] = found
+                taken[slots] = True
+                slot_of[starts[bi]:ends[bi]] = slots
+            if ok:
+                table = np.full((M, 2), -1, np.int32)
+                table[slot_of, 0] = u[order]
+                table[slot_of, 1] = v[order]
+                return d_arr, table, M - 1, NB - 1, int(s)
+    raise RuntimeError(
+        f"perfect-hash build failed after 16 seeds (E={E}, M={M})")
+
+
+# ---------------------------------------------------------------------------
 # Builders (host side, numpy)
 # ---------------------------------------------------------------------------
 
@@ -258,6 +383,14 @@ def build_edge_set(
         return EdgeSet(
             "cuckoo", num_nodes, 1, (("num_bins", num_bins),),
             (jnp.asarray(slots_u), jnp.asarray(slots_v)),
+        )
+    if backend == EdgeSetBackend.PERFECT:
+        d_arr, table, slot_mask, bucket_mask, seed = _build_perfect_host(u, v)
+        return EdgeSet(
+            "perfect", num_nodes, 1,
+            (("slot_mask", slot_mask), ("bucket_mask", bucket_mask),
+             ("seed", seed)),
+            (jnp.asarray(d_arr), jnp.asarray(table)),
         )
     raise ValueError(backend)
 

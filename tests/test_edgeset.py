@@ -11,7 +11,8 @@ from mcmc_ammsb_tpu.data import synthetic_edges
 from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
 from mcmc_ammsb_tpu.types import pack_edges
 
-BACKENDS = [EdgeSetBackend.CSR, EdgeSetBackend.SORTED, EdgeSetBackend.CUCKOO]
+BACKENDS = [EdgeSetBackend.CSR, EdgeSetBackend.SORTED, EdgeSetBackend.CUCKOO,
+            EdgeSetBackend.PERFECT]
 
 
 @pytest.fixture(scope="module")
