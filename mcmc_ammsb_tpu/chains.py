@@ -83,6 +83,8 @@ class MultiChainLearner:
             cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
         self.heldout_u = jnp.asarray(split.heldout_edges_u)
         self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.adjacency = (jnp.asarray(graph.offsets, jnp.int32),
+                          jnp.asarray(graph.cols, jnp.int32))
         self.timers = StageTimers()
 
         # overdispersed starts + independent streams: every per-chain
@@ -108,9 +110,9 @@ class MultiChainLearner:
 
         def make_fused(num_steps):
             return jax.jit(jax.vmap(
-                lambda tr, ho, st: train_steps_fused(cfg, tr, ho, st,
-                                                     num_steps),
-                in_axes=(None, None, 0)), donate_argnums=(2,))
+                lambda tr, ho, adj, st: train_steps_fused(
+                    cfg, tr, ho, st, num_steps, adj),
+                in_axes=(None, None, None, 0)), donate_argnums=(3,))
 
         self._make_fused = make_fused
         self._ppx = jax.jit(jax.vmap(
@@ -128,7 +130,8 @@ class MultiChainLearner:
                     self._fused_fns[take] = self._make_fused(take)
                 with self.timers.stage("device_step"):
                     self.states = self._fused_fns[take](
-                        self.training_set, self.heldout_set, self.states)
+                        self.training_set, self.heldout_set,
+                        self.adjacency, self.states)
                 done += take
             int(self.states.step_count[0])  # fence inside the timer
 

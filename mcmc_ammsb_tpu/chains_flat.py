@@ -71,7 +71,7 @@ def _beta_gradients_chains(cfg: Config, theta, beta, pi_u, pi_v, y, mask):
 
 
 def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
-           heldout_set: EdgeSet, state: ChainState,
+           heldout_set: EdgeSet, adjacency, state: ChainState,
            num_steps: int) -> ChainState:
     """Advance all chains num_steps in one fused program."""
     c = num_chains
@@ -83,7 +83,7 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
     # one batched draw covers every (step, chain) minibatch
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
     ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
-                                   s_len * c)
+                                   s_len * c, adjacency)
 
     def r(x, cap):
         return x.reshape(s_len, c, cap, *x.shape[2:])
@@ -207,6 +207,8 @@ class FlatChainLearner:
             cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
         self.heldout_u = jnp.asarray(split.heldout_edges_u)
         self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.adjacency = (jnp.asarray(graph.offsets, jnp.int32),
+                          jnp.asarray(graph.cols, jnp.int32))
         self.timers = StageTimers()
 
         h = len(split.heldout_edges_u)
@@ -233,7 +235,7 @@ class FlatChainLearner:
         )
         self._chunk = jax.jit(
             partial(_chunk, cfg, num_chains),
-            static_argnames="num_steps", donate_argnums=(2,))
+            static_argnames="num_steps", donate_argnums=(3,))
         self._ppx = jax.jit(partial(_ppx, cfg, num_chains),
                             donate_argnums=(3,))
 
@@ -245,8 +247,8 @@ class FlatChainLearner:
                 take = min(spc, max_iters - done)
                 with self.timers.stage("device_step"):
                     self.state = self._chunk(
-                        self.training_set, self.heldout_set, self.state,
-                        num_steps=take)
+                        self.training_set, self.heldout_set,
+                        self.adjacency, self.state, num_steps=take)
                 done += take
             int(self.state.step_count)  # fence inside the timer
 

@@ -115,7 +115,7 @@ class Config:
 
     # --- TPU runtime knobs (replace GPU wg/vector knobs) -----------------
     phi_impl: PhiImpl = PhiImpl.JNP
-    edgeset_backend: EdgeSetBackend = EdgeSetBackend.CSR
+    edgeset_backend: EdgeSetBackend = EdgeSetBackend.PERFECT
     rng_backend: RngBackend = RngBackend.NATIVE
     steps_per_call: int = 1          # lax.scan fusion depth of the run loop
     scan_unroll: int = 4             # lax.scan unroll factor (per-step

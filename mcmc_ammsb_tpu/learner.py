@@ -366,15 +366,18 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
 
 def train_step_device_sampled(cfg: Config, edge_set: EdgeSet,
                               heldout_set: EdgeSet,
-                              state: TrainState) -> TrainState:
+                              state: TrainState,
+                              adjacency=None) -> TrainState:
     """One step with the minibatch sampled ON DEVICE — no host data.
 
     The sampling key is derived from (sample_seed, step), so the fused
-    loop stays a pure function of state."""
+    loop stays a pure function of state. ``adjacency`` is the training
+    CSR pair for non-CSR membership backends."""
     from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatch_device
 
     key = jax.random.fold_in(state.sample_key, state.step_count)
-    ds = sample_minibatch_device(cfg, edge_set, heldout_set, key)
+    ds = sample_minibatch_device(cfg, edge_set, heldout_set, key,
+                                 adjacency)
     batch = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
                         ds.nodes, ds.node_mask, ds.weight)
     return train_step(cfg, edge_set, state, batch)
@@ -382,7 +385,7 @@ def train_step_device_sampled(cfg: Config, edge_set: EdgeSet,
 
 def train_steps_fused(cfg: Config, edge_set: EdgeSet,
                       heldout_set: EdgeSet, state: TrainState,
-                      num_steps: int) -> TrainState:
+                      num_steps: int, adjacency=None) -> TrainState:
     """num_steps fully-fused steps (device sampling + update) in ONE
     dispatch — the zero-host-round-trip training loop. Minibatches for
     all steps are drawn in one vectorized block (vmapped device
@@ -391,7 +394,7 @@ def train_steps_fused(cfg: Config, edge_set: EdgeSet,
 
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
     ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
-                                   num_steps)
+                                   num_steps, adjacency)
     batches = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
                           ds.nodes, ds.node_mask, ds.weight)
     return train_steps_scan(cfg, edge_set, state, batches)
@@ -465,6 +468,11 @@ class Learner:
             self.train_ppx_u = self.train_ppx_v = None
             train_ppx_size = 0
         self.state = init_state(cfg, heldout_size, train_ppx_size)
+        # training CSR adjacency for the device samplers (shared with
+        # the CSR edge-set backend; other membership backends need it
+        # passed separately)
+        self.adjacency = (jnp.asarray(graph.offsets, jnp.int32),
+                          jnp.asarray(graph.cols, jnp.int32))
         self.sampler = MiniBatchSampler(cfg, graph, split)
         self._prefetcher: Optional[PrefetchingSampler] = None
         self._use_prefetch = prefetch
@@ -512,7 +520,7 @@ class Learner:
             with self.timers.stage("device_step"):
                 self.state = self._fused_fn(
                     self.training_set, self.heldout_set, self.state,
-                    num_steps=take)
+                    num_steps=take, adjacency=self.adjacency)
             done += take
         self._fence()
 

@@ -22,9 +22,11 @@ chunk's minibatches are drawn in one vectorized block with NO
 while_loop/cond (data-dependent control flow is replaced by a fixed
 number of masked redraw rounds, whose residual failure probability is
 negligible and handled by masking; XLA compiles this orders of
-magnitude faster than a vmapped rejection loop). Requires the CSR
-edge-set backend (its offsets/cols arrays double as the device
-adjacency).
+magnitude faster than a vmapped rejection loop). The link strategies
+need the training graph's CSR adjacency (offsets/cols): with the CSR
+edge-set backend those arrays are reused directly; any other membership
+backend (e.g. the perfect hash) passes them explicitly via
+``adjacency`` — the learners thread their Graph's CSR through.
 """
 
 from __future__ import annotations
@@ -143,11 +145,12 @@ def sample_minibatches_device(
     heldout_set: EdgeSet,
     key: jax.Array,
     s_len: int,
+    adjacency=None,
 ) -> DeviceSamples:
-    """Draw ``s_len`` minibatches (one per scan step) in one block."""
-    if training_set.backend != "csr":
-        raise ValueError("device sampling requires the CSR edge-set "
-                         f"backend, got {training_set.backend!r}")
+    """Draw ``s_len`` minibatches (one per scan step) in one block.
+
+    ``adjacency`` is the training graph's CSR pair (offsets [N+1],
+    cols [2E]); defaults to the CSR edge set's own arrays."""
     if (cfg.strategy != SampleStrategy.NODE_NON_LINK
             and cfg.max_batch_edges < cfg.max_fan_out):
         # the host paths fail loudly on overflow (pad_batch / native
@@ -157,7 +160,17 @@ def sample_minibatches_device(
             f"batch edge capacity {cfg.max_batch_edges} cannot hold the "
             f"max fan-out {cfg.max_fan_out}; NodeLink batches would be "
             "silently truncated")
-    offsets, cols = training_set.arrays
+    if adjacency is not None:
+        offsets, cols = adjacency
+    elif training_set.backend == "csr":
+        offsets, cols = training_set.arrays
+    elif cfg.strategy == SampleStrategy.NODE_NON_LINK:
+        offsets = cols = None       # non-link draws never touch the CSR
+    else:
+        raise ValueError(
+            "device sampling of link strategies with the "
+            f"{training_set.backend!r} edge-set backend needs the "
+            "graph's CSR adjacency passed via `adjacency`")
     k_coin, k_link, k_non = jax.random.split(key, 3)
 
     if cfg.strategy == SampleStrategy.NODE_LINK:
@@ -187,7 +200,9 @@ def sample_minibatches_device(
     return DeviceSamples(eu, ev, mask, nodes, node_mask, weight)
 
 
-def sample_minibatch_device(cfg, training_set, heldout_set, key):
+def sample_minibatch_device(cfg, training_set, heldout_set, key,
+                            adjacency=None):
     """Single-step convenience wrapper (S = 1)."""
-    s = sample_minibatches_device(cfg, training_set, heldout_set, key, 1)
+    s = sample_minibatches_device(cfg, training_set, heldout_set, key, 1,
+                                  adjacency)
     return DeviceSamples(*(x[0] for x in s))

@@ -220,7 +220,8 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
 
 def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
                         num_steps: int, edge_set: EdgeSet,
-                        heldout_set: EdgeSet, state: TrainState):
+                        heldout_set: EdgeSet, adjacency,
+                        state: TrainState):
     """Fully-fused sharded loop: minibatches for the whole chunk are
     drawn ON DEVICE. Every device draws the identical global batch from
     the same key (the sampler is cheap and vectorized — cheaper than a
@@ -231,7 +232,7 @@ def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
     d_idx = jax.lax.axis_index(DATA_AXIS)
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
     ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
-                                   num_steps)
+                                   num_steps, adjacency)
 
     def dslice(x, cap):
         per = cap // n_data
@@ -379,10 +380,10 @@ class ShardedLearner:
                            n_data, num_steps)
             return jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(), self.state_spec),
+                in_specs=(P(), P(), P(), self.state_spec),
                 out_specs=self.state_spec,
                 check_vma=False,
-            ), donate_argnums=(2,))
+            ), donate_argnums=(3,))
 
         self._fused_fns = {}
         self._make_fused = make_fused
@@ -401,6 +402,11 @@ class ShardedLearner:
         ), donate_argnums=(4,))
 
         self.sampler = MiniBatchSampler(cfg, graph, split)
+        # replicated training CSR adjacency for the device samplers
+        self.adjacency = (dev_put(jnp.asarray(graph.offsets, jnp.int32),
+                                  P()),
+                          dev_put(jnp.asarray(graph.cols, jnp.int32),
+                                  P()))
         self.timers = StageTimers()
         self.last_ppx_stats = {}
 
@@ -418,7 +424,7 @@ class ShardedLearner:
                             self._fused_fns[take] = self._make_fused(take)
                         self.state = self._fused_fns[take](
                             self.training_set, self.heldout_set,
-                            self.state)
+                            self.adjacency, self.state)
                     done += take
                     continue
                 with self.timers.stage("sampling"):

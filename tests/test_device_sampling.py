@@ -97,3 +97,22 @@ def test_device_sampling_rejects_bf(setup):
     cfg = _cfg(setup, SampleStrategy.BF)
     with pytest.raises(ValueError, match="host-only"):
         sample_minibatch_device(cfg, tr, ho, jax.random.PRNGKey(0))
+
+
+def test_device_sampling_perfect_backend_with_adjacency(setup):
+    """Non-CSR membership backends supply the graph CSR explicitly;
+    link strategies without it must raise."""
+    import jax.numpy as jnp
+    n, split, graph, _, _ = setup
+    tr = build_edge_set(EdgeSetBackend.PERFECT, n, graph.edges_u,
+                        graph.edges_v)
+    ho = build_edge_set(EdgeSetBackend.PERFECT, n, split.heldout_u,
+                        split.heldout_v)
+    cfg = _cfg(setup, SampleStrategy.NODE)
+    adj = (jnp.asarray(graph.offsets, jnp.int32),
+           jnp.asarray(graph.cols, jnp.int32))
+    ds = jax.jit(lambda k: sample_minibatch_device(cfg, tr, ho, k, adj))(
+        jax.random.PRNGKey(0))
+    assert bool(ds.edge_mask.any())
+    with pytest.raises(ValueError, match="adjacency"):
+        sample_minibatch_device(cfg, tr, ho, jax.random.PRNGKey(0))
