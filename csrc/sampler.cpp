@@ -282,4 +282,94 @@ int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// CHD perfect-hash construction (the native fast path behind
+// mcmc_ammsb_tpu/ops/edgeset.py::_build_perfect_host; hash functions and
+// greedy order match the numpy implementation bit for bit so both paths
+// build identical tables).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t fmix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x7FEB352Du;
+  x ^= x >> 15;
+  x *= 0x846CA68Bu;
+  return x ^ (x >> 16);
+}
+
+// Build displacements for one seed. Returns 0 on success, -5 when this
+// seed cannot place every bucket (caller retries with the next seed).
+// m_slots and n_buckets must be powers of two.
+int64_t chd_build(int64_t n_edges, const int32_t* u, const int32_t* v,
+                  int64_t m_slots, int64_t n_buckets, uint32_t seed,
+                  int32_t* out_d, int64_t* out_slot_of) {
+  const uint32_t kC1 = 0x9E3779B1u, kC2 = 0x85EBCA77u, kC3 = 0x2545F491u;
+  const uint32_t kC4 = 0xC2B2AE35u, kC5 = 0x27D4EB2Fu;
+  const uint32_t bmask = static_cast<uint32_t>(n_buckets - 1);
+  const uint32_t smask = static_cast<uint32_t>(m_slots - 1);
+
+  std::vector<int64_t> bucket(n_edges);
+  std::vector<uint32_t> h2(n_edges);
+  std::vector<int64_t> counts(n_buckets + 1, 0);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    uint32_t cu = static_cast<uint32_t>(u[i]);
+    uint32_t cv = static_cast<uint32_t>(v[i]);
+    bucket[i] = fmix32(cu * kC1 + cv * kC2 + seed) & bmask;
+    h2[i] = fmix32(cu * kC4 + cv * kC5 + (seed ^ kC3)) & smask;
+    ++counts[bucket[i] + 1];
+  }
+  for (int64_t b = 0; b < n_buckets; ++b) counts[b + 1] += counts[b];
+  // stable counting sort of edge indices by bucket (== numpy stable
+  // argsort), so within-bucket order matches the numpy path
+  std::vector<int64_t> by_bucket(n_edges);
+  {
+    std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+    for (int64_t i = 0; i < n_edges; ++i)
+      by_bucket[cursor[bucket[i]]++] = i;
+  }
+  // buckets ordered by size descending, stable (== np.argsort(-sizes))
+  std::vector<int64_t> border(n_buckets);
+  for (int64_t b = 0; b < n_buckets; ++b) border[b] = b;
+  std::stable_sort(border.begin(), border.end(),
+                   [&](int64_t a, int64_t b) {
+                     return (counts[a + 1] - counts[a]) >
+                            (counts[b + 1] - counts[b]);
+                   });
+
+  std::vector<bool> taken(m_slots, false);
+  std::vector<uint32_t> hs;
+  for (int64_t bi_i = 0; bi_i < n_buckets; ++bi_i) {
+    const int64_t b = border[bi_i];
+    const int64_t lo = counts[b], hi = counts[b + 1];
+    const int64_t k = hi - lo;
+    if (k == 0) continue;
+    hs.assign(k, 0);
+    for (int64_t i = 0; i < k; ++i) hs[i] = h2[by_bucket[lo + i]];
+    // duplicate slot hashes inside one bucket can never be displaced
+    // apart; fail this seed
+    for (int64_t i = 0; i < k; ++i)
+      for (int64_t j = i + 1; j < k; ++j)
+        if (hs[i] == hs[j]) return -5;
+    int64_t found = -1;
+    for (int64_t d = 0; d < (1 << 16); ++d) {
+      bool free_row = true;
+      for (int64_t i = 0; i < k; ++i) {
+        if (taken[(hs[i] + static_cast<uint32_t>(d)) & smask]) {
+          free_row = false;
+          break;
+        }
+      }
+      if (free_row) { found = d; break; }
+    }
+    if (found < 0) return -5;
+    out_d[b] = static_cast<int32_t>(found);
+    for (int64_t i = 0; i < k; ++i) {
+      uint32_t slot = (hs[i] + static_cast<uint32_t>(found)) & smask;
+      taken[slot] = true;
+      out_slot_of[by_bucket[lo + i]] = slot;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

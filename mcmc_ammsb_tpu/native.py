@@ -92,6 +92,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.snap_parse.restype = i64
         lib.snap_parse.argtypes = [ctypes.c_char_p, i64,
                                    ctypes.c_void_p, ctypes.c_void_p]
+        lib.chd_build.restype = i64
+        lib.chd_build.argtypes = [
+            i64, ctypes.c_void_p, ctypes.c_void_p,   # edges
+            i64, i64, ctypes.c_uint32,               # M, NB, seed
+            ctypes.c_void_p, ctypes.c_void_p,        # out_d, out_slot_of
+        ]
         _lib = lib
         return _lib
 
@@ -165,3 +171,24 @@ def snap_parse(path: str) -> Tuple[np.ndarray, np.ndarray]:
     v = np.empty(count, np.int64)
     got = check(lib.snap_parse(path.encode(), count, _ptr(u), _ptr(v)))
     return u[:got], v[:got]
+
+
+def chd_build(u: np.ndarray, v: np.ndarray, m_slots: int,
+              n_buckets: int, seed: int):
+    """Native CHD construction for one seed (same greedy + hashes as the
+    numpy path in ops/edgeset.py — identical tables). Returns
+    (displacements [NB] i32, slot_of [E] i64) or None when this seed
+    fails (caller retries with the next one)."""
+    lib = _load()
+    assert lib is not None, "native chd_build unavailable"
+    u = np.ascontiguousarray(u, np.int32)
+    v = np.ascontiguousarray(v, np.int32)
+    d = np.zeros(n_buckets, np.int32)
+    slot_of = np.empty(len(u), np.int64)
+    rc = lib.chd_build(len(u), _ptr(u), _ptr(v), m_slots, n_buckets,
+                       np.uint32(seed), _ptr(d), _ptr(slot_of))
+    if rc == -5:
+        return None
+    if rc != 0:
+        raise IOError(f"chd_build failed: rc={rc}")
+    return d, slot_of

@@ -283,67 +283,87 @@ def _perfect_has_edges(s: EdgeSet, u, v):
             & (pair[..., 1] == cv.astype(jnp.int32)))
 
 
+def _chd_attempt_numpy(cu, cv, M: int, NB: int, s: np.uint32):
+    """One construction attempt in vectorized numpy (fallback when the
+    native extension is unavailable). Returns (d_arr, slot_of in
+    original edge order) or None when this seed fails."""
+    E = len(cu)
+    b = (_fmix32(cu * _PH_C1 + cv * _PH_C2 + s)
+         & np.uint32(NB - 1)).astype(np.int64)
+    h2 = (_fmix32(cu * _PH_C4 + cv * _PH_C5 + (s ^ _PH_C3))
+          & np.uint32(M - 1)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    bs, h2s = b[order], h2[order]
+    starts = np.searchsorted(bs, np.arange(NB))
+    ends = np.searchsorted(bs, np.arange(NB), side="right")
+    sizes = ends - starts
+    bucket_order = np.argsort(-sizes, kind="stable")
+    taken = np.zeros(M, bool)
+    d_arr = np.zeros(NB, np.int32)
+    slot_sorted = np.empty(E, np.int64)
+    mask = M - 1
+    trial_block = np.arange(64)
+    for bi in bucket_order:
+        k = sizes[bi]
+        if k == 0:
+            continue
+        hs = h2s[starts[bi]:ends[bi]]
+        if len(np.unique(hs)) != int(k):
+            return None             # same slot for every displacement
+        found = -1
+        for dbase in range(0, 1 << 16, 64):
+            cand = (hs[None, :] + (trial_block + dbase)[:, None]) & mask
+            good = np.nonzero(~taken[cand].any(axis=1))[0]
+            if len(good):
+                found = dbase + int(good[0])
+                slots = cand[good[0]]
+                break
+        if found < 0:
+            return None
+        d_arr[bi] = found
+        taken[slots] = True
+        slot_sorted[starts[bi]:ends[bi]] = slots
+    slot_of = np.empty(E, np.int64)
+    slot_of[order] = slot_sorted
+    return d_arr, slot_of
+
+
 def _build_perfect_host(u: np.ndarray, v: np.ndarray, seed: int = 1):
     """CHD construction: greedy displacement search, largest buckets
     first. Load factor <= ~0.53 (M = next pow2 of E/0.8) keeps the
     expected trials per bucket small; power-of-two table/bucket counts
     turn every mod into a bitwise AND on device. Retries with fresh
     hash seeds on the (rare, ~e^-1-probability) within-bucket slot-hash
-    collision. Returns (displacements, table[M,2], slot_mask,
-    bucket_mask, seed)."""
+    collision. The construction runs in the C++ extension when built
+    (csrc/sampler.cpp::chd_build — same greedy and hashes, identical
+    tables; ~50x faster at millions of edges), with this module's
+    numpy implementation as the fallback. Returns (displacements,
+    table[M,2], slot_mask, bucket_mask, seed)."""
+    from mcmc_ammsb_tpu import native
+
     E = len(u)
     u = np.asarray(u, np.int64)
     v = np.asarray(v, np.int64)
     M = 1 << int(np.ceil(np.log2(max(2, E / 0.8))))
     NB = 1 << max(0, int(np.ceil(np.log2(max(1, E // 4)))))
+    use_native = native.available()
     with np.errstate(over="ignore"):
         cu = u.astype(np.uint32)
         cv = v.astype(np.uint32)
         for attempt in range(16):
             s = np.uint32((seed + attempt * 0x9E3779B9) & 0xFFFFFFFF)
-            b = (_fmix32(cu * _PH_C1 + cv * _PH_C2 + s)
-                 & np.uint32(NB - 1)).astype(np.int64)
-            h2 = (_fmix32(cu * _PH_C4 + cv * _PH_C5 + (s ^ _PH_C3))
-                  & np.uint32(M - 1)).astype(np.int64)
-            order = np.argsort(b, kind="stable")
-            bs, h2s = b[order], h2[order]
-            starts = np.searchsorted(bs, np.arange(NB))
-            ends = np.searchsorted(bs, np.arange(NB), side="right")
-            sizes = ends - starts
-            bucket_order = np.argsort(-sizes, kind="stable")
-            taken = np.zeros(M, bool)
-            d_arr = np.zeros(NB, np.int32)
-            slot_of = np.empty(E, np.int64)
-            ok = True
-            mask = M - 1
-            trial_block = np.arange(64)
-            for bi in bucket_order:
-                k = sizes[bi]
-                if k == 0:
-                    continue
-                hs = h2s[starts[bi]:ends[bi]]
-                if len(np.unique(hs)) != int(k):
-                    ok = False          # same slot for every displacement
-                    break
-                found = -1
-                for dbase in range(0, 1 << 16, 64):
-                    cand = (hs[None, :] + (trial_block + dbase)[:, None]) & mask
-                    good = np.nonzero(~taken[cand].any(axis=1))[0]
-                    if len(good):
-                        found = dbase + int(good[0])
-                        slots = cand[good[0]]
-                        break
-                if found < 0:
-                    ok = False
-                    break
-                d_arr[bi] = found
-                taken[slots] = True
-                slot_of[starts[bi]:ends[bi]] = slots
-            if ok:
-                table = np.full((M, 2), -1, np.int32)
-                table[slot_of, 0] = u[order]
-                table[slot_of, 1] = v[order]
-                return d_arr, table, M - 1, NB - 1, int(s)
+            if use_native:
+                res = native.chd_build(
+                    u.astype(np.int32), v.astype(np.int32), M, NB, int(s))
+            else:
+                res = _chd_attempt_numpy(cu, cv, M, NB, s)
+            if res is None:
+                continue
+            d_arr, slot_of = res
+            table = np.full((M, 2), -1, np.int32)
+            table[slot_of, 0] = u
+            table[slot_of, 1] = v
+            return d_arr, table, M - 1, NB - 1, int(s)
     raise RuntimeError(
         f"perfect-hash build failed after 16 seeds (E={E}, M={M})")
 

@@ -127,3 +127,30 @@ def test_gz_always_native_raises(tmp_path):
     # numpy path still reads it
     n, u, v = load_snap_edges(str(p), use_native="auto")
     assert n == 2 and len(u) == 1
+
+
+def test_native_chd_build_matches_numpy(setup):
+    """Native and numpy CHD constructions must produce identical tables
+    (same greedy order, same hashes)."""
+    import numpy as np
+    from mcmc_ammsb_tpu.ops import edgeset as es
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 3000, 20000)
+    b = rng.randint(0, 3000, 20000)
+    keep = a != b
+    u = np.minimum(a, b)[keep].astype(np.int64)
+    v = np.maximum(a, b)[keep].astype(np.int64)
+    pk = np.unique(u * 3000 + v)
+    u, v = (pk // 3000).astype(np.int32), (pk % 3000).astype(np.int32)
+    E = len(u)
+    M = 1 << int(np.ceil(np.log2(max(2, E / 0.8))))
+    NB = 1 << max(0, int(np.ceil(np.log2(max(1, E // 4)))))
+    with np.errstate(over="ignore"):
+        seed = np.uint32(1)
+        got = native.chd_build(u, v, M, NB, int(seed))
+        want = es._chd_attempt_numpy(u.astype(np.uint32),
+                                     v.astype(np.uint32), M, NB, seed)
+    assert (got is None) == (want is None)
+    if got is not None:
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
