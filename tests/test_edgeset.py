@@ -3,6 +3,7 @@
 checked on both host structure and device lookup)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -62,3 +63,17 @@ def test_empty_rows_negative():
     got = np.asarray(es.has_edges(
         np.array([5, 0, 9], np.int32), np.array([6, 1, 0], np.int32)))
     np.testing.assert_array_equal(got, [False, True, False])
+
+
+def test_perfect_empty_and_singleton():
+    """Degenerate sizes: empty table answers all-False; a single edge
+    is found in both query orders."""
+    es = build_edge_set(EdgeSetBackend.PERFECT, 10,
+                        np.array([], np.int32), np.array([], np.int32))
+    r = np.asarray(es.has_edges(jnp.asarray([1, 2]), jnp.asarray([3, 4])))
+    assert not r.any()
+    es = build_edge_set(EdgeSetBackend.PERFECT, 10,
+                        np.array([2], np.int32), np.array([7], np.int32))
+    r = np.asarray(es.has_edges(jnp.asarray([7, 2, 0]),
+                                jnp.asarray([2, 7, 1])))
+    assert r.tolist() == [True, True, False]
