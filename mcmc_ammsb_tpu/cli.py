@@ -194,6 +194,12 @@ def main(argv=None) -> int:
         i += step
         if not signaled["flag"]:
             log.info("ppx[%d] = %s", i, learner.heldout_perplexity())
+            st = learner.last_ppx_stats
+            # per-eval link/non-link diagnostics (the reference logs the
+            # same quadruple every ppx call, perplexity.cc:269-272)
+            log.info("  links: %d (ll %.4f)  non-links: %d (ll %.4f)",
+                     st["link_count"], st["link_likelihood"],
+                     st["non_link_count"], st["non_link_likelihood"])
             if cfg.calc_train_ppx:
                 log.info("train_ppx[%d] = %s", i,
                          learner.training_perplexity())
