@@ -173,3 +173,23 @@ def test_scan_in_loop_body_paths(cfg_kw):
     assert int(learner.state.step_count) == 13
     assert np.isfinite([p0, p1]).all()
     learner.close()
+
+
+def test_edgeset_backends_trajectory_identical():
+    """Membership backends answer identical queries, so full training
+    trajectories must be bit-identical across them — pins the perfect
+    hash as a pure drop-in for the CSR search."""
+    from mcmc_ammsb_tpu.config import EdgeSetBackend
+
+    a, _ = make_learner({"steps_per_call": 5,
+                         "edgeset_backend": EdgeSetBackend.CSR})
+    b, _ = make_learner({"steps_per_call": 5,
+                         "edgeset_backend": EdgeSetBackend.PERFECT})
+    a.run(20); b.run(20)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    np.testing.assert_array_equal(np.asarray(a.state.beta),
+                                  np.asarray(b.state.beta))
+    pa = a.heldout_perplexity(); pb = b.heldout_perplexity()
+    assert pa == pb
+    a.close(); b.close()
