@@ -308,15 +308,23 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
     Trajectories are bit-identical to the step-at-a-time path (asserted
     by tests/test_learner.py::test_scan_matches_single_steps).
     """
-    if cfg.rng_backend != RngBackend.NATIVE or cfg.phi_impl == PhiImpl.PALLAS:
-        # reference backend: noise streams are stateful; pallas phi:
-        # the kernel gathers per step — both keep the in-loop body
+    if cfg.rng_backend != RngBackend.NATIVE:
+        # reference backend: noise streams are stateful per step, so
+        # nothing is hoistable — keep the in-loop body
         def body_ref(s, batch):
             return train_step(cfg, edge_set, s, batch), None
 
         state, _ = jax.lax.scan(body_ref, state, batches,
                                 unroll=cfg.scan_unroll)
         return state
+
+    if cfg.phi_impl == PhiImpl.PALLAS:
+        from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_core_pallas
+
+        def phi_core(*a):
+            return phi_update_core_pallas(*a)
+    else:
+        phi_core = phi_ops.phi_update_core
 
     s_len, b = batches.nodes.shape
     steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
@@ -343,7 +351,7 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
         pi_n = s.pi[batch.nodes]
         phis = s.phi_sum[batch.nodes]
         pi_nb = s.pi[nbrs]
-        rows, sums = phi_ops.phi_update_core(
+        rows, sums = phi_core(
             cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
         pi, phi_sum = phi_ops.scatter_rows(
             s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)

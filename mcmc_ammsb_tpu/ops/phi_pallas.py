@@ -240,8 +240,34 @@ def phi_update_rows_pallas(
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas phi update; same contract as ops.phi.phi_update_rows."""
-    b = nodes.shape[0]
-    k = pi.shape[1]
+    if pi.shape[1] % 128 != 0:
+        raise ValueError("pallas phi kernel requires K % 128 == 0, "
+                         f"got {pi.shape[1]}")
+    # XLA-side gathers + membership; the kernel fuses everything after
+    pi_n = pi[nodes]                                       # [B, K]
+    pi_nb = pi[neighbors]                                  # [B, n, K]
+    y = edge_set.has_edges(nodes[:, None], neighbors)
+    phis = phi_sum[nodes]                                  # [B]
+    return phi_update_core_pallas(cfg, pi_n, phis, pi_nb, y, beta,
+                                  step_count, noise, interpret)
+
+
+def phi_update_core_pallas(
+    cfg: Config,
+    pi_n: jnp.ndarray,       # [B, K] gathered pi rows
+    phis: jnp.ndarray,       # [B] gathered phi sums
+    pi_nb: jnp.ndarray,      # [B, n, K] gathered neighbor rows
+    y: jnp.ndarray,          # [B, n] bool edge labels
+    beta: jnp.ndarray,       # [K]
+    step_count: jnp.ndarray,
+    noise: jnp.ndarray,      # [B, K]
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Kernel on pre-gathered rows — same contract as
+    ops.phi.phi_update_core, so the hoisted scan (learner.
+    train_steps_scan) can route through the streaming kernel instead
+    of the jnp elementwise chain without giving up hoisting."""
+    b, k = pi_n.shape
     nn = cfg.num_node_sample
     if k % 128 != 0:
         raise ValueError(f"pallas phi kernel requires K % 128 == 0, got {k}")
@@ -251,12 +277,9 @@ def phi_update_rows_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # XLA-side gathers + membership; the kernel fuses everything after
-    pi_n = pi[nodes]                                       # [B, K]
-    pi_nb = pi[neighbors]                                  # [B, n, K]
-    y = edge_set.has_edges(nodes[:, None], neighbors).astype(pi.dtype)
-    phi_b = phi_sum[nodes][:, None]                        # [B, 1]
-    eps_t = jnp.asarray(cfg.eps_t(step_count), pi.dtype).reshape(1)
+    y = y.astype(pi_n.dtype)
+    phi_b = phis[:, None]                                  # [B, 1]
+    eps_t = jnp.asarray(cfg.eps_t(step_count), pi_n.dtype).reshape(1)
 
     grid_spec = pl.GridSpec(
         grid=(b // tb,),
@@ -281,7 +304,7 @@ def phi_update_rows_pallas(
 
     phi_new = pl.pallas_call(
         partial(_phi_kernel, cfg),
-        out_shape=jax.ShapeDtypeStruct((b, k), pi.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, k), pi_n.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
