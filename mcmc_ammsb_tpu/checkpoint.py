@@ -29,7 +29,6 @@ import numpy as np
 
 from mcmc_ammsb_tpu.config import (Config, EdgeSetBackend, PhiImpl,
                                    RngBackend, SampleStrategy)
-from mcmc_ammsb_tpu.learner import Learner, TrainState
 
 _FORMAT_VERSION = 2  # v2: RefRngState gained the neighbor stream array
 
@@ -55,26 +54,34 @@ def _config_from_json(d: dict) -> Config:
     return Config(**d)
 
 
-def save_checkpoint(path: str, learner: Learner) -> None:
+def save_checkpoint(path: str, learner) -> None:
     """Full-fidelity checkpoint: state pytree + config + the complete
     host-sampling position — the numpy RNG state, the native sampler's
     chunk counter, and any produced-but-unconsumed prefetched batches
     (the in-flight pipeline state; the reference serializes its
-    pipelined minibatch identically, learner.cc:307-315)."""
+    pipelined minibatch identically, learner.cc:307-315).
+
+    Accepts any learner with (cfg, state, timers): Learner,
+    parallel.ShardedLearner, and the device-sampling chain engines
+    (which have no host sampler — their sampling position is the
+    sample_key inside the state pytree)."""
     pending = (learner.drain_sampling()
                if hasattr(learner, "drain_sampling") else [])
+    sampler = getattr(learner, "sampler", None)
     leaves, treedef = jax.tree_util.tree_flatten(learner.state)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     manifest = {
         "format_version": _FORMAT_VERSION,
         "config": _config_to_json(learner.cfg),
+        "learner": type(learner).__name__,
+        "num_chains": getattr(learner, "num_chains", None),
         "num_leaves": len(leaves),
         "timers": {k: v for k, v in learner.timers.seconds.items()},
         "timer_calls": {k: v for k, v in learner.timers.calls.items()},
-        "native_call_count": getattr(learner.sampler,
-                                     "_native_call_count", 0),
+        "native_call_count": getattr(sampler, "_native_call_count", 0),
     }
-    sampler_rng = pickle.dumps(learner.sampler.rng.get_state())
+    sampler_rng = pickle.dumps(
+        sampler.rng.get_state() if sampler is not None else None)
     pending_blob = pickle.dumps(pending)
     np.savez_compressed(
         path,
@@ -85,7 +92,7 @@ def save_checkpoint(path: str, learner: Learner) -> None:
     )
 
 
-def load_checkpoint(path: str, learner: Learner) -> Learner:
+def load_checkpoint(path: str, learner):
     """Restore state into an already-constructed learner (same dataset).
 
     The graph/split/edge-sets are rebuilt from data (the reference
@@ -103,10 +110,20 @@ def load_checkpoint(path: str, learner: Learner) -> Learner:
     saved_cfg = _config_from_json(manifest["config"])
     if saved_cfg.K != learner.cfg.K or saved_cfg.N != learner.cfg.N:
         raise ValueError("checkpoint geometry mismatch")
+    saved_chains = manifest.get("num_chains")
+    if saved_chains != getattr(learner, "num_chains", None):
+        raise ValueError(
+            f"checkpoint geometry mismatch: num_chains {saved_chains} "
+            f"!= {getattr(learner, 'num_chains', None)}")
     _, treedef = jax.tree_util.tree_flatten(learner.state)
+    ref_leaves = jax.tree_util.tree_leaves(learner.state)
+    if manifest["num_leaves"] != len(ref_leaves):
+        raise ValueError(
+            f"checkpoint has {manifest['num_leaves']} state leaves, "
+            f"learner expects {len(ref_leaves)} (different learner "
+            f"class or config: saved by {manifest.get('learner')})")
     leaves = [z[f"leaf_{i}"] for i in range(manifest["num_leaves"])]
     # restore key dtypes exactly (uint32 key arrays)
-    ref_leaves = jax.tree_util.tree_leaves(learner.state)
     leaves = [jnp.asarray(l, r.dtype) for l, r in zip(leaves, ref_leaves)]
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     if hasattr(learner, "state_spec") and hasattr(learner, "mesh"):
@@ -118,9 +135,12 @@ def load_checkpoint(path: str, learner: Learner) -> Learner:
                 x, NamedSharding(learner.mesh, spec)),
             state, learner.state_spec)
     learner.state = state
-    learner.sampler.rng.set_state(pickle.loads(bytes(z["sampler_rng"])))
-    learner.sampler._native_call_count = int(
-        manifest.get("native_call_count", 0))
+    sampler = getattr(learner, "sampler", None)
+    sampler_rng = pickle.loads(bytes(z["sampler_rng"]))
+    if sampler is not None and sampler_rng is not None:
+        sampler.rng.set_state(sampler_rng)
+        sampler._native_call_count = int(
+            manifest.get("native_call_count", 0))
     if "pending" in z and hasattr(learner, "_pending"):
         learner._pending = pickle.loads(bytes(z["pending"]))
     for k, v in manifest.get("timers", {}).items():

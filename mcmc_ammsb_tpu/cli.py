@@ -77,6 +77,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-chains", type=int, default=1,
                    help="run C independent MCMC chains in one fused "
                         "program (implies --device-sampling)")
+    p.add_argument("--chain-engine", choices=["flat", "vmap"],
+                   default="flat",
+                   help="multi-chain engine: 'flat' shares one row "
+                        "space (fast scatter path); 'vmap' batches a "
+                        "chain axis (measured slower; kept for "
+                        "cross-checks)")
+    p.add_argument("--mesh", type=str, default="", metavar="DATA,MODEL",
+                   help="train multi-chip: shard pi rows over MODEL "
+                        "devices and the minibatch over DATA devices "
+                        "of a (DATA, MODEL) jax device mesh")
     # dataset cache (main.cc:77-80)
     p.add_argument("--dump-data", action="store_true")
     p.add_argument("--dump-file", type=str, default="")
@@ -125,6 +135,12 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     log.info(" ".join(sys.argv if argv is None else argv))
 
+    # device/backend echo (ChooseDevice parity, main.cc:17-20,94-96)
+    import jax
+    devices = jax.devices()
+    log.info("backend %s: %d device(s), first = %s",
+             jax.default_backend(), len(devices), devices[0].device_kind)
+
     # --- dataset ----------------------------------------------------------
     if args.load_data:
         if not args.load_file:
@@ -166,8 +182,20 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, handler)
 
     if args.num_chains > 1:
-        from mcmc_ammsb_tpu.chains import MultiChainLearner
-        chains = MultiChainLearner(cfg, graph, split, args.num_chains)
+        if args.chain_engine == "flat":
+            # the fast engine: one shared row space, plain 1-D scatters
+            # (the vmap engine's batched scatter lowers poorly on TPU —
+            # docs/design.md)
+            from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
+            chains = FlatChainLearner(cfg, graph, split, args.num_chains)
+        else:
+            from mcmc_ammsb_tpu.chains import MultiChainLearner
+            chains = MultiChainLearner(cfg, graph, split, args.num_chains)
+        if args.restore:
+            from mcmc_ammsb_tpu.checkpoint import load_checkpoint
+            load_checkpoint(args.restore, chains)
+            log.info("restored checkpoint %s (step=%d)", args.restore,
+                     int(chains.state.step_count))
         log.info("ppx[0] = %s", chains.heldout_perplexity())
         i = 0
         while i < args.max_iters and not signaled["flag"]:
@@ -176,10 +204,24 @@ def main(argv=None) -> int:
             i += step
             if not signaled["flag"]:
                 log.info("ppx[%d] = %s", i, chains.heldout_perplexity())
+        if signaled["flag"]:
+            log.info("FORCED TERMINATE")
         chains.timers.print_table(lambda s: log.info("%s", s))
+        if args.checkpoint:
+            from mcmc_ammsb_tpu.checkpoint import save_checkpoint
+            save_checkpoint(args.checkpoint, chains)
+            log.info("checkpoint saved to %s", args.checkpoint)
         return 0
 
-    learner = Learner(cfg, graph, split)
+    if args.mesh:
+        from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+        n_data, n_model = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data, n_model)
+        log.info("mesh: data=%d model=%d (pi rows sharded %d-way)",
+                 n_data, n_model, n_model)
+        learner = ShardedLearner(cfg, graph, split, mesh)
+    else:
+        learner = Learner(cfg, graph, split)
     if args.restore:
         from mcmc_ammsb_tpu.checkpoint import load_checkpoint
         load_checkpoint(args.restore, learner)
@@ -206,7 +248,7 @@ def main(argv=None) -> int:
     if signaled["flag"]:
         log.info("FORCED TERMINATE")
     learner.print_stats(lambda s: log.info("%s", s))
-    if args.profile:
+    if args.profile and hasattr(learner, "print_stage_profile"):
         learner.print_stage_profile(lambda s: log.info("%s", s))
     if args.checkpoint:
         from mcmc_ammsb_tpu.checkpoint import save_checkpoint

@@ -445,7 +445,56 @@ def training_perplexity_step(
 # Orchestration
 # ---------------------------------------------------------------------------
 
-class Learner:
+class HostSamplingPipeline:
+    """Host minibatch prefetch pipeline + checkpointable in-flight state.
+
+    The MCMC_SAMPLE_PARALLEL analog (/root/reference/mcmc/learner.cc:
+    216-246): a producer thread draws batches ahead of device compute;
+    produced-but-unconsumed batches are drainable into a pending list
+    that checkpoints serialize (learner.cc:307-315) and resumed runs
+    consume first. Shared by Learner and parallel.ShardedLearner.
+    """
+
+    def _init_pipeline(self, sampler: MiniBatchSampler,
+                       prefetch: bool) -> None:
+        self.sampler = sampler
+        self._prefetcher: Optional[PrefetchingSampler] = None
+        self._use_prefetch = prefetch
+        self._pending = []
+
+    def _get_prefetcher(self, chunk: int) -> PrefetchingSampler:
+        if self._prefetcher is None or self._prefetcher._chunk != chunk:
+            if self._prefetcher is not None:
+                # keep already-drawn batches (stream position) intact
+                self._pending.extend(self._prefetcher.drain())
+            self._prefetcher = PrefetchingSampler(
+                self.sampler, depth=2, chunk=chunk
+            )
+        return self._prefetcher
+
+    def _next_pending(self, want_cls):
+        """Pop a checkpoint-restored in-flight batch, if type-compatible
+        with the current run mode."""
+        if self._pending and isinstance(self._pending[0], want_cls):
+            return self._pending.pop(0)
+        return None
+
+    def drain_sampling(self):
+        """Quiesce the prefetch pipeline; any produced-but-unconsumed
+        batches move to the pending list (checkpointable in-flight
+        state)."""
+        if self._prefetcher is not None:
+            self._pending.extend(self._prefetcher.drain())
+            self._prefetcher = None
+        return self._pending
+
+    def close(self) -> None:
+        if self._prefetcher is not None:
+            self._prefetcher.close()
+            self._prefetcher = None
+
+
+class Learner(HostSamplingPipeline):
     """Owns config, graph structures, device state, and compiled programs.
 
     The single-device orchestrator (multi-chip: parallel/sharded.py).
@@ -481,13 +530,7 @@ class Learner:
         # passed separately)
         self.adjacency = (jnp.asarray(graph.offsets, jnp.int32),
                           jnp.asarray(graph.cols, jnp.int32))
-        self.sampler = MiniBatchSampler(cfg, graph, split)
-        self._prefetcher: Optional[PrefetchingSampler] = None
-        self._use_prefetch = prefetch
-        # in-flight batches restored from a checkpoint (consumed before
-        # any new sampling; the reference serializes its pipelined
-        # minibatch the same way, learner.cc:307-315)
-        self._pending = []
+        self._init_pipeline(MiniBatchSampler(cfg, graph, split), prefetch)
         self.timers = StageTimers()
         self.last_ppx_stats = {}
 
@@ -532,28 +575,11 @@ class Learner:
             done += take
         self._fence()
 
-    def _get_prefetcher(self, chunk: int) -> PrefetchingSampler:
-        if self._prefetcher is None or self._prefetcher._chunk != chunk:
-            if self._prefetcher is not None:
-                # keep already-drawn batches (stream position) intact
-                self._pending.extend(self._prefetcher.drain())
-            self._prefetcher = PrefetchingSampler(
-                self.sampler, depth=2, chunk=chunk
-            )
-        return self._prefetcher
-
     def _fence(self) -> None:
         """Scalar device->host readback: reliably waits for execution
         even on tunneled backends where block_until_ready can return
         early (docs/design.md)."""
         int(self.state.step_count)
-
-    def _next_pending(self, want_cls):
-        """Pop a checkpoint-restored in-flight batch, if type-compatible
-        with the current run mode."""
-        if self._pending and isinstance(self._pending[0], want_cls):
-            return self._pending.pop(0)
-        return None
 
     def _run_single(self, max_iters: int) -> None:
         src = (self._get_prefetcher(1) if self._use_prefetch else None)
@@ -706,17 +732,3 @@ class Learner:
         for label, key in names:
             v = prof[key]
             log(f"{label:18s}: {v*1e6:9.1f} us (%{100*v/total:5.1f})")
-
-    def drain_sampling(self):
-        """Quiesce the prefetch pipeline; any produced-but-unconsumed
-        batches move to the pending list (checkpointable in-flight
-        state)."""
-        if self._prefetcher is not None:
-            self._pending.extend(self._prefetcher.drain())
-            self._prefetcher = None
-        return self._pending
-
-    def close(self) -> None:
-        if self._prefetcher is not None:
-            self._prefetcher.close()
-            self._prefetcher = None

@@ -79,7 +79,11 @@ def perplexity_core(
     c = avg_count.astype(dtype)
     ppx_new = (ppx_per_edge * (c - 1.0) + lik) / c
     ppx_new = jnp.where(mask, ppx_new, ppx_per_edge)
-    lg = jnp.log(jnp.maximum(ppx_new, 1e-38))
+    # Padding lanes carry ppx_per_edge == 0, and 1e-38 is SUBNORMAL in
+    # fp32: XLA's flush-to-zero turns log(max(0, 1e-38)) into -inf, and
+    # -inf * 0-mask = NaN. Exclude masked lanes with where, not by
+    # multiplying the mask in afterwards.
+    lg = jnp.where(mask, jnp.log(jnp.maximum(ppx_new, 1e-30)), 0.0)
 
     mf = mask.astype(dtype)
     yf = y.astype(dtype) * mf

@@ -43,7 +43,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import DataSplit, Graph
-from mcmc_ammsb_tpu.learner import (DeviceBatch, TrainState, init_state)
+from mcmc_ammsb_tpu.learner import (DeviceBatch, HostSamplingPipeline,
+                                    TrainState, init_state)
 from mcmc_ammsb_tpu.ops import beta as beta_ops
 from mcmc_ammsb_tpu.ops import perplexity as ppx_ops
 from mcmc_ammsb_tpu.ops import phi as phi_ops
@@ -251,24 +252,36 @@ def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
                               batches)
 
 
-def _sharded_ppx_body(cfg: Config, rows_per_shard: int,
-                      heldout_set: EdgeSet,
+def _sharded_ppx_body(cfg: Config, rows_per_shard: int, train: bool,
+                      label_set: EdgeSet,
                       eu: jnp.ndarray, ev: jnp.ndarray, mask: jnp.ndarray,
                       state: TrainState):
-    """Per-device perplexity over the local heldout slice."""
-    count = state.ppx_count + 1
+    """Per-device perplexity over a local edge slice.
+
+    ``train=False``: held-out eval (labels from the heldout set, running
+    averages in ppx_per_edge). ``train=True``: training perplexity
+    (labels from the training set, its own running-average state — the
+    MCMC_CALC_TRAIN_PPX population, /root/reference/mcmc/learner.cc:
+    204-212)."""
+    per_edge = state.train_ppx_per_edge if train else state.ppx_per_edge
+    count = (state.train_ppx_count if train else state.ppx_count) + 1
     pi_u = _fetch_rows(state.pi, eu, rows_per_shard)
     pi_v = _fetch_rows(state.pi, ev, rows_per_shard)
-    y = heldout_set.has_edges(eu, ev) & mask
+    y = label_set.has_edges(eu, ev) & mask
     res = ppx_ops.perplexity_core(
-        cfg, pi_u, pi_v, y, mask, state.beta, state.ppx_per_edge, count)
+        cfg, pi_u, pi_v, y, mask, state.beta, per_edge, count)
     link_lik = jax.lax.psum(res.link_likelihood, DATA_AXIS)
     non_link_lik = jax.lax.psum(res.non_link_likelihood, DATA_AXIS)
     link_count = jax.lax.psum(res.link_count, DATA_AXIS)
     non_link_count = jax.lax.psum(res.non_link_count, DATA_AXIS)
     total = (link_count + non_link_count).astype(state.pi.dtype)
     neg_avg = -(link_lik + non_link_lik) / total
-    state = state._replace(ppx_per_edge=res.ppx_per_edge, ppx_count=count)
+    if train:
+        state = state._replace(train_ppx_per_edge=res.ppx_per_edge,
+                               train_ppx_count=count)
+    else:
+        state = state._replace(ppx_per_edge=res.ppx_per_edge,
+                               ppx_count=count)
     return state, ppx_ops.PpxResult(
         res.ppx_per_edge, neg_avg, link_lik, non_link_lik,
         link_count, non_link_count)
@@ -278,7 +291,7 @@ def _sharded_ppx_body(cfg: Config, rows_per_shard: int,
 # Orchestration
 # ---------------------------------------------------------------------------
 
-class ShardedLearner:
+class ShardedLearner(HostSamplingPipeline):
     """Drop-in multi-chip learner: same API as learner.Learner."""
 
     def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
@@ -291,9 +304,12 @@ class ShardedLearner:
         # pad capacities to the data axis; rows to the model axis
         from mcmc_ammsb_tpu.config import RngBackend
         if cfg.rng_backend != RngBackend.NATIVE:
-            # reference per-thread streams are single-device semantics;
-            # the sharded path always runs the native counter RNG
-            cfg = cfg.replace(rng_backend=RngBackend.NATIVE)
+            raise ValueError(
+                "ShardedLearner requires rng_backend=native: the "
+                "reference RNG's per-thread streams are single-device "
+                "semantics (one xorshift128+ state per minibatch lane, "
+                "/root/reference/mcmc/random.cc:31-44) and have no "
+                "meaningful partitioning across a data-sharded batch")
         cfg = cfg.replace(
             batch_edges_cap=_round_up(cfg.max_batch_edges, n_data),
             batch_nodes_cap=_round_up(cfg.max_batch_nodes, n_data),
@@ -319,7 +335,22 @@ class ShardedLearner:
         ev = np.zeros(h_pad, np.int32); ev[:h] = split.heldout_edges_v
         hmask = np.arange(h_pad) < h
 
-        state = init_state(cfg, h_pad)
+        # training-perplexity population (MCMC_CALC_TRAIN_PPX parity,
+        # /root/reference/mcmc/learner.cc:47-75), padded to the data axis
+        if cfg.calc_train_ppx:
+            from mcmc_ammsb_tpu.data import make_training_ppx_edges
+            tu, tv = make_training_ppx_edges(split, cfg.training_ppx_ratio)
+            t = len(tu)
+            t_pad = _round_up(max(t, 1), n_data)
+            teu = np.zeros(t_pad, np.int32); teu[:t] = tu
+            tev = np.zeros(t_pad, np.int32); tev[:t] = tv
+            tmask = np.arange(t_pad) < t
+        else:
+            t_pad = 0
+            teu = tev = np.zeros(0, np.int32)
+            tmask = np.zeros(0, np.bool_)
+
+        state = init_state(cfg, h_pad, t_pad)
         pad_rows = self.n_padded - cfg.N
         if pad_rows:
             state = state._replace(
@@ -339,7 +370,7 @@ class ShardedLearner:
             phi_key=P(), beta_key=P(), neighbor_key=P(),
             ref_seeds=None,  # sharded path uses the native backend
             sample_key=P(),
-            train_ppx_per_edge=P(), train_ppx_count=P(),
+            train_ppx_per_edge=P(DATA_AXIS), train_ppx_count=P(),
         )
         self.batch_spec = DeviceBatch(
             edges_u=P(DATA_AXIS), edges_v=P(DATA_AXIS),
@@ -360,6 +391,14 @@ class ShardedLearner:
         self.heldout_u = dev_put(jnp.asarray(eu), P(DATA_AXIS))
         self.heldout_v = dev_put(jnp.asarray(ev), P(DATA_AXIS))
         self.heldout_mask = dev_put(jnp.asarray(hmask), P(DATA_AXIS))
+        if cfg.calc_train_ppx:
+            self.train_ppx_u = dev_put(jnp.asarray(teu), P(DATA_AXIS))
+            self.train_ppx_v = dev_put(jnp.asarray(tev), P(DATA_AXIS))
+            self.train_ppx_mask = dev_put(jnp.asarray(tmask),
+                                          P(DATA_AXIS))
+        else:
+            self.train_ppx_u = self.train_ppx_v = None
+            self.train_ppx_mask = None
 
         body = partial(_sharded_step_body, cfg, self.rows_per_shard)
         self._step_fn = jax.jit(jax.shard_map(
@@ -388,20 +427,27 @@ class ShardedLearner:
         self._fused_fns = {}
         self._make_fused = make_fused
 
-        ppx_body = partial(_sharded_ppx_body, cfg, self.rows_per_shard)
         ppx_res_spec = ppx_ops.PpxResult(
             ppx_per_edge=P(DATA_AXIS), neg_avg_log=P(),
             link_likelihood=P(), non_link_likelihood=P(),
             link_count=P(), non_link_count=P())
-        self._ppx_fn = jax.jit(jax.shard_map(
-            ppx_body, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                      self.state_spec),
-            out_specs=(self.state_spec, ppx_res_spec),
-            check_vma=False,
-        ), donate_argnums=(4,))
 
-        self.sampler = MiniBatchSampler(cfg, graph, split)
+        def make_ppx_fn(train: bool):
+            body = partial(_sharded_ppx_body, cfg, self.rows_per_shard,
+                           train)
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          self.state_spec),
+                out_specs=(self.state_spec, ppx_res_spec),
+                check_vma=False,
+            ), donate_argnums=(4,))
+
+        self._ppx_fn = make_ppx_fn(train=False)
+        self._train_ppx_fn = (make_ppx_fn(train=True)
+                              if cfg.calc_train_ppx else None)
+
+        self._init_pipeline(MiniBatchSampler(cfg, graph, split), prefetch)
         # replicated training CSR adjacency for the device samplers
         self.adjacency = (dev_put(jnp.asarray(graph.offsets, jnp.int32),
                                   P()),
@@ -415,33 +461,56 @@ class ShardedLearner:
     def run(self, max_iters: int) -> None:
         spc = max(1, self.cfg.steps_per_call)
         with self.timers.stage("total"):
-            done = 0
-            while done < max_iters:
-                take = min(spc, max_iters - done)
-                if self.cfg.device_sampling:
-                    with self.timers.stage("device_step"):
-                        if take not in self._fused_fns:
-                            self._fused_fns[take] = self._make_fused(take)
-                        self.state = self._fused_fns[take](
-                            self.training_set, self.heldout_set,
-                            self.adjacency, self.state)
-                    done += take
-                    continue
-                with self.timers.stage("sampling"):
-                    if take == 1:
-                        batch = DeviceBatch.from_host(self.sampler.sample())
-                    else:
-                        batch = DeviceBatch.from_stacked(
-                            self.sampler.sample_many(take))
-                with self.timers.stage("device_step"):
-                    if take == 1:
-                        self.state = self._step_fn(
-                            self.training_set, self.state, batch)
-                    else:
-                        self.state = self._scan_fn(
-                            self.training_set, self.state, batch)
-                done += take
+            if self.cfg.device_sampling:
+                self._run_fused(max_iters, spc)
+            else:
+                self._run_host_sampled(max_iters, spc)
             int(self.state.step_count)  # fence inside the timer
+
+    def _run_fused(self, max_iters: int, spc: int) -> None:
+        done = 0
+        while done < max_iters:
+            take = min(spc, max_iters - done)
+            with self.timers.stage("device_step"):
+                if take not in self._fused_fns:
+                    self._fused_fns[take] = self._make_fused(take)
+                self.state = self._fused_fns[take](
+                    self.training_set, self.heldout_set,
+                    self.adjacency, self.state)
+            done += take
+
+    def _run_host_sampled(self, max_iters: int, spc: int) -> None:
+        from mcmc_ammsb_tpu.sampling import MiniBatch
+        src = self._get_prefetcher(spc) if self._use_prefetch else None
+        done = 0
+        while done < max_iters:
+            take = min(spc, max_iters - done)
+            with self.timers.stage("sampling"):
+                if spc == 1:
+                    hb = (self._next_pending(MiniBatch)
+                          or (src.get() if src else self.sampler.sample()))
+                    batch = DeviceBatch.from_host(hb)
+                else:
+                    stacked = (self._next_pending(StackedBatches)
+                               or (src.get() if src
+                                   else self.sampler.sample_many(spc)))
+                    if take < spc:  # tail: slice the stacked chunk
+                        stacked = StackedBatches(
+                            *(a[:take] for a in (
+                                stacked.edges_u, stacked.edges_v,
+                                stacked.edge_mask, stacked.nodes,
+                                stacked.node_mask, stacked.weight,
+                            ))
+                        )
+                    batch = DeviceBatch.from_stacked(stacked)
+            with self.timers.stage("device_step"):
+                if spc == 1:
+                    self.state = self._step_fn(
+                        self.training_set, self.state, batch)
+                else:
+                    self.state = self._scan_fn(
+                        self.training_set, self.state, batch)
+            done += take
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):
@@ -452,11 +521,22 @@ class ShardedLearner:
         self.last_ppx_stats = {
             "link_count": int(res.link_count),
             "non_link_count": int(res.non_link_count),
+            "link_likelihood": float(res.link_likelihood),
+            "non_link_likelihood": float(res.non_link_likelihood),
         }
         return value
 
+    def training_perplexity(self) -> float:
+        """Training perplexity over the MCMC_CALC_TRAIN_PPX population
+        (/root/reference/mcmc/learner.cc:204-212); requires
+        cfg.calc_train_ppx."""
+        if not self.cfg.calc_train_ppx:
+            raise RuntimeError("enable cfg.calc_train_ppx")
+        with self.timers.stage("train_ppx"):
+            self.state, res = self._train_ppx_fn(
+                self.training_set, self.train_ppx_u, self.train_ppx_v,
+                self.train_ppx_mask, self.state)
+            return float(jnp.exp(res.neg_avg_log))
+
     def print_stats(self, log=print) -> None:
         self.timers.print_table(log)
-
-    def close(self) -> None:
-        pass

@@ -41,3 +41,45 @@ def test_flat_chains_rows_normalized_and_independent(flat_learner):
     # theta stays per-chain distinct
     th = np.asarray(l.state.theta)
     assert not np.allclose(th[0], th[1])
+
+
+def _fresh_flat(num_chains=2):
+    n, u, v = synthetic_sbm_edges(250, 4, p_in=0.15, p_out=0.005, seed=21)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=22)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                 steps_per_call=5)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    return FlatChainLearner(cfg, graph, split, num_chains=num_chains)
+
+
+def test_flat_chains_checkpoint_bit_exact_resume(tmp_path):
+    """The multi-chain engine checkpoints like the single-chip learner
+    (serialize-test.cc EndToEnd pattern): run, save, run on; restore,
+    run the same steps; trajectories bit-exact per chain."""
+    from mcmc_ammsb_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "flat_ck.npz")
+    a = _fresh_flat()
+    a.run(10)
+    save_checkpoint(path, a)
+    a.run(10)
+    ppx_a = a.heldout_perplexity()
+
+    b = _fresh_flat()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == 11
+    b.run(10)
+    ppx_b = b.heldout_perplexity()
+    np.testing.assert_array_equal(ppx_a, ppx_b)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+
+
+def test_flat_chains_checkpoint_rejects_chain_mismatch(tmp_path):
+    from mcmc_ammsb_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "flat_ck2.npz")
+    save_checkpoint(path, _fresh_flat(num_chains=2))
+    with pytest.raises(ValueError, match="num_chains"):
+        load_checkpoint(path, _fresh_flat(num_chains=3))

@@ -1,0 +1,75 @@
+"""CLI end-to-end tests (the reference's CLI drives 100% of its
+functionality, /root/reference/main.cc — so must ours: single-chip,
+multi-chip mesh, multi-chain, train-ppx, checkpoint flags all reachable
+from the command line). Runs in-process on the 8-device virtual mesh."""
+
+import logging
+
+import pytest
+
+from mcmc_ammsb_tpu import cli
+
+BASE = ["--synthetic", "300,8", "-k", "8", "-m", "8", "-n", "4",
+        "--heldout-ratio", "0.1"]
+
+
+def run_cli(argv, caplog):
+    with caplog.at_level(logging.INFO, logger="mcmc_ammsb_tpu"):
+        rc = cli.main(argv)
+    return rc, caplog.text
+
+
+def test_cli_single_chip(caplog):
+    rc, out = run_cli(BASE + ["-x", "30", "-i", "10",
+                              "--steps-per-call", "5"], caplog)
+    assert rc == 0
+    assert "ppx[0]" in out and "ppx[30]" in out
+    assert "links:" in out  # per-eval diagnostics
+    assert "backend" in out  # ChooseDevice parity line
+
+
+def test_cli_mesh_drives_sharded_learner(caplog):
+    rc, out = run_cli(BASE + ["--mesh", "2,4", "-x", "20", "-i", "10",
+                              "--steps-per-call", "5"], caplog)
+    assert rc == 0
+    assert "mesh: data=2 model=4" in out
+    assert "ppx[20]" in out
+
+
+def test_cli_mesh_train_ppx(caplog):
+    rc, out = run_cli(BASE + ["--mesh", "2,4", "-x", "10", "-i", "10",
+                              "--calc-train-ppx",
+                              "--train-ppx-ratio", "0.1"], caplog)
+    assert rc == 0
+    assert "train_ppx[10]" in out
+
+
+def test_cli_num_chains_uses_flat_engine(caplog):
+    rc, out = run_cli(BASE + ["--num-chains", "2", "-x", "20", "-i",
+                              "10", "--steps-per-call", "5"], caplog)
+    assert rc == 0
+    assert "ppx[20]" in out
+
+
+def test_cli_checkpoint_roundtrip(tmp_path, caplog):
+    ck = str(tmp_path / "cli_ck.npz")
+    rc, _ = run_cli(BASE + ["-x", "10", "-i", "10",
+                            "--checkpoint", ck], caplog)
+    assert rc == 0
+    caplog.clear()
+    rc, out = run_cli(BASE + ["-x", "10", "-i", "10",
+                              "--restore", ck], caplog)
+    assert rc == 0
+    assert "restored checkpoint" in out and "step=11" in out
+
+
+def test_cli_chains_checkpoint_roundtrip(tmp_path, caplog):
+    ck = str(tmp_path / "cli_chains_ck.npz")
+    rc, _ = run_cli(BASE + ["--num-chains", "2", "-x", "10", "-i", "10",
+                            "--checkpoint", ck], caplog)
+    assert rc == 0
+    caplog.clear()
+    rc, out = run_cli(BASE + ["--num-chains", "2", "-x", "10", "-i",
+                              "10", "--restore", ck], caplog)
+    assert rc == 0
+    assert "restored checkpoint" in out and "step=11" in out

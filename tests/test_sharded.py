@@ -120,3 +120,78 @@ def test_make_mesh_subset_requires_opt_in():
         make_mesh(1, 2)
     with pytest.raises(ValueError, match="available"):
         make_mesh(4, 4)
+
+
+def test_sharded_rejects_reference_rng_loudly():
+    """The reference RNG's per-thread streams are single-device
+    semantics; requesting them sharded must error, not silently swap
+    (round-1 behavior)."""
+    from mcmc_ammsb_tpu.config import RngBackend
+    cfg, graph, split = make_pair(
+        cfg_kw={"rng_backend": RngBackend.REFERENCE})
+    with pytest.raises(ValueError, match="native"):
+        ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+
+
+def test_sharded_training_perplexity_matches_single_chip():
+    """Train-ppx parity (learner.cc:204-212): same state, same
+    population -> same value on a mesh as on one chip."""
+    cfg, graph, split = make_pair(
+        cfg_kw={"calc_train_ppx": True, "training_ppx_ratio": 0.2})
+    single = Learner(cfg, graph, split, prefetch=False)
+    sharded = ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+    t_single = single.training_perplexity()
+    t_sharded = sharded.training_perplexity()
+    np.testing.assert_allclose(t_sharded, t_single, rtol=1e-5)
+    # running-average statefulness: second call folds into the first
+    t2_single = single.training_perplexity()
+    t2_sharded = sharded.training_perplexity()
+    np.testing.assert_allclose(t2_sharded, t2_single, rtol=1e-5)
+    single.close(); sharded.close()
+
+
+def test_sharded_ppx_stats_include_likelihoods():
+    cfg, graph, split = make_pair()
+    lrn = ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+    lrn.heldout_perplexity()
+    st = lrn.last_ppx_stats
+    assert {"link_count", "non_link_count", "link_likelihood",
+            "non_link_likelihood"} <= set(st)
+    assert np.isfinite(st["link_likelihood"])
+    lrn.close()
+
+
+def test_sharded_prefetch_resume_bit_exact(tmp_path):
+    """The pipelined sharded configuration must checkpoint its in-flight
+    host batches and resume bit-exactly — the sharded mirror of the
+    single-chip test (reference: learner.cc:307-315)."""
+    from mcmc_ammsb_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from mcmc_ammsb_tpu.config import Config
+
+    def build():
+        n, u, v = synthetic_edges(256, 8, seed=71)
+        split = generate_sets(n, u, v, heldout_ratio=0.1, seed=72)
+        graph = Graph.from_edges(n, split.training_u, split.training_v)
+        cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                     steps_per_call=5, host_sampler="numpy")
+        cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+        return ShardedLearner(cfg, graph, split, make_mesh(2, 4),
+                              prefetch=True)
+
+    path = str(tmp_path / "sharded_prefetch.npz")
+    a = build()
+    a.run(10)
+    save_checkpoint(path, a)
+    assert a._pending  # the drained in-flight chunk was captured
+    a.run(10)
+    ppx_a = a.heldout_perplexity()
+    a.close()
+
+    b = build()
+    load_checkpoint(path, b)
+    b.run(10)
+    ppx_b = b.heldout_perplexity()
+    b.close()
+    assert ppx_a == ppx_b
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
