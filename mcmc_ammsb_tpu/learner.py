@@ -215,19 +215,20 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     ref_seeds = state.ref_seeds
 
     # 1. device neighbor sampling (sample.cc:13-78)
-    if cfg.rng_backend == RngBackend.REFERENCE:
-        # exact reference algorithm: per-lane xorshift streams +
-        # open-addressing hash dedup, bit-exact draw discipline
-        from mcmc_ammsb_tpu.rng import reference as ref
-        neighbors, nbr_seeds = ref.sample_neighbors_reference(
-            ref_seeds.neighbor, batch.nodes, cfg.N,
-            cfg.num_node_sample, batch.node_mask)
-        ref_seeds = ref_seeds._replace(neighbor=nbr_seeds)
-    else:
-        k_nbr = jax.random.fold_in(state.neighbor_key, step)
-        neighbors = sample_neighbors(
-            k_nbr, batch.nodes, cfg.N, cfg.num_node_sample
-        )
+    with jax.named_scope("neighbor_draws"):
+        if cfg.rng_backend == RngBackend.REFERENCE:
+            # exact reference algorithm: per-lane xorshift streams +
+            # open-addressing hash dedup, bit-exact draw discipline
+            from mcmc_ammsb_tpu.rng import reference as ref
+            neighbors, nbr_seeds = ref.sample_neighbors_reference(
+                ref_seeds.neighbor, batch.nodes, cfg.N,
+                cfg.num_node_sample, batch.node_mask)
+            ref_seeds = ref_seeds._replace(neighbor=nbr_seeds)
+        else:
+            k_nbr = jax.random.fold_in(state.neighbor_key, step)
+            neighbors = sample_neighbors(
+                k_nbr, batch.nodes, cfg.N, cfg.num_node_sample
+            )
 
     # 2. phi/pi update (phi.cc:76-175)
     b = batch.nodes.shape[0]
@@ -250,20 +251,23 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
             jax.random.fold_in(state.phi_key, step), (b, cfg.K),
             state.pi.dtype,
         )
-    if cfg.phi_impl == PhiImpl.PALLAS:
-        from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_rows_pallas
-        pi_rows, sums = phi_update_rows_pallas(
-            cfg, state.pi, state.phi_sum, state.beta, edge_set,
-            batch.nodes, neighbors, step, phi_noise,
+    with jax.named_scope("phi_update"):
+        if cfg.phi_impl == PhiImpl.PALLAS:
+            from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_rows_pallas
+            pi_rows, sums = phi_update_rows_pallas(
+                cfg, state.pi, state.phi_sum, state.beta, edge_set,
+                batch.nodes, neighbors, step, phi_noise,
+            )
+        else:
+            pi_rows, sums = phi_ops.phi_update_rows(
+                cfg, state.pi, state.phi_sum, state.beta, edge_set,
+                batch.nodes, neighbors, step, phi_noise,
+            )
+    with jax.named_scope("pi_scatter"):
+        pi, phi_sum = phi_ops.scatter_rows(
+            state.pi, state.phi_sum, batch.nodes, batch.node_mask,
+            pi_rows, sums
         )
-    else:
-        pi_rows, sums = phi_ops.phi_update_rows(
-            cfg, state.pi, state.phi_sum, state.beta, edge_set,
-            batch.nodes, neighbors, step, phi_noise,
-        )
-    pi, phi_sum = phi_ops.scatter_rows(
-        state.pi, state.phi_sum, batch.nodes, batch.node_mask, pi_rows, sums
-    )
 
     # 3. theta/beta update (beta.cc:334-384); reads the *new* pi like the
     # reference (its beta kernels run after update_pi in the same stream)
@@ -280,11 +284,12 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
             jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
             state.pi.dtype,
         )
-    theta, beta = beta_ops.update_beta(
-        cfg, state.theta, state.beta, pi, edge_set,
-        batch.edges_u, batch.edges_v, batch.edge_mask,
-        batch.weight, beta_count, beta_noise,
-    )
+    with jax.named_scope("beta_grads"):
+        theta, beta = beta_ops.update_beta(
+            cfg, state.theta, state.beta, pi, edge_set,
+            batch.edges_u, batch.edges_v, batch.edge_mask,
+            batch.weight, beta_count, beta_noise,
+        )
 
     return state._replace(
         pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
@@ -329,38 +334,47 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
     s_len, b = batches.nodes.shape
     steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
 
-    nbr_keys = jax.vmap(
-        lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
-    neighbors = jax.vmap(
-        lambda k, nd: sample_neighbors(k, nd, cfg.N, cfg.num_node_sample)
-    )(nbr_keys, batches.nodes)                               # [S, B, n]
-    y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
-    if cfg.phi_disable_noise:
-        phi_noise = jnp.ones((s_len, b, cfg.K), state.pi.dtype)
-    else:
-        phi_noise = jax.vmap(lambda s: native_rng.randn(
-            jax.random.fold_in(state.phi_key, s), (b, cfg.K),
-            state.pi.dtype))(steps)                          # [S, B, K]
-    beta_noise = jax.vmap(lambda s: native_rng.randn(
-        jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
-        state.pi.dtype))(steps)                              # [S, K, 2]
-    y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+    with jax.named_scope("neighbor_draws"):
+        nbr_keys = jax.vmap(
+            lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
+        neighbors = jax.vmap(
+            lambda k, nd: sample_neighbors(k, nd, cfg.N,
+                                           cfg.num_node_sample)
+        )(nbr_keys, batches.nodes)                           # [S, B, n]
+    with jax.named_scope("membership"):
+        y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+        y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+    with jax.named_scope("noise"):
+        if cfg.phi_disable_noise:
+            phi_noise = jnp.ones((s_len, b, cfg.K), state.pi.dtype)
+        else:
+            phi_noise = jax.vmap(lambda s: native_rng.randn(
+                jax.random.fold_in(state.phi_key, s), (b, cfg.K),
+                state.pi.dtype))(steps)                      # [S, B, K]
+        beta_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
+            state.pi.dtype))(steps)                          # [S, K, 2]
 
     def body(s: TrainState, xs):
         batch, nbrs, y_n, n_phi, n_beta, y_e = xs
-        pi_n = s.pi[batch.nodes]
-        phis = s.phi_sum[batch.nodes]
-        pi_nb = s.pi[nbrs]
-        rows, sums = phi_core(
-            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
-        pi, phi_sum = phi_ops.scatter_rows(
-            s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
+        with jax.named_scope("pi_gather"):
+            pi_n = s.pi[batch.nodes]
+            phis = s.phi_sum[batch.nodes]
+            pi_nb = s.pi[nbrs]
+        with jax.named_scope("phi_update"):
+            rows, sums = phi_core(
+                cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
+        with jax.named_scope("pi_scatter"):
+            pi, phi_sum = phi_ops.scatter_rows(
+                s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
         beta_count = s.beta_count + 1
-        grads = beta_ops.beta_gradients_core(
-            cfg, s.theta, s.beta, pi[batch.edges_u], pi[batch.edges_v],
-            y_e, batch.edge_mask)
-        theta, beta = beta_ops.theta_step(
-            cfg, s.theta, grads, batch.weight, beta_count, n_beta)
+        with jax.named_scope("beta_grads"):
+            grads = beta_ops.beta_gradients_core(
+                cfg, s.theta, s.beta, pi[batch.edges_u],
+                pi[batch.edges_v], y_e, batch.edge_mask)
+        with jax.named_scope("theta_update"):
+            theta, beta = beta_ops.theta_step(
+                cfg, s.theta, grads, batch.weight, beta_count, n_beta)
         s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
                        step_count=s.step_count + 1, beta_count=beta_count)
         return s, None
@@ -401,8 +415,9 @@ def train_steps_fused(cfg: Config, edge_set: EdgeSet,
     from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
 
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
-    ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
-                                   num_steps, adjacency)
+    with jax.named_scope("device_sampling"):
+        ds = sample_minibatches_device(cfg, edge_set, heldout_set,
+                                       chunk_key, num_steps, adjacency)
     batches = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
                           ds.nodes, ds.node_mask, ds.weight)
     return train_steps_scan(cfg, edge_set, state, batches)
@@ -415,10 +430,11 @@ def heldout_perplexity_step(
 ) -> Tuple[TrainState, ppx_ops.PpxResult]:
     """One perplexity evaluation; updates the running-average state."""
     count = state.ppx_count + 1
-    res = ppx_ops.perplexity_step(
-        cfg, state.pi, state.beta, heldout_set,
-        heldout_u, heldout_v, state.ppx_per_edge, count,
-    )
+    with jax.named_scope("ppx"):
+        res = ppx_ops.perplexity_step(
+            cfg, state.pi, state.beta, heldout_set,
+            heldout_u, heldout_v, state.ppx_per_edge, count,
+        )
     state = state._replace(ppx_per_edge=res.ppx_per_edge, ppx_count=count)
     return state, res
 
@@ -432,10 +448,11 @@ def training_perplexity_step(
     population (learner.cc:204-212); labels come from the training
     set, running averages live in their own state."""
     count = state.train_ppx_count + 1
-    res = ppx_ops.perplexity_step(
-        cfg, state.pi, state.beta, training_set,
-        edges_u, edges_v, state.train_ppx_per_edge, count,
-    )
+    with jax.named_scope("ppx"):
+        res = ppx_ops.perplexity_step(
+            cfg, state.pi, state.beta, training_set,
+            edges_u, edges_v, state.train_ppx_per_edge, count,
+        )
     state = state._replace(train_ppx_per_edge=res.ppx_per_edge,
                            train_ppx_count=count)
     return state, res
@@ -712,11 +729,85 @@ class Learner(HostSamplingPipeline):
               self.heldout_v, state)
         return result
 
-    def print_stage_profile(self, log=print, iters: int = 20) -> None:
+    def _production_hlo_text(self, spc: int) -> str:
+        """Optimized HLO of the current production chunk program — used
+        for op->stage attribution where trace events carry no tf_op
+        scope path (the CPU runtime's thunk events)."""
+        if self.cfg.device_sampling:
+            lowered = self._fused_fn.lower(
+                self.training_set, self.heldout_set, self.state,
+                num_steps=spc, adjacency=self.adjacency)
+        else:
+            # draw example batches WITHOUT advancing the host stream
+            rng_state = self.sampler.rng.get_state()
+            ncc = getattr(self.sampler, "_native_call_count", 0)
+            try:
+                if spc > 1:
+                    batches = DeviceBatch.from_stacked(
+                        self.sampler.sample_many(spc))
+                    lowered = self._scan_fn.lower(
+                        self.training_set, self.state, batches)
+                else:
+                    batch = DeviceBatch.from_host(self.sampler.sample())
+                    lowered = self._step_fn.lower(
+                        self.training_set, self.state, batch)
+            finally:
+                self.sampler.rng.set_state(rng_state)
+                self.sampler._native_call_count = ncc
+        return lowered.compile().as_text()
+
+    def fused_stage_profile(self, iters: Optional[int] = None) -> dict:
+        """TRUE per-stage attribution of the production fused program —
+        the analog of the reference's per-kernel device-event timers
+        (/root/reference/mcmc/learner.cc:252-299): runs a traced
+        production chunk under jax.profiler and aggregates device-op
+        time by the named_scope stages annotated in the step functions.
+        Unlike profile_stages (unfused upper bounds), these shares sum
+        to the measured fused step time."""
+        from mcmc_ammsb_tpu.utils import profiling
+
+        spc = max(1, self.cfg.steps_per_call)
+        iters = iters or max(spc, 200)
+        iters = max(spc, (iters // spc) * spc)
+        self.run(spc)  # compile outside the trace
+        hlo_text = None
+        if jax.default_backend() == "cpu":
+            # CPU thunk events carry only hlo_op names; join through
+            # the compiled module's op_name metadata instead
+            hlo_text = self._production_hlo_text(spc)
+        prof = profiling.profile_trace(lambda: self.run(iters),
+                                       hlo_text=hlo_text)
+        prof["steps"] = iters
+        return prof
+
+    def print_stage_profile(self, log=print,
+                            iters: Optional[int] = None) -> None:
+        """Fused per-stage table from a profiler trace; falls back to
+        the unfused upper-bound table when the trace yields nothing
+        attributable."""
+        from mcmc_ammsb_tpu.utils import profiling
+
+        try:
+            prof = self.fused_stage_profile(iters)
+        except Exception as e:  # pragma: no cover - env-specific
+            log(f"trace profiling unavailable ({e}); "
+                "unfused upper bounds instead:")
+            self.print_unfused_stage_profile(log)
+            return
+        if prof["source"] == "none" or prof["total_op_seconds"] <= 0:
+            log("trace captured no attributable device ops; "
+                "unfused upper bounds instead:")
+            self.print_unfused_stage_profile(log)
+            return
+        profiling.format_stage_table(prof, prof["steps"], log)
+
+    def print_unfused_stage_profile(self, log=print,
+                                    iters: int = 20) -> None:
         """Per-stage table with the reference's stage names
-        (PrintStats, learner.cc:252-299). GRADS PAR/GRADS SUM and
-        UPDATE THETA/NORM THETA are fused pairs here, reported on the
-        line of the first member."""
+        (PrintStats, learner.cc:252-299), timed UNFUSED — upper bounds
+        on each stage's fused cost. GRADS PAR/GRADS SUM and UPDATE
+        THETA/NORM THETA are fused pairs here, reported on the line of
+        the first member."""
         prof = self.profile_stages(iters)
         names = [
             ("SAMPLING (nbr)", "sample_neighbors"),
