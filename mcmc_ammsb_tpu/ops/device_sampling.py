@@ -135,7 +135,15 @@ def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
         eu = jnp.pad(eu, ((0, 0), (0, pad)))
         ev = jnp.pad(ev, ((0, 0), (0, pad)))
         ok = jnp.pad(ok, ((0, 0), (0, pad)))
-    weight = jnp.full((s_len,), 2.0 * cfg.E / m, jnp.float32)
+    # The reference loops until it holds exactly m good non-links and
+    # scales by 2E/m (sample.cc:275-293); here residual bad lanes after
+    # the fixed redraw rounds are masked out, so the minibatch holds
+    # m_eff <= m non-links. Scaling by 2E/m_eff keeps the gradient
+    # estimator unbiased for ANY residual rate: weight * m_eff == 2E
+    # exactly, the invariant the host sampler satisfies by construction
+    # (tested in test_device_sampling.py).
+    m_eff = jnp.sum(ok, axis=-1).astype(jnp.float32)
+    weight = 2.0 * cfg.E / jnp.maximum(m_eff, 1.0)
     return eu, ev, ok, weight
 
 

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Run the BASELINE.md config ladder and write one ppx[i] time-series
+artifact per rung — the reference's primary experiment output
+(/root/reference/main.cc:160-168).
+
+With real SNAP files (scripts/fetch_datasets.py) it runs them; in this
+zero-egress image it substitutes scale-matched synthetic graphs so a
+trajectory artifact exists per rung attempted (flagged "synthetic" in
+the output JSON).
+
+    python scripts/run_ladder.py --out bench_results/ [--data data/]
+    python scripts/run_ladder.py --rungs ca-HepPh com-dblp --iters 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root (package not pip-installed)
+
+# rung -> (dataset file stem, K, synthetic fallback (nodes, avg_deg))
+RUNGS = {
+    "ca-HepPh": ("ca-HepPh.txt", 64, (12_008, 19)),
+    "com-dblp": ("com-dblp.ungraph.txt", 256, (317_080, 7)),
+    "com-youtube": ("com-youtube.ungraph.txt", 1024, (1_134_890, 5)),
+    "com-lj": ("com-lj.ungraph.txt", 4096, (3_997_962, 17)),
+}
+
+
+def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
+             interval: int) -> dict:
+    from mcmc_ammsb_tpu.config import Config, EdgeSetBackend
+    from mcmc_ammsb_tpu.data import (Graph, generate_sets,
+                                     load_snap_edges, synthetic_edges)
+    from mcmc_ammsb_tpu.learner import Learner
+
+    stem, k, (syn_n, syn_deg) = RUNGS[name]
+    path = os.path.join(data_dir, stem)
+    if os.path.exists(path):
+        n, u, v = load_snap_edges(path)
+        source = path
+    else:
+        n, u, v = synthetic_edges(syn_n, syn_deg, seed=1)
+        source = f"synthetic({syn_n},{syn_deg})"
+    split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=k, mini_batch_size=32, num_node_sample=32,
+                 steps_per_call=min(200, interval),
+                 edgeset_backend=EdgeSetBackend.PERFECT)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    print(f"[{name}] {source}: N={cfg.N} E={cfg.E} K={k}",
+          file=sys.stderr)
+
+    learner = Learner(cfg, graph, split)
+    t0 = time.time()
+    series = [{"iter": 0, "ppx": learner.heldout_perplexity(),
+               "seconds": time.time() - t0}]
+    print(f"[{name}] ppx[0] = {series[0]['ppx']:.4f}", file=sys.stderr)
+    i = 0
+    while i < iters:
+        step = min(interval, iters - i)
+        learner.run(step)
+        i += step
+        series.append({"iter": i, "ppx": learner.heldout_perplexity(),
+                       "seconds": time.time() - t0})
+        print(f"[{name}] ppx[{i}] = {series[-1]['ppx']:.4f} "
+              f"({series[-1]['seconds']:.1f}s)", file=sys.stderr)
+    learner.close()
+
+    artifact = {
+        "rung": name, "source": source, "synthetic": source != path,
+        "N": cfg.N, "E": cfg.E, "K": k,
+        "m": cfg.mini_batch_size, "n": cfg.num_node_sample,
+        "iters": iters, "ppx_interval": interval,
+        "series": series,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"ppx_{name}.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[{name}] wrote {out}", file=sys.stderr)
+    return artifact
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data")
+    ap.add_argument("--out", default="bench_results")
+    ap.add_argument("--rungs", nargs="*", default=["ca-HepPh", "com-dblp"])
+    ap.add_argument("--iters", type=int, default=10_000)
+    ap.add_argument("--interval", type=int, default=1_000)
+    args = ap.parse_args()
+    for name in args.rungs:
+        run_rung(name, args.data, args.out, args.iters, args.interval)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

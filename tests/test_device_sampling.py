@@ -74,8 +74,44 @@ def test_device_node_non_link(setup):
         assert len(set(keys.tolist())) == ne
         assert not any(int(k) in training or int(k) in heldout
                        for k in keys)
-        assert np.isclose(float(ds.weight),
-                          2.0 * cfg.E / cfg.mini_batch_size)
+        # masked-count-aware scale: weight * m_eff == 2E exactly, the
+        # invariant the host sampler satisfies with exactly m draws
+        assert np.isclose(float(ds.weight) * ne, 2.0 * cfg.E)
+
+
+def test_device_non_link_weight_unbiased_under_collisions():
+    """Statistical bound on the residual-mask bias
+    (/root/reference/mcmc/sample.cc:275-293 semantics): on a DENSE graph
+    where redraw collisions are common, the effective minibatch m_eff
+    may fall below m — the weight must scale to 2E/m_eff per step so
+    weight * m_eff == 2E always, and the m_eff deficit itself must stay
+    small at realistic densities."""
+    n, u, v = synthetic_edges(60, 12, seed=77)   # ~20% dense
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=78)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=4, mini_batch_size=16, num_node_sample=4,
+                 strategy=SampleStrategy.NODE_NON_LINK,
+                 device_sampling=True)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    tr = build_edge_set(EdgeSetBackend.CSR, n, graph.edges_u,
+                        graph.edges_v)
+    ho = build_edge_set(EdgeSetBackend.CSR, n, split.heldout_u,
+                        split.heldout_v)
+
+    from mcmc_ammsb_tpu.ops.device_sampling import \
+        sample_minibatches_device
+    s_len = 512
+    ds = jax.jit(lambda k: sample_minibatches_device(
+        cfg, tr, ho, k, s_len))(jax.random.PRNGKey(3))
+    m_eff = np.asarray(ds.edge_mask).sum(-1)          # [S]
+    w = np.asarray(ds.weight)
+    # exact unbiasedness invariant, every step
+    np.testing.assert_allclose(w * np.maximum(m_eff, 1), 2.0 * cfg.E,
+                               rtol=1e-6)
+    # deficit bound: even on this unusually dense graph the 4 redraw
+    # rounds leave the mean effective batch within 5% of m
+    assert m_eff.mean() >= 0.95 * cfg.mini_batch_size, m_eff.mean()
+    assert (m_eff > 0).all()
 
 
 def test_fused_loop_trains(setup):
