@@ -33,12 +33,14 @@ def main():
     n, u, v = synthetic_edges(num_nodes=317_080, avg_degree=7, seed=1)
     split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
-    # perfect-hash membership: 2 dependent gathers per edge query vs ~8
-    # for the CSR binary search — measured 5x faster on the hoisted
-    # [S, B, n] membership block, the largest single step cost
+    # AUTO membership resolves to the padded-adjacency-matrix backend
+    # here (one row gather per NODE + VPU compare: 3.8 us/step vs the
+    # perfect hash's 26.7 on the hoisted [S, B, n] block — docs/design.md
+    # round-2 trace attribution); falls back to the CHD perfect hash
+    # when the [N, max_deg] matrix would exceed its memory budget
     cfg = Config(K=256, mini_batch_size=32, num_node_sample=32,
                  steps_per_call=200,
-                 edgeset_backend=EdgeSetBackend.PERFECT)
+                 edgeset_backend=EdgeSetBackend.AUTO)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"# dataset ready in {time.time()-t0:.1f}s: N={cfg.N} "
           f"E={cfg.E} max_fan_out={cfg.max_fan_out}", file=sys.stderr)
@@ -86,7 +88,7 @@ def main():
                                   split2.training_v)
         cfg2 = Config(K=32, mini_batch_size=32, num_node_sample=32,
                       steps_per_call=200,
-                      edgeset_backend=EdgeSetBackend.PERFECT)
+                      edgeset_backend=EdgeSetBackend.AUTO)
         cfg2 = cfg2.finalize(n2, split2.total_edges, graph2.max_fan_out)
         l2 = Learner(cfg2, graph2, split2)
         try:

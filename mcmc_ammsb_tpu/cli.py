@@ -63,7 +63,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--phi-impl", choices=[m.value for m in PhiImpl],
                    default=PhiImpl.JNP.value)
     p.add_argument("--edgeset", choices=[m.value for m in EdgeSetBackend],
-                   default=EdgeSetBackend.PERFECT.value)
+                   default=EdgeSetBackend.AUTO.value)
     p.add_argument("--rng", choices=[m.value for m in RngBackend],
                    default=RngBackend.NATIVE.value)
     p.add_argument("--steps-per-call", type=int, default=1,

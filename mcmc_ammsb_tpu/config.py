@@ -57,6 +57,11 @@ class EdgeSetBackend(enum.Enum):
     SORTED = "sorted"    # lexicographic binary search over all sorted edges
     CUCKOO = "cuckoo"    # reference cuckoo layout (2 buckets x 4 slots)
     PERFECT = "perfect"  # CHD perfect hash: 2 dependent gathers per query
+    ADJACENCY = "adjacency"  # padded [N, max_deg] row matrix: one row
+    #                          gather + VPU compare per query GROUP —
+    #                          fastest when max_deg is moderate
+    AUTO = "auto"        # adjacency when its matrix fits the budget,
+    #                      else perfect (resolved at build time)
 
 
 class RngBackend(enum.Enum):
@@ -115,7 +120,7 @@ class Config:
 
     # --- TPU runtime knobs (replace GPU wg/vector knobs) -----------------
     phi_impl: PhiImpl = PhiImpl.JNP
-    edgeset_backend: EdgeSetBackend = EdgeSetBackend.PERFECT
+    edgeset_backend: EdgeSetBackend = EdgeSetBackend.AUTO
     rng_backend: RngBackend = RngBackend.NATIVE
     steps_per_call: int = 1          # lax.scan fusion depth of the run loop
     scan_unroll: int = 4             # lax.scan unroll factor (per-step

@@ -20,17 +20,23 @@ from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_sbm_edges
 from mcmc_ammsb_tpu.learner import Learner
 
-# ppx after 0, 250, ..., 1500 fused device-sampled steps (recipe below)
-PINNED_TRAJECTORY = [3.898526, 3.535851, 3.483727, 3.471996,
-                     3.431509, 3.399841, 3.365987]
+# ppx after 0, 250, ..., 1500 fused device-sampled steps (recipe below).
+# The edge-set backend is pinned explicitly: membership LABELS are
+# backend-identical (oracle-tested), but a different membership subgraph
+# changes XLA's fusion and thus float reduction order, which a chaotic
+# MCMC trajectory amplifies — so the pin is per-backend by nature.
+PINNED_TRAJECTORY = [3.898526, 3.535878, 3.48402, 3.470437,
+                     3.425684, 3.391827, 3.356681]
 
 
 def build_learner():
+    from mcmc_ammsb_tpu.config import EdgeSetBackend
     n, u, v = synthetic_sbm_edges(2000, 8, p_in=0.05, p_out=0.001, seed=5)
     split = generate_sets(n, u, v, heldout_ratio=0.05, seed=6)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     cfg = Config(K=8, mini_batch_size=16, num_node_sample=16,
-                 steps_per_call=50, device_sampling=True)
+                 steps_per_call=50, device_sampling=True,
+                 edgeset_backend=EdgeSetBackend.ADJACENCY)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     assert (cfg.N, cfg.E, len(split.heldout_edges_u)) == (2000, 14052, 702)
     return Learner(cfg, graph, split, prefetch=False)

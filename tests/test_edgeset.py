@@ -13,7 +13,7 @@ from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
 from mcmc_ammsb_tpu.types import pack_edges
 
 BACKENDS = [EdgeSetBackend.CSR, EdgeSetBackend.SORTED, EdgeSetBackend.CUCKOO,
-            EdgeSetBackend.PERFECT]
+            EdgeSetBackend.PERFECT, EdgeSetBackend.ADJACENCY]
 
 
 @pytest.fixture(scope="module")
@@ -63,6 +63,38 @@ def test_empty_rows_negative():
     got = np.asarray(es.has_edges(
         np.array([5, 0, 9], np.int32), np.array([6, 1, 0], np.int32)))
     np.testing.assert_array_equal(got, [False, True, False])
+
+
+def test_adjacency_broadcast_query_shapes(edge_data):
+    """The adjacency backend gathers rows for the smaller query side
+    pre-broadcast — the [S, B, 1] x [S, B, n] neighbor-membership shape
+    must agree with the hash backend elementwise."""
+    n, u, v, qu, qv, expected = edge_data
+    adj = build_edge_set(EdgeSetBackend.ADJACENCY, n, u, v)
+    ph = build_edge_set(EdgeSetBackend.PERFECT, n, u, v)
+    rng = np.random.RandomState(7)
+    nodes = rng.randint(0, n, (6, 8)).astype(np.int32)
+    nbrs = rng.randint(0, n, (6, 8, 5)).astype(np.int32)
+    a = np.asarray(jax.jit(adj.has_edges)(nodes[:, :, None], nbrs))
+    b = np.asarray(jax.jit(ph.has_edges)(nodes[:, :, None], nbrs))
+    assert a.shape == (6, 8, 5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_auto_backend_resolution():
+    """AUTO -> adjacency when the [N, max_deg] matrix fits the budget,
+    else the perfect hash."""
+    from mcmc_ammsb_tpu.ops import edgeset as es_mod
+    n, u, v = synthetic_edges(num_nodes=300, avg_degree=8, seed=3)
+    assert build_edge_set(EdgeSetBackend.AUTO, n, u, v).backend == \
+        "adjacency"
+    old = es_mod.ADJACENCY_AUTO_BUDGET_BYTES
+    try:
+        es_mod.ADJACENCY_AUTO_BUDGET_BYTES = 16  # force the fallback
+        assert build_edge_set(EdgeSetBackend.AUTO, n, u, v).backend == \
+            "perfect"
+    finally:
+        es_mod.ADJACENCY_AUTO_BUDGET_BYTES = old
 
 
 def test_perfect_empty_and_singleton():
