@@ -131,6 +131,17 @@ class Config:
     # renormalization lose the sparse small memberships in bf16;
     # docs/design.md "Memory")
     host_sampler: str = "auto"       # auto | native (C++) | numpy
+    # --- full-MMSB (models/mmsb.py) identifiability knobs ----------------
+    # The full [K,K] block matrix lacks the a-MMSB's epsilon background
+    # that hardwires assortativity, so weakly-identified data admits a
+    # label-symmetric plateau (module docstring). Standard escape levers:
+    mmsb_prior_diag: Optional[Tuple[float, float]] = None
+    # per-cell prior: (eta0, eta1) for DIAGONAL theta_B cells (off-
+    # diagonal cells keep eta0/eta1) — an informative assortative prior
+    mmsb_noise_scale: float = 1.0
+    # SGRLD noise temperature multiplier (<1 tempers the chain toward
+    # optimization; 1 = exact posterior sampling). Longer step-size
+    # decay is already expressible through a/b/c.
     # Explicit batch-capacity overrides (0 = derive from m / max_fan_out).
     # The sharded learner rounds capacities up to mesh multiples.
     batch_edges_cap: int = 0

@@ -158,7 +158,8 @@ def synthetic_sbm_edges(
     p_in: float = 0.05,
     p_out: float = 0.001,
     seed: int = 0,
-) -> Tuple[int, np.ndarray, np.ndarray]:
+    return_labels: bool = False,
+):
     """Planted-partition (stochastic block model) graph.
 
     Uniform random graphs (``synthetic_edges``) carry no structure for
@@ -166,6 +167,9 @@ def synthetic_sbm_edges(
     convergence benchmarks use this generator instead: nodes split into
     equal communities, intra-community edges at ``p_in``, inter at
     ``p_out`` (sampled sparsely by pair counts, not O(N^2)).
+
+    With ``return_labels`` also returns the planted community label per
+    RENUMBERED node id (for block-recovery tests).
     """
     rng = np.random.RandomState(seed)
     sizes = np.full(num_communities, num_nodes // num_communities)
@@ -193,7 +197,14 @@ def synthetic_sbm_edges(
         chunks.append((a, b))
     a = np.concatenate([c[0] for c in chunks])
     b = np.concatenate([c[1] for c in chunks])
-    return renumber_dedup_shuffle(a, b, shuffle_seed=seed + 1)
+    n, u, v = renumber_dedup_shuffle(a, b, shuffle_seed=seed + 1)
+    if not return_labels:
+        return n, u, v
+    # renumbered id i corresponds to original vertex uniq[i] (the same
+    # unique-sort renumbering renumber_dedup_shuffle applies)
+    keep = a != b
+    uniq = np.unique(np.concatenate([a[keep], b[keep]]))
+    return n, u, v, labels[uniq]
 
 
 @dataclasses.dataclass

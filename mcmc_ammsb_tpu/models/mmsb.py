@@ -26,9 +26,12 @@ identified data — at reference-default step sizes SGRLD reaches the
 plateau quickly (held-out perplexity ~= the coin-flip bound) but
 escapes it slowly; diagonal-tilted initialization (init_mmsb_state)
 helps only transiently. This is precisely the regularization argument
-for the assortative variant the reference hardwires. Fitting the full
-model in practice wants longer step-size decay, tempered noise, or
-informative per-cell priors — knobs left for a future round.
+for the assortative variant the reference hardwires. The standard
+escape levers are now first-class config knobs: ``mmsb_prior_diag``
+(informative per-cell prior tilting diagonal theta_B cells),
+``mmsb_noise_scale`` (SGRLD noise tempering), and longer step-size
+decay via the existing a/b/c. With them the model recovers planted
+partitions (tests/test_mmsb.py::test_mmsb_recovers_planted_blocks).
 
 Update laws (derived exactly as the reference's, which exploit that p
 is linear in pi_a so probs_k = pi_ak * (F pi_b)_k sums to p):
@@ -189,6 +192,13 @@ def _theta_grads_core(cfg: Config, theta_b, b, pi_u, pi_v, y, mask):
 def mmsb_theta_step(cfg: Config, theta_b, grads, scale, count, noise):
     eps_t = jnp.asarray(cfg.eps_t(count), theta_b.dtype)
     eta = jnp.asarray([cfg.eta0, cfg.eta1], theta_b.dtype)
+    if cfg.mmsb_prior_diag is not None:
+        # informative per-cell prior: diagonal cells pull toward the
+        # assortative regime, the identifiability lever the a-MMSB gets
+        # for free from its epsilon background
+        eye = jnp.eye(cfg.K, dtype=bool)[..., None]
+        eta = jnp.where(eye, jnp.asarray(cfg.mmsb_prior_diag,
+                                         theta_b.dtype), eta)
     theta_new = jnp.abs(
         theta_b + eps_t / 2.0 * (eta - theta_b + scale * grads)
         + jnp.sqrt(eps_t * theta_b) * noise)
@@ -220,6 +230,8 @@ def mmsb_train_step(cfg: Config, edge_set: EdgeSet, state: MMSBState,
         noise = native_rng.randn(
             jax.random.fold_in(state.phi_key, step),
             (b_nodes, cfg.K), state.pi.dtype)
+        if cfg.mmsb_noise_scale != 1.0:
+            noise = noise * cfg.mmsb_noise_scale
     rows, sums = mmsb_phi_rows(cfg, state.pi, state.phi_sum, state.b,
                                edge_set, batch.nodes, neighbors, step,
                                noise)
@@ -232,6 +244,8 @@ def mmsb_train_step(cfg: Config, edge_set: EdgeSet, state: MMSBState,
         jax.random.fold_in(state.theta_key, step),
         (cfg.K, cfg.K, 2), state.pi.dtype)
     t_noise = _symmetrize_noise(cfg, t_noise)
+    if cfg.mmsb_noise_scale != 1.0:
+        t_noise = t_noise * cfg.mmsb_noise_scale
     grads = mmsb_theta_grads(cfg, state.theta_b, state.b, pi, edge_set,
                              batch.edges_u, batch.edges_v,
                              batch.edge_mask)
@@ -279,9 +293,13 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
         phi_noise = jax.vmap(lambda s: native_rng.randn(
             jax.random.fold_in(state.phi_key, s), (b_sz, cfg.K),
             state.pi.dtype))(steps)
+        if cfg.mmsb_noise_scale != 1.0:
+            phi_noise = phi_noise * cfg.mmsb_noise_scale
     t_noise = jax.vmap(lambda s: _symmetrize_noise(cfg, native_rng.randn(
         jax.random.fold_in(state.theta_key, s), (cfg.K, cfg.K, 2),
         state.pi.dtype)))(steps)
+    if cfg.mmsb_noise_scale != 1.0:
+        t_noise = t_noise * cfg.mmsb_noise_scale
     y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
 
     def body(s: MMSBState, xs):

@@ -79,6 +79,42 @@ def test_mmsb_theta_grads_match_oracle(mmsb_fixture):
                                atol=1e-6)
 
 
+def test_mmsb_recovers_planted_blocks():
+    """Block-structure RECOVERY with the identifiability knobs.
+
+    The full [K,K] model can represent the same link probabilities
+    under many (pi, B) parameterizations, so without regularization
+    SGRLD wanders a label-mixing manifold (the plateau the module
+    docstring documents, and what test_mmsb_trains_stably tolerates).
+    With the knobs — pseudo-count-strength assortative priors
+    (mmsb_prior_diag high on the diagonal, eta0 suppressing
+    off-diagonal cells; the prior drift must be comparable to the
+    N-scaled data gradient to bite), tempered noise, longer decay —
+    the chain recovers the planted partition: argmax-community purity
+    > 0.9 and a strongly diagonal B."""
+    n, u, v, labels = synthetic_sbm_edges(300, 3, p_in=0.25, p_out=0.004,
+                                          seed=31, return_labels=True)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=32)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=3, mini_batch_size=16, num_node_sample=12,
+                 steps_per_call=100, host_sampler="numpy",
+                 mmsb_prior_diag=(1.0, 50.0), mmsb_noise_scale=0.3,
+                 b=4096.0, eta0=50.0, eta1=1.0)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    lrn = FullMMSBLearner(cfg, graph, split)
+    lrn.run(8000)
+
+    assign = np.asarray(lrn.state.pi).argmax(-1)
+    purity = sum(
+        np.unique(assign[labels == c], return_counts=True)[1].max()
+        for c in range(3)) / n
+    assert purity > 0.9, purity
+    b = np.asarray(lrn.state.b)
+    diag = np.diag(b).mean()
+    off = b[~np.eye(3, dtype=bool)].mean()
+    assert diag - off > 0.5, (diag, off)
+
+
 def test_mmsb_trains_stably():
     """Train on a planted-partition graph: perplexity falls from its
     start and the chain stays numerically healthy. (Short-run
