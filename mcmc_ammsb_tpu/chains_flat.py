@@ -195,6 +195,10 @@ class FlatChainLearner:
                              "are single-chain semantics)")
         if cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("FlatChainLearner supports phi_impl=jnp only")
+        if cfg.shared_neighbors:
+            raise ValueError("shared_neighbors is not wired into the "
+                             "chain engines (their neighbor ids are "
+                             "chain-offset)")
         if len(split.heldout_edges_u) == 0:
             raise ValueError("no held-out edges: heldout_ratio too small "
                              "for this graph")

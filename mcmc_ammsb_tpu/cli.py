@@ -71,6 +71,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-sampling", action="store_true",
                    help="sample minibatches on device inside the fused "
                         "loop (Node-family strategies)")
+    p.add_argument("--shared-neighbors", action="store_true",
+                   help="one shared n-neighbor draw per step instead "
+                        "of per minibatch node (unbiased per node; "
+                        "cuts the dominant pi-row gather cost B*n -> n)")
     p.add_argument("--profile", action="store_true",
                    help="print the per-stage timing table at exit "
                         "(PrintStats-style per-kernel attribution)")
@@ -114,6 +118,7 @@ def config_from_args(args) -> Config:
         calc_train_ppx=args.calc_train_ppx,
         training_ppx_ratio=args.train_ppx_ratio,
         device_sampling=args.device_sampling,
+        shared_neighbors=args.shared_neighbors,
         ppx_interval=args.ppx_interval,
         phi_seed=tuple(args.phi_seed),
         beta_seed=tuple(args.beta_seed),

@@ -126,6 +126,19 @@ class Config:
     scan_unroll: int = 4             # lax.scan unroll factor (per-step
                                      # control overhead vs binary size)
     device_sampling: bool = False    # sample minibatches on-device inside scan
+    shared_neighbors: bool = False
+    # ONE shared n-neighbor draw per step instead of a draw per
+    # minibatch node. Cuts the dominant per-step cost (pi row gathers
+    # are row-COUNT-bound, docs/design.md) from B*n to n rows.
+    # Statistical validity: the shared set is drawn independently of
+    # every node, so each node's phi gradient stays an unbiased
+    # n-sample estimate of its true gradient (exactly as with private
+    # draws); sharing only correlates DIFFERENT nodes' same-step
+    # estimates, the same kind of within-step correlation the edge
+    # minibatch itself already induces (one pivot's edges drive the
+    # whole beta gradient, sample.cc:253-268). Self-collisions
+    # (neighbor == node, prob ~n/N) are masked with the per-node
+    # count-aware scale. Requires rng_backend=native, phi_impl=jnp.
     node_tile: int = 8               # Pallas: minibatch nodes per block
     # precision is fp32 by design (SGRLD floors at 1e-24 + per-step row
     # renormalization lose the sparse small memberships in bf16;

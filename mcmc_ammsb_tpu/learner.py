@@ -224,6 +224,14 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
                 ref_seeds.neighbor, batch.nodes, cfg.N,
                 cfg.num_node_sample, batch.node_mask)
             ref_seeds = ref_seeds._replace(neighbor=nbr_seeds)
+        elif cfg.shared_neighbors:
+            # ONE shared draw per step (validity: config.py knob doc);
+            # the sentinel "node" N never collides with a draw, so the
+            # sampler's != -node fixup is a no-op here
+            k_nbr = jax.random.fold_in(state.neighbor_key, step)
+            neighbors = sample_neighbors(
+                k_nbr, jnp.full((1,), cfg.N, jnp.int32), cfg.N,
+                cfg.num_node_sample)                     # [1, n]
         else:
             k_nbr = jax.random.fold_in(state.neighbor_key, step)
             neighbors = sample_neighbors(
@@ -252,7 +260,18 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
             state.pi.dtype,
         )
     with jax.named_scope("phi_update"):
-        if cfg.phi_impl == PhiImpl.PALLAS:
+        if cfg.shared_neighbors:
+            with jax.named_scope("pi_gather"):
+                pi_n = state.pi[batch.nodes]
+                phis = state.phi_sum[batch.nodes]
+                pi_nb = state.pi[neighbors]              # [1, n, K]
+            with jax.named_scope("membership"):
+                y = edge_set.has_edges(batch.nodes[:, None], neighbors)
+            nbr_mask = neighbors != batch.nodes[:, None]  # [B, n]
+            pi_rows, sums = phi_ops.phi_update_core(
+                cfg, pi_n, phis, pi_nb, y, state.beta, step, phi_noise,
+                nbr_mask)
+        elif cfg.phi_impl == PhiImpl.PALLAS:
             from mcmc_ammsb_tpu.ops.phi_pallas import phi_update_rows_pallas
             pi_rows, sums = phi_update_rows_pallas(
                 cfg, state.pi, state.phi_sum, state.beta, edge_set,
@@ -337,10 +356,17 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
     with jax.named_scope("neighbor_draws"):
         nbr_keys = jax.vmap(
             lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
-        neighbors = jax.vmap(
-            lambda k, nd: sample_neighbors(k, nd, cfg.N,
+        if cfg.shared_neighbors:
+            sentinel = jnp.full((1,), cfg.N, jnp.int32)
+            neighbors = jax.vmap(
+                lambda k: sample_neighbors(k, sentinel, cfg.N,
                                            cfg.num_node_sample)
-        )(nbr_keys, batches.nodes)                           # [S, B, n]
+            )(nbr_keys)                                      # [S, 1, n]
+        else:
+            neighbors = jax.vmap(
+                lambda k, nd: sample_neighbors(k, nd, cfg.N,
+                                               cfg.num_node_sample)
+            )(nbr_keys, batches.nodes)                       # [S, B, n]
     with jax.named_scope("membership"):
         y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
         y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
@@ -360,10 +386,13 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
         with jax.named_scope("pi_gather"):
             pi_n = s.pi[batch.nodes]
             phis = s.phi_sum[batch.nodes]
-            pi_nb = s.pi[nbrs]
+            pi_nb = s.pi[nbrs]       # [B,n,K], or [1,n,K] shared
         with jax.named_scope("phi_update"):
+            nbr_mask = (nbrs != batch.nodes[:, None]
+                        if cfg.shared_neighbors else None)
             rows, sums = phi_core(
-                cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
+                cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count,
+                n_phi, nbr_mask)
         with jax.named_scope("pi_scatter"):
             pi, phi_sum = phi_ops.scatter_rows(
                 s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
@@ -519,6 +548,14 @@ class Learner(HostSamplingPipeline):
 
     def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
                  prefetch: bool = True):
+        if cfg.shared_neighbors and (
+                cfg.rng_backend != RngBackend.NATIVE
+                or cfg.phi_impl != PhiImpl.JNP):
+            raise ValueError(
+                "shared_neighbors requires rng_backend=native and "
+                "phi_impl=jnp (the reference RNG's per-lane streams "
+                "and the Pallas kernel's tiling both assume per-node "
+                "neighbor rows)")
         heldout_size = len(split.heldout_edges_u)
         self.cfg = cfg
         self.graph = graph

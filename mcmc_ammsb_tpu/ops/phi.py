@@ -72,10 +72,14 @@ def phi_update_core(
     pi_n: jnp.ndarray,       # [B, K] gathered pi rows of the nodes
     phis: jnp.ndarray,       # [B] gathered phi sums
     pi_nb: jnp.ndarray,      # [B, n, K] gathered neighbor rows
+                             # (or [1, n, K] shared across the batch)
     y: jnp.ndarray,          # [B, n] bool edge labels
     beta: jnp.ndarray,       # [K]
     step_count: jnp.ndarray,
     noise: jnp.ndarray,      # [B, K]
+    nbr_mask: jnp.ndarray = None,  # [B, n] bool; False lanes excluded
+                             # with a count-aware N/n_valid scale
+                             # (shared-neighbor self-collisions)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The phi math on pre-gathered rows — shared between the
     single-device gather path and the shard_map cross-chip path
@@ -90,13 +94,18 @@ def phi_update_core(
     probs_sum = jnp.sum(probs, axis=-1, keepdims=True)      # [B, n, 1]
 
     inv_phi = 1.0 / phis[:, None]                           # [B, 1]
-    grads = (
-        jnp.sum(probs / probs_sum, axis=1) / pi_n * inv_phi
-        - n_neighbors * inv_phi
-    )                                                       # [B, K]
+    if nbr_mask is None:
+        contrib = jnp.sum(probs / probs_sum, axis=1)        # [B, K]
+        n_valid = jnp.asarray(float(n_neighbors), pi_n.dtype)
+        scale_n = jnp.asarray(cfg.N / n_neighbors, pi_n.dtype)
+    else:
+        mf = nbr_mask.astype(pi_n.dtype)[..., None]         # [B, n, 1]
+        contrib = jnp.sum(probs / probs_sum * mf, axis=1)
+        n_valid = jnp.sum(mf, axis=1)                       # [B, 1]
+        scale_n = cfg.N / n_valid
+    grads = contrib / pi_n * inv_phi - n_valid * inv_phi    # [B, K]
 
     eps_t = jnp.asarray(cfg.eps_t(step_count), pi_n.dtype)
-    scale_n = jnp.asarray(cfg.N / n_neighbors, pi_n.dtype)
     phi_k = pi_n * phis[:, None]                            # [B, K]
     phi_new = jnp.abs(
         phi_k

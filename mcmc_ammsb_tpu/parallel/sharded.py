@@ -303,6 +303,11 @@ class ShardedLearner(HostSamplingPipeline):
 
         # pad capacities to the data axis; rows to the model axis
         from mcmc_ammsb_tpu.config import RngBackend
+        if cfg.shared_neighbors:
+            raise ValueError(
+                "shared_neighbors is single-chip only for now (the "
+                "sharded phi body fetches per-node neighbor rows "
+                "across the model axis)")
         if cfg.rng_backend != RngBackend.NATIVE:
             raise ValueError(
                 "ShardedLearner requires rng_backend=native: the "
