@@ -43,8 +43,14 @@ def main():
     # and the final held-out ppx below matches the private-draw run to
     # 0.1%). The private-draw reference-semantics rate is re-measured
     # every run and reported in extras.
+    # Fully fused: minibatches drawn ON DEVICE inside the scan (same
+    # Node-family strategy semantics, tested against the host sampler's
+    # invariants), 1000 steps per dispatch — at 15 us/step of device
+    # time, host sampling + tunnel dispatch dominate anything shallower
+    # (docs/design.md round 2 "host-bound" measurements).
     cfg = Config(K=256, mini_batch_size=32, num_node_sample=32,
-                 steps_per_call=200, shared_neighbors=True,
+                 steps_per_call=1000, device_sampling=True,
+                 shared_neighbors=True,
                  edgeset_backend=EdgeSetBackend.AUTO)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"# dataset ready in {time.time()-t0:.1f}s: N={cfg.N} "
@@ -53,7 +59,7 @@ def main():
     def measure(cfg, label, iters=10_000, trials=3):
         learner = Learner(cfg, graph, split)
         t0 = time.time()
-        learner.run(400)  # warmup: compile + first chunks
+        learner.run(cfg.steps_per_call)  # warmup: compile + first chunk
         print(f"# [{label}] warmup (incl. compile): {time.time()-t0:.1f}s",
               file=sys.stderr)
         best = 0.0

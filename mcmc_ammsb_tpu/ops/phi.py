@@ -88,22 +88,54 @@ def phi_update_core(
     eps = cfg.epsilon
     n_neighbors = cfg.num_node_sample
 
-    e = jnp.where(y, eps, 1.0 - eps)[..., None]            # [B, n, 1]
-    f = jnp.where(y[..., None], beta - eps, eps - beta)     # [B, n, K]
-    probs = pi_n[:, None, :] * (pi_nb * f + e)              # [B, n, K]
-    probs_sum = jnp.sum(probs, axis=-1, keepdims=True)      # [B, n, 1]
+    # Factorized contraction (same math as the naive form, zero [B,n,K]
+    # elementwise intermediates — they were ~half the fused step's HBM
+    # traffic, docs/design.md round 2). With
+    #   g_bnk = s_bn (beta_k - eps) pinb_nk + e_bn,  s = +/-1, e in {eps, 1-eps}
+    # the per-neighbor likelihood is p_bn = sum_k pi_bk g_bnk
+    #   = s_bn * (pi_b(beta - eps)) . pinb_n + e_bn      (pi rows sum to 1)
+    # and the gradient contraction sum_n g_bnk / p_bn splits into
+    #   (beta_k - eps) * sum_n (s/p) pinb_nk  +  sum_n e/p
+    # — two [B,K]x[K,n]-shaped matmuls (MXU) instead of streaming
+    # several [B,n,K] tensors through HBM. The old form's division by
+    # pi_n cancels algebraically and is gone (probs = pi_n * g).
+    dtype = pi_n.dtype
+    shared = pi_nb.shape[0] == 1 and pi_n.shape[0] != 1
+    # beta arrives as [K] (single model) or [B, 1, K] (chain engines
+    # broadcast per-chain rows); either way it is constant over n
+    beta_b = beta[:, 0, :] if beta.ndim == 3 else beta      # [B|1, K]
+    sgn = jnp.where(y, 1.0, -1.0).astype(dtype)             # [B, n]
+    e = jnp.where(y, eps, 1.0 - eps).astype(dtype)          # [B, n]
+    w = pi_n * (beta_b - eps)                               # [B, K]
+    if shared:
+        q = jnp.dot(w, pi_nb[0].T,
+                    preferred_element_type=dtype)           # [B, n]
+    else:
+        q = jnp.einsum("bk,bnk->bn", w, pi_nb,
+                       preferred_element_type=dtype)
+    p = sgn * q + e                                         # [B, n]
+    inv_p = 1.0 / p
+    a = sgn * inv_p                                         # [B, n]
+    if nbr_mask is None:
+        n_valid = jnp.asarray(float(n_neighbors), dtype)
+        scale_n = jnp.asarray(cfg.N / n_neighbors, dtype)
+        ce = jnp.sum(e * inv_p, axis=1, keepdims=True)      # [B, 1]
+    else:
+        mf = nbr_mask.astype(dtype)                         # [B, n]
+        a = a * mf
+        ce = jnp.sum(e * inv_p * mf, axis=1, keepdims=True)
+        n_valid = jnp.sum(mf, axis=1, keepdims=True)        # [B, 1]
+        scale_n = cfg.N / n_valid
+    if shared:
+        contrib = jnp.dot(a, pi_nb[0],
+                          preferred_element_type=dtype)     # [B, K]
+    else:
+        contrib = jnp.einsum("bn,bnk->bk", a, pi_nb,
+                             preferred_element_type=dtype)
+    s_contrib = (beta_b - eps) * contrib + ce               # [B, K]
 
     inv_phi = 1.0 / phis[:, None]                           # [B, 1]
-    if nbr_mask is None:
-        contrib = jnp.sum(probs / probs_sum, axis=1)        # [B, K]
-        n_valid = jnp.asarray(float(n_neighbors), pi_n.dtype)
-        scale_n = jnp.asarray(cfg.N / n_neighbors, pi_n.dtype)
-    else:
-        mf = nbr_mask.astype(pi_n.dtype)[..., None]         # [B, n, 1]
-        contrib = jnp.sum(probs / probs_sum * mf, axis=1)
-        n_valid = jnp.sum(mf, axis=1)                       # [B, 1]
-        scale_n = cfg.N / n_valid
-    grads = contrib / pi_n * inv_phi - n_valid * inv_phi    # [B, K]
+    grads = (s_contrib - n_valid) * inv_phi                 # [B, K]
 
     eps_t = jnp.asarray(cfg.eps_t(step_count), pi_n.dtype)
     phi_k = pi_n * phis[:, None]                            # [B, K]
