@@ -87,6 +87,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "space (fast scatter path); 'vmap' batches a "
                         "chain axis (measured slower; kept for "
                         "cross-checks)")
+    p.add_argument("--model", choices=["ammsb", "mmsb"], default="ammsb",
+                   help="model family: 'ammsb' = the reference's "
+                        "assortative MMSB (diagonal beta + epsilon "
+                        "background); 'mmsb' = full [K,K] block matrix "
+                        "(beyond-reference; see models/mmsb.py for the "
+                        "identifiability knobs)")
+    p.add_argument("--mmsb-prior-diag", type=float, nargs=2, default=None,
+                   metavar=("ETA0", "ETA1"),
+                   help="full-MMSB: per-cell prior for DIAGONAL theta_B "
+                        "cells (assortative regularization)")
+    p.add_argument("--mmsb-noise-scale", type=float, default=1.0,
+                   help="full-MMSB: SGRLD noise temperature (<1 tempers)")
     p.add_argument("--mesh", type=str, default="", metavar="DATA,MODEL",
                    help="train multi-chip: shard pi rows over MODEL "
                         "devices and the minibatch over DATA devices "
@@ -128,6 +140,9 @@ def config_from_args(args) -> Config:
         edgeset_backend=EdgeSetBackend(args.edgeset),
         rng_backend=RngBackend(args.rng),
         steps_per_call=args.steps_per_call,
+        mmsb_prior_diag=(tuple(args.mmsb_prior_diag)
+                         if args.mmsb_prior_diag else None),
+        mmsb_noise_scale=args.mmsb_noise_scale,
     )
 
 
@@ -215,6 +230,35 @@ def main(argv=None) -> int:
         if args.checkpoint:
             from mcmc_ammsb_tpu.checkpoint import save_checkpoint
             save_checkpoint(args.checkpoint, chains)
+            log.info("checkpoint saved to %s", args.checkpoint)
+        return 0
+
+    if args.model == "mmsb":
+        if args.mesh or args.num_chains > 1 or args.device_sampling:
+            log.fatal("--model mmsb is single-chip, single-chain, "
+                      "host-sampled for now")
+            return 1
+        from mcmc_ammsb_tpu.models.mmsb import FullMMSBLearner
+        mmsb = FullMMSBLearner(cfg, graph, split)
+        if args.restore:
+            from mcmc_ammsb_tpu.checkpoint import load_checkpoint
+            load_checkpoint(args.restore, mmsb)
+            log.info("restored checkpoint %s (step=%d)", args.restore,
+                     int(mmsb.state.step_count))
+        log.info("ppx[0] = %s", mmsb.heldout_perplexity())
+        i = 0
+        while i < args.max_iters and not signaled["flag"]:
+            step = min(args.max_iters - i, cfg.ppx_interval)
+            mmsb.run(step)
+            i += step
+            if not signaled["flag"]:
+                log.info("ppx[%d] = %s", i, mmsb.heldout_perplexity())
+        if signaled["flag"]:
+            log.info("FORCED TERMINATE")
+        mmsb.print_stats(lambda s: log.info("%s", s))
+        if args.checkpoint:
+            from mcmc_ammsb_tpu.checkpoint import save_checkpoint
+            save_checkpoint(args.checkpoint, mmsb)
             log.info("checkpoint saved to %s", args.checkpoint)
         return 0
 

@@ -369,3 +369,9 @@ class FullMMSBLearner:
                 self.heldout_set, self.heldout_u, self.heldout_v,
                 self.state)
             return float(jnp.exp(neg))
+
+    def print_stats(self, log=print) -> None:
+        self.timers.print_table(log)
+
+    def close(self) -> None:
+        pass

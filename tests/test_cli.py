@@ -51,6 +51,26 @@ def test_cli_num_chains_uses_flat_engine(caplog):
     assert "ppx[20]" in out
 
 
+def test_cli_full_mmsb_model(tmp_path, caplog):
+    """The beyond-reference full-MMSB family is CLI-reachable, with its
+    identifiability knobs and checkpointing."""
+    ck = str(tmp_path / "mmsb_ck.npz")
+    rc, out = run_cli(BASE + ["--model", "mmsb", "-x", "20", "-i", "10",
+                              "--steps-per-call", "5",
+                              "--mmsb-prior-diag", "1.0", "8.0",
+                              "--mmsb-noise-scale", "0.5",
+                              "--checkpoint", ck], caplog)
+    assert rc == 0
+    assert "ppx[20]" in out
+    caplog.clear()
+    rc, out = run_cli(BASE + ["--model", "mmsb", "-x", "10", "-i", "10",
+                              "--mmsb-prior-diag", "1.0", "8.0",
+                              "--mmsb-noise-scale", "0.5",
+                              "--restore", ck], caplog)
+    assert rc == 0
+    assert "restored checkpoint" in out and "step=21" in out
+
+
 def test_cli_checkpoint_roundtrip(tmp_path, caplog):
     ck = str(tmp_path / "cli_ck.npz")
     rc, _ = run_cli(BASE + ["-x", "10", "-i", "10",
