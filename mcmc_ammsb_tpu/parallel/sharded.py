@@ -93,10 +93,18 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
     m_idx = jax.lax.axis_index(MODEL_AXIS)
 
     # --- neighbor sampling for the local node slice ----------------------
-    k_nbr = jax.random.fold_in(
-        jax.random.fold_in(state.neighbor_key, step), d_idx)
-    neighbors = sample_neighbors(k_nbr, batch.nodes, cfg.N,
-                                 cfg.num_node_sample)
+    # shared draws: ONE step-wide set identical on every data shard (no
+    # d_idx fold), so each device fetches n rows instead of B_local*n
+    if cfg.shared_neighbors:
+        k_nbr = jax.random.fold_in(state.neighbor_key, step)
+        neighbors = sample_neighbors(
+            k_nbr, jnp.full((1,), cfg.N, jnp.int32), cfg.N,
+            cfg.num_node_sample)                             # [1, n]
+    else:
+        k_nbr = jax.random.fold_in(
+            jax.random.fold_in(state.neighbor_key, step), d_idx)
+        neighbors = sample_neighbors(k_nbr, batch.nodes, cfg.N,
+                                     cfg.num_node_sample)
 
     # --- phi update on gathered rows -------------------------------------
     b_local = batch.nodes.shape[0]
@@ -104,8 +112,10 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
     phis = _fetch_scalars(state.phi_sum, batch.nodes, rows_per_shard)
     pi_nb = _fetch_rows(
         state.pi, neighbors.reshape(-1), rows_per_shard
-    ).reshape(b_local, cfg.num_node_sample, cfg.K)
+    ).reshape(neighbors.shape[0], cfg.num_node_sample, cfg.K)
     y = edge_set.has_edges(batch.nodes[:, None], neighbors)
+    nbr_mask = (neighbors != batch.nodes[:, None]
+                if cfg.shared_neighbors else None)
     if cfg.phi_disable_noise:
         noise = jnp.ones((b_local, cfg.K), state.pi.dtype)
     else:
@@ -114,7 +124,7 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
                                d_idx),
             (b_local, cfg.K), state.pi.dtype)
     rows, sums = phi_ops.phi_update_core(
-        cfg, pi_n, phis, pi_nb, y, state.beta, step, noise)
+        cfg, pi_n, phis, pi_nb, y, state.beta, step, noise, nbr_mask)
 
     # --- write-back: all_gather staged rows over 'data', apply locally ---
     g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
@@ -160,11 +170,21 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
     m_idx = jax.lax.axis_index(MODEL_AXIS)
     steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
 
-    nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
-        jax.random.fold_in(state.neighbor_key, s), d_idx))(steps)
-    neighbors = jax.vmap(
-        lambda k, nd: sample_neighbors(k, nd, cfg.N, cfg.num_node_sample)
-    )(nbr_keys, batches.nodes)                                # [S, Bl, n]
+    if cfg.shared_neighbors:
+        nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
+            state.neighbor_key, s))(steps)     # same on all data shards
+        sentinel = jnp.full((1,), cfg.N, jnp.int32)
+        neighbors = jax.vmap(
+            lambda k: sample_neighbors(k, sentinel, cfg.N,
+                                       cfg.num_node_sample)
+        )(nbr_keys)                                           # [S, 1, n]
+    else:
+        nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
+            jax.random.fold_in(state.neighbor_key, s), d_idx))(steps)
+        neighbors = jax.vmap(
+            lambda k, nd: sample_neighbors(k, nd, cfg.N,
+                                           cfg.num_node_sample)
+        )(nbr_keys, batches.nodes)                            # [S, Bl, n]
     y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
     if cfg.phi_disable_noise:
         phi_noise = jnp.ones((s_len, b_local, cfg.K), state.pi.dtype)
@@ -184,9 +204,12 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
         phis = _fetch_scalars(s.phi_sum, batch.nodes, rows_per_shard)
         pi_nb = _fetch_rows(
             s.pi, nbrs.reshape(-1), rows_per_shard
-        ).reshape(b_local, cfg.num_node_sample, cfg.K)
+        ).reshape(nbrs.shape[0], cfg.num_node_sample, cfg.K)
+        nbr_mask = (nbrs != batch.nodes[:, None]
+                    if cfg.shared_neighbors else None)
         rows, sums = phi_ops.phi_update_core(
-            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi)
+            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi,
+            nbr_mask)
 
         g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
         g_mask = jax.lax.all_gather(batch.node_mask,
@@ -302,12 +325,9 @@ class ShardedLearner(HostSamplingPipeline):
         self.n_data, self.n_model = n_data, n_model
 
         # pad capacities to the data axis; rows to the model axis
-        from mcmc_ammsb_tpu.config import RngBackend
-        if cfg.shared_neighbors:
-            raise ValueError(
-                "shared_neighbors is single-chip only for now (the "
-                "sharded phi body fetches per-node neighbor rows "
-                "across the model axis)")
+        from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
+        if cfg.shared_neighbors and cfg.phi_impl != PhiImpl.JNP:
+            raise ValueError("shared_neighbors requires phi_impl=jnp")
         if cfg.rng_backend != RngBackend.NATIVE:
             raise ValueError(
                 "ShardedLearner requires rng_backend=native: the "

@@ -122,6 +122,40 @@ def test_make_mesh_subset_requires_opt_in():
         make_mesh(4, 4)
 
 
+def test_sharded_shared_neighbors_trains():
+    """shared_neighbors on a mesh: one step-wide draw identical on all
+    data shards; n rows fetched per device instead of B_local*n."""
+    cfg, graph, split = make_pair(cfg_kw={"shared_neighbors": True,
+                                          "steps_per_call": 5})
+    lrn = ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+    p0 = lrn.heldout_perplexity()
+    lrn.run(40)
+    p1 = lrn.heldout_perplexity()
+    assert np.isfinite([p0, p1]).all() and p1 < p0
+    pi = np.asarray(lrn.state.pi)[: cfg.N]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    lrn.close()
+
+
+def test_sharded_shared_neighbors_cross_mesh_equivalence():
+    """Model sharding stays semantically invisible with shared draws:
+    with the data axis fixed at 1 the RNG laws coincide, so (1,8) must
+    reproduce (1,1) to fp tolerance."""
+    cfg, graph, split = make_pair(seed=77,
+                                  cfg_kw={"shared_neighbors": True})
+    a = ShardedLearner(cfg, graph, split,
+                       make_mesh(1, 1, allow_subset=True))
+    b = ShardedLearner(cfg, graph, split, make_mesh(1, 8))
+    a.run(30)
+    b.run(30)
+    np.testing.assert_allclose(np.asarray(a.state.pi)[: cfg.N],
+                               np.asarray(b.state.pi)[: cfg.N],
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(a.heldout_perplexity(),
+                               b.heldout_perplexity(), rtol=1e-4)
+    a.close(); b.close()
+
+
 def test_sharded_rejects_reference_rng_loudly():
     """The reference RNG's per-thread streams are single-device
     semantics; requesting them sharded must error, not silently swap
