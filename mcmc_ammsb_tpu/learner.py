@@ -370,6 +370,21 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
     with jax.named_scope("membership"):
         y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
         y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+    with jax.named_scope("edge_lanes"):
+        # Edge endpoints are a subset of the minibatch nodes by
+        # construction (ExtractNodesFromMiniBatch dedups exactly these
+        # endpoints, learner.cc:162-173), so the beta stage can read
+        # endpoint pi rows from the step's STAGED phi rows instead of
+        # re-gathering them from the [N, K] array — the reference's
+        # beta kernels re-read global memory (beta.cc:86-137); on TPU
+        # the two random row gathers are a measurable slice of the
+        # fused step. Lane maps are state-independent, hoisted here.
+        lanes_u = jnp.argmax(batches.edges_u[:, :, None]
+                             == batches.nodes[:, None, :],
+                             axis=-1).astype(jnp.int32)      # [S, E]
+        lanes_v = jnp.argmax(batches.edges_v[:, :, None]
+                             == batches.nodes[:, None, :],
+                             axis=-1).astype(jnp.int32)
     with jax.named_scope("noise"):
         if cfg.phi_disable_noise:
             phi_noise = jnp.ones((s_len, b, cfg.K), state.pi.dtype)
@@ -382,7 +397,7 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
             state.pi.dtype))(steps)                          # [S, K, 2]
 
     def body(s: TrainState, xs):
-        batch, nbrs, y_n, n_phi, n_beta, y_e = xs
+        batch, nbrs, y_n, n_phi, n_beta, y_e, lane_u, lane_v = xs
         with jax.named_scope("pi_gather"):
             pi_n = s.pi[batch.nodes]
             phis = s.phi_sum[batch.nodes]
@@ -398,9 +413,18 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
                 s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
         beta_count = s.beta_count + 1
         with jax.named_scope("beta_grads"):
+            # endpoint rows from the staged phi rows (see edge_lanes
+            # above). Masked NODE lanes hold non-finite staging garbage
+            # (padded gathers) that the scatter drops; any edge mapped
+            # there is itself masked, but NaN*0 != 0, so sanitize the
+            # staging buffer once before the small-array lane gathers
+            # (uniform 1/K rows keep every downstream denominator
+            # strictly positive).
+            rows_safe = jnp.where(batch.node_mask[:, None], rows,
+                                  1.0 / cfg.K)
             grads = beta_ops.beta_gradients_core(
-                cfg, s.theta, s.beta, pi[batch.edges_u],
-                pi[batch.edges_v], y_e, batch.edge_mask)
+                cfg, s.theta, s.beta, rows_safe[lane_u],
+                rows_safe[lane_v], y_e, batch.edge_mask)
         with jax.named_scope("theta_update"):
             theta, beta = beta_ops.theta_step(
                 cfg, s.theta, grads, batch.weight, beta_count, n_beta)
@@ -410,7 +434,8 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
 
     state, _ = jax.lax.scan(
         body, state,
-        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges),
+        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges,
+         lanes_u, lanes_v),
         unroll=cfg.scan_unroll)
     return state
 

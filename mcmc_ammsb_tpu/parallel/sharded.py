@@ -95,61 +95,72 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
     # --- neighbor sampling for the local node slice ----------------------
     # shared draws: ONE step-wide set identical on every data shard (no
     # d_idx fold), so each device fetches n rows instead of B_local*n
-    if cfg.shared_neighbors:
-        k_nbr = jax.random.fold_in(state.neighbor_key, step)
-        neighbors = sample_neighbors(
-            k_nbr, jnp.full((1,), cfg.N, jnp.int32), cfg.N,
-            cfg.num_node_sample)                             # [1, n]
-    else:
-        k_nbr = jax.random.fold_in(
-            jax.random.fold_in(state.neighbor_key, step), d_idx)
-        neighbors = sample_neighbors(k_nbr, batch.nodes, cfg.N,
-                                     cfg.num_node_sample)
+    with jax.named_scope("neighbor_draws"):
+        if cfg.shared_neighbors:
+            k_nbr = jax.random.fold_in(state.neighbor_key, step)
+            neighbors = sample_neighbors(
+                k_nbr, jnp.full((1,), cfg.N, jnp.int32), cfg.N,
+                cfg.num_node_sample)                         # [1, n]
+        else:
+            k_nbr = jax.random.fold_in(
+                jax.random.fold_in(state.neighbor_key, step), d_idx)
+            neighbors = sample_neighbors(k_nbr, batch.nodes, cfg.N,
+                                         cfg.num_node_sample)
 
     # --- phi update on gathered rows -------------------------------------
     b_local = batch.nodes.shape[0]
-    pi_n = _fetch_rows(state.pi, batch.nodes, rows_per_shard)
-    phis = _fetch_scalars(state.phi_sum, batch.nodes, rows_per_shard)
-    pi_nb = _fetch_rows(
-        state.pi, neighbors.reshape(-1), rows_per_shard
-    ).reshape(neighbors.shape[0], cfg.num_node_sample, cfg.K)
-    y = edge_set.has_edges(batch.nodes[:, None], neighbors)
+    with jax.named_scope("pi_gather"):
+        pi_n = _fetch_rows(state.pi, batch.nodes, rows_per_shard)
+        phis = _fetch_scalars(state.phi_sum, batch.nodes, rows_per_shard)
+        pi_nb = _fetch_rows(
+            state.pi, neighbors.reshape(-1), rows_per_shard
+        ).reshape(neighbors.shape[0], cfg.num_node_sample, cfg.K)
+    with jax.named_scope("membership"):
+        y = edge_set.has_edges(batch.nodes[:, None], neighbors)
     nbr_mask = (neighbors != batch.nodes[:, None]
                 if cfg.shared_neighbors else None)
-    if cfg.phi_disable_noise:
-        noise = jnp.ones((b_local, cfg.K), state.pi.dtype)
-    else:
-        noise = native_rng.randn(
-            jax.random.fold_in(jax.random.fold_in(state.phi_key, step),
-                               d_idx),
-            (b_local, cfg.K), state.pi.dtype)
-    rows, sums = phi_ops.phi_update_core(
-        cfg, pi_n, phis, pi_nb, y, state.beta, step, noise, nbr_mask)
+    with jax.named_scope("noise"):
+        if cfg.phi_disable_noise:
+            noise = jnp.ones((b_local, cfg.K), state.pi.dtype)
+        else:
+            noise = native_rng.randn(
+                jax.random.fold_in(
+                    jax.random.fold_in(state.phi_key, step), d_idx),
+                (b_local, cfg.K), state.pi.dtype)
+    with jax.named_scope("phi_update"):
+        rows, sums = phi_ops.phi_update_core(
+            cfg, pi_n, phis, pi_nb, y, state.beta, step, noise, nbr_mask)
 
     # --- write-back: all_gather staged rows over 'data', apply locally ---
-    g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
-    g_mask = jax.lax.all_gather(batch.node_mask, DATA_AXIS).reshape(-1)
-    g_rows = jax.lax.all_gather(rows, DATA_AXIS).reshape(-1, cfg.K)
-    g_sums = jax.lax.all_gather(sums, DATA_AXIS).reshape(-1)
-    local = g_nodes - m_idx * rows_per_shard
-    ok = (local >= 0) & (local < rows_per_shard) & g_mask
-    safe = jnp.where(ok, local, rows_per_shard)
-    pi = state.pi.at[safe].set(g_rows, mode="drop")
-    phi_sum = state.phi_sum.at[safe].set(g_sums, mode="drop")
+    with jax.named_scope("pi_scatter"):
+        g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
+        g_mask = jax.lax.all_gather(batch.node_mask,
+                                    DATA_AXIS).reshape(-1)
+        g_rows = jax.lax.all_gather(rows, DATA_AXIS).reshape(-1, cfg.K)
+        g_sums = jax.lax.all_gather(sums, DATA_AXIS).reshape(-1)
+        local = g_nodes - m_idx * rows_per_shard
+        ok = (local >= 0) & (local < rows_per_shard) & g_mask
+        safe = jnp.where(ok, local, rows_per_shard)
+        pi = state.pi.at[safe].set(g_rows, mode="drop")
+        phi_sum = state.phi_sum.at[safe].set(g_sums, mode="drop")
 
     # --- theta/beta from the local edge slice ----------------------------
-    pi_u = _fetch_rows(pi, batch.edges_u, rows_per_shard)
-    pi_v = _fetch_rows(pi, batch.edges_v, rows_per_shard)
-    y_e = edge_set.has_edges(batch.edges_u, batch.edges_v)
-    partial_grads = beta_ops.beta_gradients_core(
-        cfg, state.theta, state.beta, pi_u, pi_v, y_e, batch.edge_mask)
-    grads = jax.lax.psum(partial_grads, DATA_AXIS)
+    with jax.named_scope("beta_grads"):
+        pi_u = _fetch_rows(pi, batch.edges_u, rows_per_shard)
+        pi_v = _fetch_rows(pi, batch.edges_v, rows_per_shard)
+        y_e = edge_set.has_edges(batch.edges_u, batch.edges_v)
+        partial_grads = beta_ops.beta_gradients_core(
+            cfg, state.theta, state.beta, pi_u, pi_v, y_e,
+            batch.edge_mask)
+        grads = jax.lax.psum(partial_grads, DATA_AXIS)
     beta_count = state.beta_count + 1
-    beta_noise = native_rng.randn(
-        jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
-        state.pi.dtype)
-    theta, beta = beta_ops.theta_step(
-        cfg, state.theta, grads, batch.weight, beta_count, beta_noise)
+    with jax.named_scope("theta_update"):
+        beta_noise = native_rng.randn(
+            jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
+            state.pi.dtype)
+        theta, beta = beta_ops.theta_step(
+            cfg, state.theta, grads, batch.weight, beta_count,
+            beta_noise)
 
     return state._replace(
         pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
@@ -170,66 +181,96 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
     m_idx = jax.lax.axis_index(MODEL_AXIS)
     steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
 
-    if cfg.shared_neighbors:
-        nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
-            state.neighbor_key, s))(steps)     # same on all data shards
-        sentinel = jnp.full((1,), cfg.N, jnp.int32)
-        neighbors = jax.vmap(
-            lambda k: sample_neighbors(k, sentinel, cfg.N,
-                                       cfg.num_node_sample)
-        )(nbr_keys)                                           # [S, 1, n]
-    else:
-        nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
-            jax.random.fold_in(state.neighbor_key, s), d_idx))(steps)
-        neighbors = jax.vmap(
-            lambda k, nd: sample_neighbors(k, nd, cfg.N,
+    with jax.named_scope("neighbor_draws"):
+        if cfg.shared_neighbors:
+            nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
+                state.neighbor_key, s))(steps)  # same on all data shards
+            sentinel = jnp.full((1,), cfg.N, jnp.int32)
+            neighbors = jax.vmap(
+                lambda k: sample_neighbors(k, sentinel, cfg.N,
                                            cfg.num_node_sample)
-        )(nbr_keys, batches.nodes)                            # [S, Bl, n]
-    y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
-    if cfg.phi_disable_noise:
-        phi_noise = jnp.ones((s_len, b_local, cfg.K), state.pi.dtype)
-    else:
-        phi_noise = jax.vmap(lambda s: native_rng.randn(
-            jax.random.fold_in(jax.random.fold_in(state.phi_key, s),
-                               d_idx),
-            (b_local, cfg.K), state.pi.dtype))(steps)
-    beta_noise = jax.vmap(lambda s: native_rng.randn(
-        jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
-        state.pi.dtype))(steps)
-    y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+            )(nbr_keys)                                       # [S, 1, n]
+        else:
+            nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
+                jax.random.fold_in(state.neighbor_key, s), d_idx))(steps)
+            neighbors = jax.vmap(
+                lambda k, nd: sample_neighbors(k, nd, cfg.N,
+                                               cfg.num_node_sample)
+            )(nbr_keys, batches.nodes)                        # [S, Bl, n]
+    with jax.named_scope("membership"):
+        y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+        y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+    with jax.named_scope("noise"):
+        if cfg.phi_disable_noise:
+            phi_noise = jnp.ones((s_len, b_local, cfg.K), state.pi.dtype)
+        else:
+            phi_noise = jax.vmap(lambda s: native_rng.randn(
+                jax.random.fold_in(jax.random.fold_in(state.phi_key, s),
+                                   d_idx),
+                (b_local, cfg.K), state.pi.dtype))(steps)
+        beta_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
+            state.pi.dtype))(steps)
+    with jax.named_scope("edge_lanes"):
+        # the local edge slice's endpoints live somewhere in the GLOBAL
+        # deduped node list; the write-back all_gathers every shard's
+        # staged rows anyway, so the beta stage can read endpoint rows
+        # from that buffer instead of two more cross-shard _fetch_rows
+        # collectives (mirrors learner.train_steps_scan's edge_lanes;
+        # the reference re-reads global memory, beta.cc:86-137). The
+        # lane maps are state-independent and hoisted.
+        g_nodes_all = jnp.moveaxis(
+            jax.lax.all_gather(batches.nodes, DATA_AXIS), 0, 1
+        ).reshape(s_len, -1)                                  # [S, Bg]
+        lanes_u = jnp.argmax(batches.edges_u[:, :, None]
+                             == g_nodes_all[:, None, :],
+                             axis=-1).astype(jnp.int32)       # [S, El]
+        lanes_v = jnp.argmax(batches.edges_v[:, :, None]
+                             == g_nodes_all[:, None, :],
+                             axis=-1).astype(jnp.int32)
 
     def body(s: TrainState, xs):
-        batch, nbrs, y_n, n_phi, n_beta, y_e = xs
-        pi_n = _fetch_rows(s.pi, batch.nodes, rows_per_shard)
-        phis = _fetch_scalars(s.phi_sum, batch.nodes, rows_per_shard)
-        pi_nb = _fetch_rows(
-            s.pi, nbrs.reshape(-1), rows_per_shard
-        ).reshape(nbrs.shape[0], cfg.num_node_sample, cfg.K)
-        nbr_mask = (nbrs != batch.nodes[:, None]
-                    if cfg.shared_neighbors else None)
-        rows, sums = phi_ops.phi_update_core(
-            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi,
-            nbr_mask)
+        batch, nbrs, y_n, n_phi, n_beta, y_e, lane_u, lane_v = xs
+        with jax.named_scope("pi_gather"):
+            pi_n = _fetch_rows(s.pi, batch.nodes, rows_per_shard)
+            phis = _fetch_scalars(s.phi_sum, batch.nodes, rows_per_shard)
+            pi_nb = _fetch_rows(
+                s.pi, nbrs.reshape(-1), rows_per_shard
+            ).reshape(nbrs.shape[0], cfg.num_node_sample, cfg.K)
+        with jax.named_scope("phi_update"):
+            nbr_mask = (nbrs != batch.nodes[:, None]
+                        if cfg.shared_neighbors else None)
+            rows, sums = phi_ops.phi_update_core(
+                cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi,
+                nbr_mask)
 
-        g_nodes = jax.lax.all_gather(batch.nodes, DATA_AXIS).reshape(-1)
-        g_mask = jax.lax.all_gather(batch.node_mask,
-                                    DATA_AXIS).reshape(-1)
-        g_rows = jax.lax.all_gather(rows, DATA_AXIS).reshape(-1, cfg.K)
-        g_sums = jax.lax.all_gather(sums, DATA_AXIS).reshape(-1)
-        local = g_nodes - m_idx * rows_per_shard
-        ok = (local >= 0) & (local < rows_per_shard) & g_mask
-        safe = jnp.where(ok, local, rows_per_shard)
-        pi = s.pi.at[safe].set(g_rows, mode="drop")
-        phi_sum = s.phi_sum.at[safe].set(g_sums, mode="drop")
+        with jax.named_scope("pi_scatter"):
+            g_nodes = jax.lax.all_gather(batch.nodes,
+                                         DATA_AXIS).reshape(-1)
+            g_mask = jax.lax.all_gather(batch.node_mask,
+                                        DATA_AXIS).reshape(-1)
+            g_rows = jax.lax.all_gather(rows,
+                                        DATA_AXIS).reshape(-1, cfg.K)
+            g_sums = jax.lax.all_gather(sums, DATA_AXIS).reshape(-1)
+            local = g_nodes - m_idx * rows_per_shard
+            ok = (local >= 0) & (local < rows_per_shard) & g_mask
+            safe = jnp.where(ok, local, rows_per_shard)
+            pi = s.pi.at[safe].set(g_rows, mode="drop")
+            phi_sum = s.phi_sum.at[safe].set(g_sums, mode="drop")
 
-        pi_u = _fetch_rows(pi, batch.edges_u, rows_per_shard)
-        pi_v = _fetch_rows(pi, batch.edges_v, rows_per_shard)
-        partial_grads = beta_ops.beta_gradients_core(
-            cfg, s.theta, s.beta, pi_u, pi_v, y_e, batch.edge_mask)
-        grads = jax.lax.psum(partial_grads, DATA_AXIS)
+        with jax.named_scope("beta_grads"):
+            # endpoint rows from the all_gathered staging buffer (see
+            # edge_lanes above); masked lanes hold non-finite staging
+            # garbage, sanitized so NaN*0 never reaches the grads
+            rows_safe = jnp.where(g_mask[:, None], g_rows, 1.0 / cfg.K)
+            partial_grads = beta_ops.beta_gradients_core(
+                cfg, s.theta, s.beta, rows_safe[lane_u],
+                rows_safe[lane_v], y_e, batch.edge_mask)
+            grads = jax.lax.psum(partial_grads, DATA_AXIS)
         beta_count = s.beta_count + 1
-        theta, beta = beta_ops.theta_step(
-            cfg, s.theta, grads, batch.weight, beta_count, n_beta)
+        with jax.named_scope("theta_update"):
+            theta, beta = beta_ops.theta_step(
+                cfg, s.theta, grads, batch.weight, beta_count, n_beta)
         s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
                        step_count=s.step_count + 1,
                        beta_count=beta_count)
@@ -237,7 +278,8 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
 
     state, _ = jax.lax.scan(
         body, state,
-        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges),
+        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges,
+         lanes_u, lanes_v),
         unroll=cfg.scan_unroll)
     return state
 
@@ -255,8 +297,9 @@ def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
 
     d_idx = jax.lax.axis_index(DATA_AXIS)
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
-    ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
-                                   num_steps, adjacency)
+    with jax.named_scope("device_sampling"):
+        ds = sample_minibatches_device(cfg, edge_set, heldout_set,
+                                       chunk_key, num_steps, adjacency)
 
     def dslice(x, cap):
         per = cap // n_data
@@ -565,3 +608,67 @@ class ShardedLearner(HostSamplingPipeline):
 
     def print_stats(self, log=print) -> None:
         self.timers.print_table(log)
+
+    # -- profiling (mirrors Learner.fused_stage_profile) -------------------
+
+    def _production_hlo_text(self, spc: int) -> str:
+        """Optimized HLO of the production sharded chunk program, for
+        op->stage attribution on runtimes whose trace events carry no
+        tf_op path (the CPU thunks of the virtual test mesh)."""
+        if self.cfg.device_sampling:
+            if spc not in self._fused_fns:
+                self._fused_fns[spc] = self._make_fused(spc)
+            lowered = self._fused_fns[spc].lower(
+                self.training_set, self.heldout_set, self.adjacency,
+                self.state)
+        else:
+            rng_state = self.sampler.rng.get_state()
+            ncc = getattr(self.sampler, "_native_call_count", 0)
+            try:
+                if spc > 1:
+                    batches = DeviceBatch.from_stacked(
+                        self.sampler.sample_many(spc))
+                    lowered = self._scan_fn.lower(
+                        self.training_set, self.state, batches)
+                else:
+                    batch = DeviceBatch.from_host(self.sampler.sample())
+                    lowered = self._step_fn.lower(
+                        self.training_set, self.state, batch)
+            finally:
+                self.sampler.rng.set_state(rng_state)
+                self.sampler._native_call_count = ncc
+        return lowered.compile().as_text()
+
+    def fused_stage_profile(self, iters: Optional[int] = None) -> dict:
+        """TRUE per-stage attribution of the sharded production program
+        (the multi-chip analog of the reference's per-kernel event
+        timers, /root/reference/mcmc/learner.cc:252-299): runs a traced
+        production chunk under jax.profiler and aggregates device-op
+        time by the named_scope stages of the shard_map bodies. The
+        pi_gather/pi_scatter stages here include their collectives
+        (psum row fetch, all_gather write-back)."""
+        from mcmc_ammsb_tpu.utils import profiling
+
+        spc = max(1, self.cfg.steps_per_call)
+        iters = iters or max(spc, 200)
+        iters = max(spc, (iters // spc) * spc)
+        self.run(spc)  # compile outside the trace
+        hlo_text = None
+        if jax.default_backend() == "cpu":
+            hlo_text = self._production_hlo_text(spc)
+        prof = profiling.profile_trace(lambda: self.run(iters),
+                                       hlo_text=hlo_text)
+        prof["steps"] = iters
+        return prof
+
+    def print_stage_profile(self, log=print,
+                            iters: Optional[int] = None) -> None:
+        """Fused per-stage table from a profiler trace of the sharded
+        program."""
+        from mcmc_ammsb_tpu.utils import profiling
+
+        prof = self.fused_stage_profile(iters)
+        if prof["source"] == "none" or prof["total_op_seconds"] <= 0:
+            log("trace captured no attributable device ops")
+            return
+        profiling.format_stage_table(prof, prof["steps"], log)

@@ -36,6 +36,7 @@ STAGE_NAMES = (
     "neighbor_draws",
     "membership",
     "noise",
+    "edge_lanes",
     "pi_gather",
     "phi_update",
     "pi_scatter",

@@ -67,6 +67,36 @@ def test_fused_stage_profile_host_sampled_scan():
     lrn.close()
 
 
+def test_sharded_fused_stage_profile():
+    """ShardedLearner's trace attribution (the multi-chip analog of the
+    reference's per-kernel timers): the shard_map bodies' named scopes
+    must survive into the compiled program and attribute device time,
+    with pi_gather/pi_scatter covering the collectives."""
+    from mcmc_ammsb_tpu.parallel.mesh import make_mesh
+    from mcmc_ammsb_tpu.parallel.sharded import ShardedLearner
+
+    n, u, v = synthetic_edges(300, 8, seed=41)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=42)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                 device_sampling=True, steps_per_call=10)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    mesh = make_mesh(2, 4)
+    lrn = ShardedLearner(cfg, graph, split, mesh, prefetch=False)
+    prof = lrn.fused_stage_profile(iters=40)
+    assert prof["source"] in ("tf_op", "hlo")
+    assert prof["total_op_seconds"] > 0
+    np.testing.assert_allclose(sum(prof["stages"].values()),
+                               prof["total_op_seconds"], rtol=1e-6)
+    got = set(prof["stages"])
+    assert "phi_update" in got
+    assert ("pi_gather" in got) or ("pi_scatter" in got)
+    lines = []
+    lrn.print_stage_profile(log=lines.append, iters=20)
+    assert any("us/step" in l for l in lines)
+    lrn.close()
+
+
 def test_print_stage_profile_smoke(capsys):
     lrn = make_learner(device_sampling=True, steps_per_call=10)
     lines = []
