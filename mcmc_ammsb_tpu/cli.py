@@ -87,6 +87,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "space (fast scatter path); 'vmap' batches a "
                         "chain axis (measured slower; kept for "
                         "cross-checks)")
+    p.add_argument("--chain-devices", type=int, default=1,
+                   help="spread --num-chains over this many devices "
+                        "(whole chains per chip, zero collectives; "
+                        "requires the flat engine and "
+                        "num_chains %% chain_devices == 0)")
     p.add_argument("--model", choices=["ammsb", "mmsb"], default="ammsb",
                    help="model family: 'ammsb' = the reference's "
                         "assortative MMSB (diagonal beta + epsilon "
@@ -202,7 +207,16 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, handler)
 
     if args.num_chains > 1:
-        if args.chain_engine == "flat":
+        if args.chain_devices > 1:
+            if args.chain_engine != "flat":
+                log.fatal("--chain-devices requires the flat engine")
+                return 1
+            from mcmc_ammsb_tpu.parallel.chains_sharded import (
+                ShardedChainLearner, make_chain_mesh)
+            chains = ShardedChainLearner(
+                cfg, graph, split, args.num_chains,
+                make_chain_mesh(args.chain_devices))
+        elif args.chain_engine == "flat":
             # the fast engine: one shared row space, plain 1-D scatters
             # (the vmap engine's batched scatter lowers poorly on TPU —
             # docs/design.md)

@@ -8,5 +8,7 @@ work data-parallel across a 'data' axis and gradients combined over ICI
 with psum.
 """
 
+from mcmc_ammsb_tpu.parallel.chains_sharded import (ShardedChainLearner,
+                                                    make_chain_mesh)
 from mcmc_ammsb_tpu.parallel.mesh import make_mesh
 from mcmc_ammsb_tpu.parallel.sharded import ShardedLearner

@@ -51,6 +51,16 @@ def test_cli_num_chains_uses_flat_engine(caplog):
     assert "ppx[20]" in out
 
 
+def test_cli_chain_devices_spreads_chains(caplog):
+    """--chain-devices G drives ShardedChainLearner: whole chains per
+    device on a ('chains',) mesh, per-chain ppx vector in the log."""
+    rc, out = run_cli(BASE + ["--num-chains", "8", "--chain-devices",
+                              "4", "-x", "20", "-i", "10",
+                              "--steps-per-call", "5"], caplog)
+    assert rc == 0
+    assert "ppx[20]" in out
+
+
 def test_cli_full_mmsb_model(tmp_path, caplog):
     """The beyond-reference full-MMSB family is CLI-reachable, with its
     identifiability knobs and checkpointing."""
