@@ -223,13 +223,21 @@ int sample_batches(
   return 0;
 }
 
-// SNAP edge-list parse: skips '#'-comment lines, reads int pairs,
-// canonicalizes (min, max), drops self loops. Two-call protocol:
-// cap == 0 -> return the pair count only; otherwise fill out_u/out_v
-// (each of length cap) and return the number written, or -1 on I/O
-// error, -2 if the file holds more pairs than cap.
-int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
-                   int64_t* out_v) {
+// SNAP edge-list parsing: skips '#'-comment lines, reads int pairs,
+// canonicalizes (min, max), drops self loops. Errors: -1 on I/O error,
+// -3 on a malformed line (a non-comment line must be exactly two
+// non-negative ints — numpy's loadtxt raises on those; so do we).
+
+namespace {
+
+struct ParsedEdges {
+  std::vector<int64_t> u, v;
+};
+
+// Parse the whole file ONCE into growable buffers (single I/O + parse
+// pass; the old two-call count/fill protocol read and parsed twice,
+// which matters at multi-GB edge lists).
+int64_t parse_snap_file(const char* path, ParsedEdges* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return -1; }
@@ -244,7 +252,6 @@ int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
   std::fclose(f);
   buf[size] = '\0';
 
-  int64_t count = 0;
   const char* p = buf.data();
   const char* end = buf.data() + size;
   while (p < end) {
@@ -264,22 +271,59 @@ int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
       while (p < end && *p >= '0' && *p <= '9') x = x * 10 + (*p++ - '0');
       vals[got++] = x;
     }
-    // strict: a non-comment line must be exactly two non-negative ints
-    // (numpy's loadtxt raises on malformed lines; so do we, via -3)
     while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
     if (got != 2 || (p < end && *p != '\n')) {
-      while (p < end && *p != '\n') ++p;  // position is irrelevant now
       return -3;
     }
     if (vals[0] == vals[1]) continue;
-    if (cap > 0) {
-      if (count >= cap) return -2;
-      out_u[count] = std::min(vals[0], vals[1]);
-      out_v[count] = std::max(vals[0], vals[1]);
-    }
-    ++count;
+    out->u.push_back(std::min(vals[0], vals[1]));
+    out->v.push_back(std::max(vals[0], vals[1]));
   }
-  return count;
+  return static_cast<int64_t>(out->u.size());
+}
+
+}  // namespace
+
+// Single-pass protocol: snap_parse_open parses once and returns the
+// pair count (negative = error) with *handle owning the parsed pairs;
+// snap_parse_take copies them into caller arrays (each of the returned
+// length) and frees the handle; snap_parse_drop frees without copying.
+int64_t snap_parse_open(const char* path, void** handle) {
+  auto* parsed = new ParsedEdges();
+  int64_t rc = parse_snap_file(path, parsed);
+  if (rc < 0) {
+    delete parsed;
+    *handle = nullptr;
+    return rc;
+  }
+  *handle = parsed;
+  return rc;
+}
+
+void snap_parse_take(void* handle, int64_t* out_u, int64_t* out_v) {
+  auto* parsed = static_cast<ParsedEdges*>(handle);
+  std::memcpy(out_u, parsed->u.data(), parsed->u.size() * sizeof(int64_t));
+  std::memcpy(out_v, parsed->v.data(), parsed->v.size() * sizeof(int64_t));
+  delete parsed;
+}
+
+void snap_parse_drop(void* handle) {
+  delete static_cast<ParsedEdges*>(handle);
+}
+
+// Legacy two-call protocol (cap == 0 -> count only; else fill and
+// return the number written, -2 if the file holds more than cap).
+// Kept for binding compatibility; prefer snap_parse_open/take.
+int64_t snap_parse(const char* path, int64_t cap, int64_t* out_u,
+                   int64_t* out_v) {
+  ParsedEdges parsed;
+  int64_t rc = parse_snap_file(path, &parsed);
+  if (rc < 0) return rc;
+  if (cap == 0) return rc;
+  if (rc > cap) return -2;
+  std::memcpy(out_u, parsed.u.data(), parsed.u.size() * sizeof(int64_t));
+  std::memcpy(out_v, parsed.v.data(), parsed.v.size() * sizeof(int64_t));
+  return rc;
 }
 
 // ---------------------------------------------------------------------------

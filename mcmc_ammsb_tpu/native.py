@@ -92,6 +92,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.snap_parse.restype = i64
         lib.snap_parse.argtypes = [ctypes.c_char_p, i64,
                                    ctypes.c_void_p, ctypes.c_void_p]
+        lib.snap_parse_open.restype = i64
+        lib.snap_parse_open.argtypes = [ctypes.c_char_p,
+                                        ctypes.POINTER(ctypes.c_void_p)]
+        lib.snap_parse_take.restype = None
+        lib.snap_parse_take.argtypes = [ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_void_p]
+        lib.snap_parse_drop.restype = None
+        lib.snap_parse_drop.argtypes = [ctypes.c_void_p]
         lib.chd_build.restype = i64
         lib.chd_build.argtypes = [
             i64, ctypes.c_void_p, ctypes.c_void_p,   # edges
@@ -154,23 +162,29 @@ def sample_batches(
 def snap_parse(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Parse a SNAP edge list natively; returns canonicalized (u, v)
     int64 arrays (self loops dropped, duplicates retained — renumber +
-    dedup happen vectorized in data.renumber_dedup_shuffle)."""
+    dedup happen vectorized in data.renumber_dedup_shuffle).
+
+    Single-pass protocol: the C side reads and parses the file once
+    into an owned buffer (snap_parse_open), then snap_parse_take copies
+    the pairs out and frees it — at multi-GB edge lists the old
+    count-then-fill protocol paid the file I/O and parse twice."""
     lib = _load()
     assert lib is not None, "native parser unavailable"
-    reasons = {-1: "cannot read file", -2: "edge count changed between "
-               "passes", -3: "malformed line (expected two ints)"}
-
-    def check(rc):
-        if rc < 0:
-            raise IOError(f"snap_parse({path}) failed: "
-                          f"{reasons.get(rc, f'rc={rc}')}")
-        return rc
-
-    count = check(lib.snap_parse(path.encode(), 0, None, None))
-    u = np.empty(count, np.int64)
-    v = np.empty(count, np.int64)
-    got = check(lib.snap_parse(path.encode(), count, _ptr(u), _ptr(v)))
-    return u[:got], v[:got]
+    reasons = {-1: "cannot read file",
+               -3: "malformed line (expected two ints)"}
+    handle = ctypes.c_void_p()
+    count = lib.snap_parse_open(path.encode(), ctypes.byref(handle))
+    if count < 0:
+        raise IOError(f"snap_parse({path}) failed: "
+                      f"{reasons.get(count, f'rc={count}')}")
+    try:
+        u = np.empty(count, np.int64)
+        v = np.empty(count, np.int64)
+    except BaseException:
+        lib.snap_parse_drop(handle)
+        raise
+    lib.snap_parse_take(handle, _ptr(u), _ptr(v))
+    return u, v
 
 
 def chd_build(u: np.ndarray, v: np.ndarray, m_slots: int,
