@@ -14,13 +14,25 @@ so restoring them restores the exact noise streams; the host sampler's
 numpy RandomState pickles losslessly into bytes. Resume is bit-exact
 (asserted by tests/test_checkpoint.py, the EndToEnd pattern of
 serialize-test.cc).
+
+Two storage backends share the same manifest/sidecar layout:
+
+* ``npz`` (default) — one self-contained file; leaves are gathered to
+  host. Right for single-process runs and small states.
+* ``orbax`` — a checkpoint DIRECTORY written by orbax.checkpoint:
+  atomic (tmp + rename), sharding-aware (each host writes only its
+  shards — the pod-scale path for ShardedLearner under
+  jax.distributed), and restored directly onto the learner's mesh
+  shardings. Same bit-exact-resume contract.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import pickle
+import shutil
 from typing import Optional
 
 import jax
@@ -54,7 +66,68 @@ def _config_from_json(d: dict) -> Config:
     return Config(**d)
 
 
-def save_checkpoint(path: str, learner) -> None:
+def _collect_host_state(learner):
+    """Manifest + host-sampler position, shared by both backends."""
+    pending = (learner.drain_sampling()
+               if hasattr(learner, "drain_sampling") else [])
+    sampler = getattr(learner, "sampler", None)
+    num_leaves = len(jax.tree_util.tree_leaves(learner.state))
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "config": _config_to_json(learner.cfg),
+        "learner": type(learner).__name__,
+        "num_chains": getattr(learner, "num_chains", None),
+        "num_leaves": num_leaves,
+        "timers": {k: v for k, v in learner.timers.seconds.items()},
+        "timer_calls": {k: v for k, v in learner.timers.calls.items()},
+        "native_call_count": getattr(sampler, "_native_call_count", 0),
+    }
+    sampler_rng = pickle.dumps(
+        sampler.rng.get_state() if sampler is not None else None)
+    pending_blob = pickle.dumps(pending)
+    return manifest, sampler_rng, pending_blob
+
+
+def _check_manifest(manifest: dict, learner) -> None:
+    if manifest["format_version"] != _FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {manifest['format_version']} != "
+            f"{_FORMAT_VERSION}: the state leaf layout changed (v2 added "
+            "the reference-backend neighbor RNG stream); re-train or "
+            "migrate the checkpoint")
+    saved_cfg = _config_from_json(manifest["config"])
+    if saved_cfg.K != learner.cfg.K or saved_cfg.N != learner.cfg.N:
+        raise ValueError("checkpoint geometry mismatch")
+    saved_chains = manifest.get("num_chains")
+    if saved_chains != getattr(learner, "num_chains", None):
+        raise ValueError(
+            f"checkpoint geometry mismatch: num_chains {saved_chains} "
+            f"!= {getattr(learner, 'num_chains', None)}")
+    ref_leaves = jax.tree_util.tree_leaves(learner.state)
+    if manifest["num_leaves"] != len(ref_leaves):
+        raise ValueError(
+            f"checkpoint has {manifest['num_leaves']} state leaves, "
+            f"learner expects {len(ref_leaves)} (different learner "
+            f"class or config: saved by {manifest.get('learner')})")
+
+
+def _apply_host_state(learner, manifest: dict, sampler_rng_blob: bytes,
+                      pending_blob: Optional[bytes]) -> None:
+    sampler = getattr(learner, "sampler", None)
+    sampler_rng = pickle.loads(sampler_rng_blob)
+    if sampler is not None and sampler_rng is not None:
+        sampler.rng.set_state(sampler_rng)
+        sampler._native_call_count = int(
+            manifest.get("native_call_count", 0))
+    if pending_blob is not None and hasattr(learner, "_pending"):
+        learner._pending = pickle.loads(pending_blob)
+    for k, v in manifest.get("timers", {}).items():
+        learner.timers.seconds[k] = v
+    for k, v in manifest.get("timer_calls", {}).items():
+        learner.timers.calls[k] = v
+
+
+def save_checkpoint(path: str, learner, backend: str = "npz") -> None:
     """Full-fidelity checkpoint: state pytree + config + the complete
     host-sampling position — the numpy RNG state, the native sampler's
     chunk counter, and any produced-but-unconsumed prefetched batches
@@ -64,25 +137,27 @@ def save_checkpoint(path: str, learner) -> None:
     Accepts any learner with (cfg, state, timers): Learner,
     parallel.ShardedLearner, and the device-sampling chain engines
     (which have no host sampler — their sampling position is the
-    sample_key inside the state pytree)."""
-    pending = (learner.drain_sampling()
-               if hasattr(learner, "drain_sampling") else [])
-    sampler = getattr(learner, "sampler", None)
-    leaves, treedef = jax.tree_util.tree_flatten(learner.state)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    manifest = {
-        "format_version": _FORMAT_VERSION,
-        "config": _config_to_json(learner.cfg),
-        "learner": type(learner).__name__,
-        "num_chains": getattr(learner, "num_chains", None),
-        "num_leaves": len(leaves),
-        "timers": {k: v for k, v in learner.timers.seconds.items()},
-        "timer_calls": {k: v for k, v in learner.timers.calls.items()},
-        "native_call_count": getattr(sampler, "_native_call_count", 0),
-    }
-    sampler_rng = pickle.dumps(
-        sampler.rng.get_state() if sampler is not None else None)
-    pending_blob = pickle.dumps(pending)
+    sample_key inside the state pytree).
+
+    ``backend="orbax"`` writes a checkpoint DIRECTORY via
+    orbax.checkpoint instead of one npz file (module docstring)."""
+    if backend == "orbax":
+        return _save_orbax(path, learner)
+    if backend != "npz":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    manifest, sampler_rng, pending_blob = _collect_host_state(learner)
+    leaves = jax.tree_util.tree_leaves(learner.state)
+
+    def host(leaf):
+        x = np.asarray(leaf)
+        if x.dtype.kind == "V" or x.dtype.name == "bfloat16":
+            # npz holds builtin dtypes only; bf16 pi rows round-trip
+            # losslessly through fp32 (load casts back to the learner's
+            # leaf dtype)
+            return x.astype(np.float32)
+        return x
+
+    arrays = {f"leaf_{i}": host(l) for i, l in enumerate(leaves)}
     np.savez_compressed(
         path,
         manifest=np.frombuffer(json.dumps(manifest).encode(), np.uint8),
@@ -98,32 +173,20 @@ def load_checkpoint(path: str, learner):
     The graph/split/edge-sets are rebuilt from data (the reference
     likewise reloads the dataset and only restores learner state,
     serialize-test.cc:90-134).
+
+    The backend is detected from the path: a directory is an orbax
+    checkpoint, a file is npz.
     """
+    if os.path.isdir(path):
+        return _load_orbax(path, learner)
     z = np.load(path, allow_pickle=False)
     manifest = json.loads(bytes(z["manifest"]).decode())
-    if manifest["format_version"] != _FORMAT_VERSION:
-        raise ValueError(
-            f"checkpoint format {manifest['format_version']} != "
-            f"{_FORMAT_VERSION}: the state leaf layout changed (v2 added "
-            "the reference-backend neighbor RNG stream); re-train or "
-            "migrate the checkpoint")
-    saved_cfg = _config_from_json(manifest["config"])
-    if saved_cfg.K != learner.cfg.K or saved_cfg.N != learner.cfg.N:
-        raise ValueError("checkpoint geometry mismatch")
-    saved_chains = manifest.get("num_chains")
-    if saved_chains != getattr(learner, "num_chains", None):
-        raise ValueError(
-            f"checkpoint geometry mismatch: num_chains {saved_chains} "
-            f"!= {getattr(learner, 'num_chains', None)}")
+    _check_manifest(manifest, learner)
     _, treedef = jax.tree_util.tree_flatten(learner.state)
     ref_leaves = jax.tree_util.tree_leaves(learner.state)
-    if manifest["num_leaves"] != len(ref_leaves):
-        raise ValueError(
-            f"checkpoint has {manifest['num_leaves']} state leaves, "
-            f"learner expects {len(ref_leaves)} (different learner "
-            f"class or config: saved by {manifest.get('learner')})")
     leaves = [z[f"leaf_{i}"] for i in range(manifest["num_leaves"])]
-    # restore key dtypes exactly (uint32 key arrays)
+    # restore leaf dtypes exactly (uint32 key arrays; bf16 pi rows were
+    # stored as fp32 — the upcast was lossless so this cast is too)
     leaves = [jnp.asarray(l, r.dtype) for l, r in zip(leaves, ref_leaves)]
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     if hasattr(learner, "state_spec") and hasattr(learner, "mesh"):
@@ -135,16 +198,92 @@ def load_checkpoint(path: str, learner):
                 x, NamedSharding(learner.mesh, spec)),
             state, learner.state_spec)
     learner.state = state
-    sampler = getattr(learner, "sampler", None)
-    sampler_rng = pickle.loads(bytes(z["sampler_rng"]))
-    if sampler is not None and sampler_rng is not None:
-        sampler.rng.set_state(sampler_rng)
-        sampler._native_call_count = int(
-            manifest.get("native_call_count", 0))
-    if "pending" in z and hasattr(learner, "_pending"):
-        learner._pending = pickle.loads(bytes(z["pending"]))
-    for k, v in manifest.get("timers", {}).items():
-        learner.timers.seconds[k] = v
-    for k, v in manifest.get("timer_calls", {}).items():
-        learner.timers.calls[k] = v
+    _apply_host_state(learner, manifest, bytes(z["sampler_rng"]),
+                      bytes(z["pending"]) if "pending" in z else None)
+    return learner
+
+
+# --------------------------------------------------------------------------
+# orbax backend: a checkpoint DIRECTORY. The pytree goes through
+# orbax/tensorstore (sharding-aware: under jax.distributed each host
+# writes only its own shards — the pod-scale path the npz gather-to-one-
+# host backend can't serve); the host-side position (manifest, sampler
+# RNG pickle, pending batches) rides along as sidecar files. The whole
+# directory appears atomically via tmp + rename, mirroring orbax's own
+# finalization discipline.
+
+def _quiet_orbax_logging() -> None:
+    # orbax logs a dozen absl INFO lines per save; they'd drown the
+    # CLI's ppx series
+    import logging
+
+    logging.getLogger("absl").setLevel(logging.WARNING)
+
+
+def _save_orbax(path: str, learner) -> None:
+    _quiet_orbax_logging()
+    import orbax.checkpoint as ocp
+
+    manifest, sampler_rng, pending_blob = _collect_host_state(learner)
+    path = os.path.abspath(path)
+    tmp = path + ".orbax-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    # orbax/tensorstore refuses zero-size arrays; they carry no data,
+    # so persist only the non-empty leaves (the load side rebuilds the
+    # empty ones as zeros of the learner's leaf shape/dtype)
+    leaves = [l for l in jax.tree_util.tree_leaves(learner.state)
+              if l.size > 0]
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(tmp, "state"), leaves)
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(tmp, "sampler_rng.pkl"), "wb") as f:
+        f.write(sampler_rng)
+    with open(os.path.join(tmp, "pending.pkl"), "wb") as f:
+        f.write(pending_blob)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _load_orbax(path: str, learner):
+    _quiet_orbax_logging()
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    _check_manifest(manifest, learner)
+    ref_leaves, treedef = jax.tree_util.tree_flatten(learner.state)
+    if hasattr(learner, "state_spec") and hasattr(learner, "mesh"):
+        # restore each shard directly onto its mesh placement — no
+        # gather-to-host round trip
+        from jax.sharding import NamedSharding
+
+        abstract = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(learner.mesh, s)),
+            learner.state, learner.state_spec))
+    else:
+        abstract = [jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                         sharding=getattr(x, "sharding",
+                                                          None))
+                    for x in ref_leaves]
+    nonempty = [a for a in abstract if np.prod(a.shape) > 0]
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = iter(ckptr.restore(os.path.join(path, "state"),
+                                      nonempty))
+    leaves = [next(restored) if np.prod(a.shape) > 0
+              else jnp.zeros(a.shape, a.dtype)
+              for a in abstract]
+    learner.state = jax.tree_util.tree_unflatten(treedef, leaves)
+    with open(os.path.join(path, "sampler_rng.pkl"), "rb") as f:
+        sampler_rng = f.read()
+    pend_path = os.path.join(path, "pending.pkl")
+    pending = None
+    if os.path.exists(pend_path):
+        with open(pend_path, "rb") as f:
+            pending = f.read()
+    _apply_host_state(learner, manifest, sampler_rng, pending)
     return learner

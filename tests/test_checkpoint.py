@@ -104,6 +104,76 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert "model" in str(b.state.pi.sharding)
 
 
+def test_orbax_bit_exact_resume(tmp_path):
+    """Same EndToEnd contract through the orbax directory backend."""
+    path = str(tmp_path / "ck_orbax")
+
+    a = fresh_learner()
+    a.run(20)
+    save_checkpoint(path, a, backend="orbax")
+    a.run(15)
+    ppx_a = a.heldout_perplexity()
+
+    b = fresh_learner()
+    load_checkpoint(path, b)  # backend detected: directory -> orbax
+    assert int(b.state.step_count) == 21
+    assert b.timers.calls["device_step"] > 0
+    b.run(15)
+    ppx_b = b.heldout_perplexity()
+    assert ppx_a == ppx_b
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    a.close(); b.close()
+
+
+def test_orbax_sharded_roundtrip(tmp_path):
+    """Orbax restore places each leaf directly on its mesh sharding."""
+    from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+
+    def build():
+        n, u, v = synthetic_edges(200, 8, seed=61)
+        split = generate_sets(n, u, v, heldout_ratio=0.1, seed=62)
+        graph = Graph.from_edges(n, split.training_u, split.training_v)
+        cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                     host_sampler="numpy")
+        cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+        return ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+
+    path = str(tmp_path / "sck_orbax")
+    a = build()
+    a.run(10)
+    save_checkpoint(path, a, backend="orbax")
+    a.run(10)
+
+    b = build()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == 11
+    assert "model" in str(b.state.pi.sharding)
+    b.run(10)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+
+
+def test_orbax_overwrite_is_atomic(tmp_path):
+    """Saving over an existing orbax checkpoint replaces it whole."""
+    path = str(tmp_path / "ck_orbax")
+    a = fresh_learner()
+    save_checkpoint(path, a, backend="orbax")
+    a.run(10)
+    save_checkpoint(path, a, backend="orbax")
+    b = fresh_learner()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == int(a.state.step_count)
+    a.close(); b.close()
+
+
+def test_unknown_backend_raises(tmp_path):
+    a = fresh_learner()
+    with pytest.raises(ValueError, match="backend"):
+        save_checkpoint(str(tmp_path / "x"), a, backend="hdf5")
+    a.close()
+
+
 @pytest.mark.parametrize("host_sampler", ["numpy", "auto"])
 def test_bit_exact_resume_with_prefetch(tmp_path, host_sampler):
     """The default pipelined configuration (prefetch producer thread,
