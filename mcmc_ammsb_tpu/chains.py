@@ -71,6 +71,9 @@ class MultiChainLearner:
         if len(split.heldout_edges_u) == 0:
             raise ValueError("no held-out edges: heldout_ratio too small "
                              "for this graph")
+        if cfg.pi_dtype != "float32":
+            raise ValueError("chain engines keep pi in fp32; "
+                             "pi_dtype=bfloat16 is single-chip only")
         if not cfg.device_sampling:
             cfg = cfg.replace(device_sampling=True)
         self.cfg = cfg

@@ -140,9 +140,18 @@ class Config:
     # (neighbor == node, prob ~n/N) are masked with the per-node
     # count-aware scale. Requires rng_backend=native, phi_impl=jnp.
     node_tile: int = 8               # Pallas: minibatch nodes per block
-    # precision is fp32 by design (SGRLD floors at 1e-24 + per-step row
-    # renormalization lose the sparse small memberships in bf16;
-    # docs/design.md "Memory")
+    # pi STORAGE precision. Compute stays fp32 everywhere (gathered
+    # rows are upcast before the SGRLD math; staged rows are written
+    # back at storage precision). "bfloat16" halves the pi HBM
+    # footprint and the row gather/scatter traffic — at K>=2048 rows
+    # are 8-16 KB and the step is bandwidth-bound in exactly those two
+    # stages (docs/design.md round 2 K=4096 profile: scatter+gather =
+    # 60% of the device wall), so bf16 storage is the big lever there.
+    # At K<=512 gathers are row-COUNT-bound and bf16 buys nothing
+    # (measured; don't bother). Opt-in: ~0.4% relative quantization on
+    # stored memberships is a semantic deviation from the reference's
+    # fp32 state (convergence contract: test_bf16_pi.py).
+    pi_dtype: str = "float32"        # float32 | bfloat16
     host_sampler: str = "auto"       # auto | native (C++) | numpy
     # --- full-MMSB (models/mmsb.py) identifiability knobs ----------------
     # The full [K,K] block matrix lacks the a-MMSB's epsilon background

@@ -112,6 +112,19 @@ class DeviceBatch(NamedTuple):
         )
 
 
+def pi_storage_dtype(cfg: Config):
+    """Storage dtype of the pi rows (Config.pi_dtype). Everything else
+    in TrainState — phi_sum, theta, beta, ppx state — stays fp32, and
+    all COMPUTE is fp32: gathered rows are upcast, staged rows are
+    quantized only at the write-back."""
+    if cfg.pi_dtype == "bfloat16":
+        return jnp.bfloat16
+    if cfg.pi_dtype == "float32":
+        return jnp.float32
+    raise ValueError(f"unknown pi_dtype {cfg.pi_dtype!r} "
+                     "(float32 | bfloat16)")
+
+
 def _init_gamma_reference(cfg: Config, dtype):
     """theta/pi init draws through the reference RNG backend.
 
@@ -185,7 +198,7 @@ def init_state(cfg: Config, heldout_size: int,
     phi_sum = jnp.sum(phi_raw, axis=-1)
     pi = phi_raw / phi_sum[:, None]
     return TrainState(
-        pi=pi,
+        pi=pi.astype(pi_storage_dtype(cfg)),
         phi_sum=phi_sum,
         theta=theta,
         beta=beta,
@@ -241,7 +254,7 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     # 2. phi/pi update (phi.cc:76-175)
     b = batch.nodes.shape[0]
     if cfg.phi_disable_noise:
-        phi_noise = jnp.ones((b, cfg.K), state.pi.dtype)
+        phi_noise = jnp.ones((b, cfg.K), state.phi_sum.dtype)
     elif cfg.rng_backend == RngBackend.REFERENCE:
         # K sequential ziggurat draws per active node lane, matching
         # the per-thread loop order of phi.cc:114-121; padded lanes
@@ -252,19 +265,20 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
         for _ in range(cfg.K):
             x, seeds = ref.randn(seeds, batch.node_mask)
             cols.append(x)
-        phi_noise = jnp.stack(cols, axis=-1).astype(state.pi.dtype)
+        phi_noise = jnp.stack(cols, axis=-1).astype(state.phi_sum.dtype)
         ref_seeds = ref_seeds._replace(phi=seeds)
     else:
         phi_noise = native_rng.randn(
             jax.random.fold_in(state.phi_key, step), (b, cfg.K),
-            state.pi.dtype,
+            state.phi_sum.dtype,
         )
     with jax.named_scope("phi_update"):
         if cfg.shared_neighbors:
             with jax.named_scope("pi_gather"):
-                pi_n = state.pi[batch.nodes]
+                cdt = state.phi_sum.dtype
+                pi_n = state.pi[batch.nodes].astype(cdt)
                 phis = state.phi_sum[batch.nodes]
-                pi_nb = state.pi[neighbors]              # [1, n, K]
+                pi_nb = state.pi[neighbors].astype(cdt)  # [1, n, K]
             with jax.named_scope("membership"):
                 y = edge_set.has_edges(batch.nodes[:, None], neighbors)
             nbr_mask = neighbors != batch.nodes[:, None]  # [B, n]
@@ -296,12 +310,12 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
         from mcmc_ammsb_tpu.rng import reference as ref
         r0, bseeds = ref.randn(ref_seeds.beta)
         r1, bseeds = ref.randn(bseeds)
-        beta_noise = jnp.stack([r0, r1], axis=-1).astype(state.pi.dtype)
+        beta_noise = jnp.stack([r0, r1], axis=-1).astype(state.phi_sum.dtype)
         ref_seeds = ref_seeds._replace(beta=bseeds)
     else:
         beta_noise = native_rng.randn(
             jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
-            state.pi.dtype,
+            state.phi_sum.dtype,
         )
     with jax.named_scope("beta_grads"):
         theta, beta = beta_ops.update_beta(
@@ -387,21 +401,22 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
                              axis=-1).astype(jnp.int32)
     with jax.named_scope("noise"):
         if cfg.phi_disable_noise:
-            phi_noise = jnp.ones((s_len, b, cfg.K), state.pi.dtype)
+            phi_noise = jnp.ones((s_len, b, cfg.K), state.phi_sum.dtype)
         else:
             phi_noise = jax.vmap(lambda s: native_rng.randn(
                 jax.random.fold_in(state.phi_key, s), (b, cfg.K),
-                state.pi.dtype))(steps)                      # [S, B, K]
+                state.phi_sum.dtype))(steps)                 # [S, B, K]
         beta_noise = jax.vmap(lambda s: native_rng.randn(
             jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
-            state.pi.dtype))(steps)                          # [S, K, 2]
+            state.phi_sum.dtype))(steps)                     # [S, K, 2]
 
     def body(s: TrainState, xs):
         batch, nbrs, y_n, n_phi, n_beta, y_e, lane_u, lane_v = xs
         with jax.named_scope("pi_gather"):
-            pi_n = s.pi[batch.nodes]
+            cdt = s.phi_sum.dtype
+            pi_n = s.pi[batch.nodes].astype(cdt)
             phis = s.phi_sum[batch.nodes]
-            pi_nb = s.pi[nbrs]       # [B,n,K], or [1,n,K] shared
+            pi_nb = s.pi[nbrs].astype(cdt)  # [B,n,K], or [1,n,K] shared
         with jax.named_scope("phi_update"):
             nbr_mask = (nbrs != batch.nodes[:, None]
                         if cfg.shared_neighbors else None)
@@ -581,6 +596,13 @@ class Learner(HostSamplingPipeline):
                 "phi_impl=jnp (the reference RNG's per-lane streams "
                 "and the Pallas kernel's tiling both assume per-node "
                 "neighbor rows)")
+        if pi_storage_dtype(cfg) != jnp.float32 and (
+                cfg.rng_backend != RngBackend.NATIVE
+                or cfg.phi_impl != PhiImpl.JNP):
+            raise ValueError(
+                "pi_dtype=bfloat16 requires rng_backend=native and "
+                "phi_impl=jnp (bit-exact reference trajectories and "
+                "the Pallas kernel's tiling are fp32 semantics)")
         heldout_size = len(split.heldout_edges_u)
         self.cfg = cfg
         self.graph = graph

@@ -331,6 +331,10 @@ class FullMMSBLearner:
     """Orchestrator for the full-B MMSB (mirrors learner.Learner)."""
 
     def __init__(self, cfg: Config, graph: Graph, split: DataSplit):
+        if cfg.pi_dtype != "float32":
+            raise ValueError("the full-MMSB family keeps pi in fp32; "
+                             "pi_dtype=bfloat16 is a-MMSB single-chip "
+                             "only")
         self.cfg = cfg
         self.graph = graph
         self.split = split

@@ -47,8 +47,10 @@ def beta_gradients(
 ) -> jnp.ndarray:
     """Masked gradient fan-in over the minibatch edges. Returns [K, 2]."""
     y = edge_set.has_edges(edges_u, edges_v)                 # [E] bool
-    return beta_gradients_core(cfg, theta, beta, pi[edges_u], pi[edges_v],
-                               y, edge_mask)
+    cdt = theta.dtype  # fp32 compute even with bf16 pi storage
+    return beta_gradients_core(cfg, theta, beta,
+                               pi[edges_u].astype(cdt),
+                               pi[edges_v].astype(cdt), y, edge_mask)
 
 
 def beta_gradients_core(

@@ -47,7 +47,9 @@ def perplexity_step(
 ) -> PpxResult:
     y = heldout_set.has_edges(edges_u, edges_v)             # [H]
     mask = jnp.ones(edges_u.shape, jnp.bool_)
-    return perplexity_core(cfg, pi[edges_u], pi[edges_v], y, mask, beta,
+    cdt = beta.dtype  # fp32 compute even with bf16 pi storage
+    return perplexity_core(cfg, pi[edges_u].astype(cdt),
+                           pi[edges_v].astype(cdt), y, mask, beta,
                            ppx_per_edge, avg_count)
 
 

@@ -59,9 +59,10 @@ def phi_update_rows(
     them with `scatter_rows`. Padded lanes produce garbage that the
     scatter drops.
     """
-    pi_n = pi[nodes]                          # [B, K]
+    cdt = phi_sum.dtype  # fp32 compute even with bf16 pi storage
+    pi_n = pi[nodes].astype(cdt)              # [B, K]
     phis = phi_sum[nodes]                     # [B]
-    pi_nb = pi[neighbors]                     # [B, n, K]
+    pi_nb = pi[neighbors].astype(cdt)         # [B, n, K]
     y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n] bool
     return phi_update_core(cfg, pi_n, phis, pi_nb, y, beta, step_count,
                            noise)
@@ -164,6 +165,7 @@ def scatter_rows(
     learner.cc:162-173).
     """
     safe = jnp.where(node_mask, nodes, pi.shape[0])
-    pi = pi.at[safe].set(pi_rows, mode="drop")
+    # staged rows are fp32; quantize only here when pi storage is bf16
+    pi = pi.at[safe].set(pi_rows.astype(pi.dtype), mode="drop")
     phi_sum = phi_sum.at[safe].set(sums, mode="drop")
     return pi, phi_sum

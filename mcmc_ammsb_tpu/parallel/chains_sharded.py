@@ -83,6 +83,9 @@ class ShardedChainLearner:
         if cfg.shared_neighbors:
             raise ValueError("shared_neighbors is not wired into the "
                              "chain engines")
+        if cfg.pi_dtype != "float32":
+            raise ValueError("chain engines keep pi in fp32; "
+                             "pi_dtype=bfloat16 is single-chip only")
         if len(split.heldout_edges_u) == 0:
             raise ValueError("no held-out edges: heldout_ratio too "
                              "small for this graph")

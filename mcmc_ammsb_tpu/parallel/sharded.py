@@ -371,6 +371,10 @@ class ShardedLearner(HostSamplingPipeline):
         from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
         if cfg.shared_neighbors and cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("shared_neighbors requires phi_impl=jnp")
+        if cfg.pi_dtype != "float32":
+            raise ValueError("ShardedLearner keeps pi in fp32; "
+                             "pi_dtype=bfloat16 is single-chip only "
+                             "for now")
         if cfg.rng_backend != RngBackend.NATIVE:
             raise ValueError(
                 "ShardedLearner requires rng_backend=native: the "

@@ -15,12 +15,14 @@ from mcmc_ammsb_tpu.learner import Learner
 
 def main():
     spc = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    pi_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     n, u, v = synthetic_edges(num_nodes=317_080, avg_degree=7, seed=1)
     split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
-    cfg = Config(K=256, mini_batch_size=32, num_node_sample=32,
+    cfg = Config(K=k, mini_batch_size=32, num_node_sample=32,
                  steps_per_call=spc, device_sampling=True,
-                 shared_neighbors=True,
+                 shared_neighbors=True, pi_dtype=pi_dtype,
                  edgeset_backend=EdgeSetBackend.AUTO)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     learner = Learner(cfg, graph, split)
