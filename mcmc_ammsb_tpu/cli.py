@@ -66,6 +66,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=EdgeSetBackend.AUTO.value)
     p.add_argument("--rng", choices=[m.value for m in RngBackend],
                    default=RngBackend.NATIVE.value)
+    p.add_argument("--pi-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="pi STORAGE precision (compute stays fp32): "
+                        "bfloat16 halves the pi row gather/scatter "
+                        "traffic — the big lever at K>=2048 where the "
+                        "step is bandwidth-bound (single-chip a-MMSB "
+                        "only)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="lax.scan fusion depth of the training loop")
     p.add_argument("--device-sampling", action="store_true",
@@ -113,11 +120,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump-file", type=str, default="")
     p.add_argument("--load-data", action="store_true")
     p.add_argument("--load-file", type=str, default="")
+    p.add_argument("--cache-format", choices=["npz", "ref"],
+                   default="npz",
+                   help="dump format: npz (native) or ref — the "
+                        "reference's gzip binary layout, "
+                        "byte-interoperable with its --dump-data "
+                        "files (loading auto-detects either)")
     # checkpointing (the reference only exercises this in tests)
     p.add_argument("--checkpoint", type=str, default="",
                    help="save checkpoint here at exit / SIGINT")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"],
+                   default="npz",
+                   help="npz = one file; orbax = sharding-aware "
+                        "directory (pod-scale multi-host writes)")
     p.add_argument("--restore", type=str, default="",
-                   help="restore checkpoint before training")
+                   help="restore checkpoint before training "
+                        "(file = npz, directory = orbax)")
     return p
 
 
@@ -144,6 +162,7 @@ def config_from_args(args) -> Config:
         phi_impl=PhiImpl(args.phi_impl),
         edgeset_backend=EdgeSetBackend(args.edgeset),
         rng_backend=RngBackend(args.rng),
+        pi_dtype=args.pi_dtype,
         steps_per_call=args.steps_per_call,
         mmsb_prior_diag=(tuple(args.mmsb_prior_diag)
                          if args.mmsb_prior_diag else None),
@@ -186,7 +205,8 @@ def main(argv=None) -> int:
         if not args.dump_file:
             log.fatal("dump-file is required with dump-data")
             return 1
-        dump_dataset(args.dump_file, n, args.heldout_ratio, u, v)
+        dump_dataset(args.dump_file, n, args.heldout_ratio, u, v,
+                     fmt=args.cache_format)
         return 0
 
     split = generate_sets(n, u, v, args.heldout_ratio)
@@ -243,7 +263,8 @@ def main(argv=None) -> int:
         chains.timers.print_table(lambda s: log.info("%s", s))
         if args.checkpoint:
             from mcmc_ammsb_tpu.checkpoint import save_checkpoint
-            save_checkpoint(args.checkpoint, chains)
+            save_checkpoint(args.checkpoint, chains,
+                            backend=args.checkpoint_backend)
             log.info("checkpoint saved to %s", args.checkpoint)
         return 0
 
@@ -272,7 +293,8 @@ def main(argv=None) -> int:
         mmsb.print_stats(lambda s: log.info("%s", s))
         if args.checkpoint:
             from mcmc_ammsb_tpu.checkpoint import save_checkpoint
-            save_checkpoint(args.checkpoint, mmsb)
+            save_checkpoint(args.checkpoint, mmsb,
+                            backend=args.checkpoint_backend)
             log.info("checkpoint saved to %s", args.checkpoint)
         return 0
 
@@ -315,7 +337,8 @@ def main(argv=None) -> int:
         learner.print_stage_profile(lambda s: log.info("%s", s))
     if args.checkpoint:
         from mcmc_ammsb_tpu.checkpoint import save_checkpoint
-        save_checkpoint(args.checkpoint, learner)
+        save_checkpoint(args.checkpoint, learner,
+                        backend=args.checkpoint_backend)
         log.info("checkpoint saved to %s", args.checkpoint)
     learner.close()
     return 0

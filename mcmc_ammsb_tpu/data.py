@@ -326,8 +326,25 @@ def make_training_ppx_edges(
 
 
 def dump_dataset(path: str, num_nodes: int, heldout_ratio: float,
-                 u: np.ndarray, v: np.ndarray) -> None:
-    """Compressed dataset cache (parity of main.cc:109-126's gzip dump)."""
+                 u: np.ndarray, v: np.ndarray, fmt: str = "npz") -> None:
+    """Compressed dataset cache (parity of main.cc:109-126's gzip dump).
+
+    ``fmt="npz"`` (default) is the native cache; ``fmt="ref"`` writes
+    the reference's exact on-disk layout — a gzip stream of uint64 N,
+    float32 heldout_ratio, uint64 count, then count little-endian
+    uint64 (u<<32|v)-packed edges (main.cc:110-126, types.h:66-74,
+    config.h:30,38) — byte-interoperable with files produced or
+    consumed by the reference's --dump-data/--load-data."""
+    if fmt == "ref":
+        packed = np.ascontiguousarray(pack_edges(u, v), "<u8")
+        with gzip.open(path, "wb") as f:
+            f.write(np.uint64(num_nodes).astype("<u8").tobytes())
+            f.write(np.float32(heldout_ratio).astype("<f4").tobytes())
+            f.write(np.uint64(packed.size).astype("<u8").tobytes())
+            f.write(packed.tobytes())
+        return
+    if fmt != "npz":
+        raise ValueError(f"unknown dataset cache format {fmt!r}")
     np.savez_compressed(
         path,
         num_nodes=np.int64(num_nodes),
@@ -337,7 +354,27 @@ def dump_dataset(path: str, num_nodes: int, heldout_ratio: float,
 
 
 def load_dataset(path: str) -> Tuple[int, float, np.ndarray, np.ndarray]:
-    """Load a cached dataset (parity of main.cc:127-149)."""
+    """Load a cached dataset (parity of main.cc:127-149).
+
+    The format is sniffed from the file magic: PK (zip) -> npz cache,
+    1f 8b (gzip) -> the reference's binary layout (see dump_dataset)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        with gzip.open(path, "rb") as f:
+            head = f.read(20)
+            if len(head) != 20:
+                raise IOError(f"{path}: truncated reference cache header")
+            num_nodes = int(np.frombuffer(head[0:8], "<u8")[0])
+            ratio = float(np.frombuffer(head[8:12], "<f4")[0])
+            count = int(np.frombuffer(head[12:20], "<u8")[0])
+            body = f.read(count * 8)
+            if len(body) != count * 8:
+                raise IOError(f"{path}: reference cache holds "
+                              f"{len(body) // 8} edges, header says "
+                              f"{count}")
+            u, v = unpack_edges(np.frombuffer(body, "<u8"))
+        return num_nodes, ratio, u, v
     z = np.load(path)
     u, v = unpack_edges(z["edges"])
     return int(z["num_nodes"]), float(z["heldout_ratio"]), u, v

@@ -84,6 +84,55 @@ def test_dataset_cache_roundtrip(tmp_path, small_dataset):
     np.testing.assert_array_equal(v2, v)
 
 
+def test_dataset_cache_reference_format(tmp_path, small_dataset):
+    """fmt="ref" writes the reference's exact gzip binary layout
+    (main.cc:110-126): uint64 N, float32 ratio, uint64 count, packed
+    uint64 edges — verified byte-by-byte here, and load_dataset
+    auto-detects it from the gzip magic."""
+    import gzip
+
+    n, split, _ = small_dataset
+    u = np.concatenate([split.heldout_u, split.training_u])
+    v = np.concatenate([split.heldout_v, split.training_v])
+    path = str(tmp_path / "cache.gz")
+    dump_dataset(path, n, 0.25, u, v, fmt="ref")
+
+    # byte-level layout check against a hand-built reference stream
+    from mcmc_ammsb_tpu.types import pack_edges
+    expect = (np.uint64(n).astype("<u8").tobytes()
+              + np.float32(0.25).astype("<f4").tobytes()
+              + np.uint64(len(u)).astype("<u8").tobytes()
+              + np.ascontiguousarray(pack_edges(u, v), "<u8").tobytes())
+    with gzip.open(path, "rb") as f:
+        assert f.read() == expect
+
+    n2, ratio, u2, v2 = load_dataset(path)
+    assert n2 == n and ratio == np.float32(0.25)
+    np.testing.assert_array_equal(u2, u)
+    np.testing.assert_array_equal(v2, v)
+
+
+def test_dataset_cache_ref_truncation_raises(tmp_path, small_dataset):
+    import gzip
+
+    n, split, _ = small_dataset
+    path = str(tmp_path / "cache.gz")
+    dump_dataset(path, n, 0.25, split.training_u, split.training_v,
+                 fmt="ref")
+    with gzip.open(path, "rb") as f:
+        blob = f.read()
+    with gzip.open(path, "wb") as f:
+        f.write(blob[:-8])  # drop the last edge
+    with pytest.raises(IOError, match="header says"):
+        load_dataset(path)
+
+
+def test_dump_unknown_format_raises(tmp_path):
+    with pytest.raises(ValueError, match="format"):
+        dump_dataset(str(tmp_path / "x"), 4, 0.1,
+                     np.array([0]), np.array([1]), fmt="hdf")
+
+
 def test_synthetic_sbm_structure():
     from mcmc_ammsb_tpu.data import synthetic_sbm_edges
     n, u, v = synthetic_sbm_edges(600, 4, p_in=0.2, p_out=0.002, seed=5)
