@@ -97,12 +97,38 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
 
     steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
     flat_nodes_all = nodes.reshape(s_len, c * b_cap)
-    neighbors = jax.vmap(lambda key, nd: sample_neighbors(
-        key, nd, cfg.N, cfg.num_node_sample))(
-        jax.vmap(lambda s: jax.random.fold_in(state.neighbor_key, s)
-                 )(steps),
-        flat_nodes_all)                   # [S, C*B, n]
-    y_phi = edge_set.has_edges(flat_nodes_all[:, :, None], neighbors)
+    nbr_keys = jax.vmap(
+        lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
+    if cfg.shared_neighbors:
+        # ONE n-draw per (step, chain): each chain keeps its own
+        # independent stream (sharing across chains would correlate
+        # the chains and void the R-hat diagnostics), but within a
+        # chain every minibatch node reads the same neighbor set —
+        # the same unbiased-per-node estimator as the single-chain
+        # fast path (config.py shared_neighbors doc), cutting the
+        # dominant pi_nb gather from C*B*n to C*n rows per step.
+        sentinel = jnp.full((c,), cfg.N, jnp.int32)
+        neighbors = jax.vmap(lambda key: sample_neighbors(
+            key, sentinel, cfg.N, cfg.num_node_sample))(nbr_keys)
+        # [S, C, n] chain-local ids
+        y_phi = edge_set.has_edges(nodes[..., None],
+                                   neighbors[:, :, None, :])  # [S,C,B,n]
+        nbr_mask = (neighbors[:, :, None, :]
+                    != nodes[..., None])                      # [S,C,B,n]
+        # beta endpoint rows come from the step's STAGED phi rows (the
+        # edge_lanes trick of learner.train_steps_scan): endpoints are
+        # a subset of the chain's deduped node lanes by construction
+        lanes_u = jnp.argmax(eu[..., None] == nodes[:, :, None, :],
+                             axis=-1).astype(jnp.int32)       # [S,C,E]
+        lanes_v = jnp.argmax(ev[..., None] == nodes[:, :, None, :],
+                             axis=-1).astype(jnp.int32)
+    else:
+        neighbors = jax.vmap(lambda key, nd: sample_neighbors(
+            key, nd, cfg.N, cfg.num_node_sample))(
+            nbr_keys, flat_nodes_all)     # [S, C*B, n]
+        y_phi = edge_set.has_edges(flat_nodes_all[:, :, None], neighbors)
+        nbr_mask = jnp.zeros((s_len,), jnp.bool_)   # unused placeholder
+        lanes_u = lanes_v = jnp.zeros((s_len,), jnp.int32)
     if cfg.phi_disable_noise:
         phi_noise = jnp.ones((s_len, c * b_cap, k), jnp.float32)
     else:
@@ -118,28 +144,48 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
 
     def body(st: ChainState, xs):
         (nodes_s, nmask_s, eu_s, ev_s, emask_s, w_s,
-         nbrs_s, y_n, n_phi, n_beta, y_e) = xs
+         nbrs_s, y_n, n_phi, n_beta, y_e, nm_s, lu_s, lv_s) = xs
         # ---- phi stage over the flat [C*B] node batch ----------------
         flat_nodes = jnp.where(nodes_s < n_rows, nodes_s + offsets,
                                c * n_rows).reshape(-1)       # [C*B]
         flat_mask = nmask_s.reshape(-1)
-        flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
-                     + offsets[:, :, None]).reshape(c * b_cap, -1)
         pi_n = st.pi[flat_nodes]                             # [C*B, K]
         phis = st.phi_sum[flat_nodes]
-        pi_nb = st.pi[flat_nbrs]                             # [C*B, n, K]
-        beta_rows = jnp.repeat(st.beta, b_cap, axis=0)[:, None, :]
-        rows, sums = phi_ops.phi_update_core(
-            cfg, pi_n, phis, pi_nb, y_n.reshape(c * b_cap, -1),
-            beta_rows, st.step_count, n_phi)
+        if cfg.shared_neighbors:
+            pi_nb = st.pi[nbrs_s + offsets]                  # [C, n, K]
+            rows_c, sums_c = jax.vmap(
+                lambda pn, ps, pnb, yy, bt, nz, nm:
+                phi_ops.phi_update_core(cfg, pn, ps, pnb[None], yy, bt,
+                                        st.step_count, nz, nm)
+            )(pi_n.reshape(c, b_cap, k), phis.reshape(c, b_cap),
+              pi_nb, y_n, st.beta, n_phi.reshape(c, b_cap, k), nm_s)
+            rows = rows_c.reshape(c * b_cap, k)
+            sums = sums_c.reshape(-1)
+        else:
+            flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
+                         + offsets[:, :, None]).reshape(c * b_cap, -1)
+            pi_nb = st.pi[flat_nbrs]                         # [C*B, n, K]
+            beta_rows = jnp.repeat(st.beta, b_cap, axis=0)[:, None, :]
+            rows, sums = phi_ops.phi_update_core(
+                cfg, pi_n, phis, pi_nb, y_n.reshape(c * b_cap, -1),
+                beta_rows, st.step_count, n_phi)
         safe = jnp.where(flat_mask, flat_nodes, c * n_rows)
         pi = st.pi.at[safe].set(rows, mode="drop")
         phi_sum = st.phi_sum.at[safe].set(sums, mode="drop")
         # ---- beta stage per chain ------------------------------------
-        flat_eu = (eu_s + offsets).reshape(-1)
-        flat_ev = (ev_s + offsets).reshape(-1)
-        pi_u = pi[flat_eu].reshape(c, e_cap, k)
-        pi_v = pi[flat_ev].reshape(c, e_cap, k)
+        if cfg.shared_neighbors:
+            # endpoint rows from the staged buffer (no [C*N,K] gathers);
+            # masked node lanes hold staging garbage the scatter drops —
+            # sanitize before the small lane gathers (NaN*0 != 0)
+            rows_safe = jnp.where(flat_mask[:, None], rows,
+                                  1.0 / k).reshape(c, b_cap, k)
+            pi_u = jnp.take_along_axis(rows_safe, lu_s[..., None], axis=1)
+            pi_v = jnp.take_along_axis(rows_safe, lv_s[..., None], axis=1)
+        else:
+            flat_eu = (eu_s + offsets).reshape(-1)
+            flat_ev = (ev_s + offsets).reshape(-1)
+            pi_u = pi[flat_eu].reshape(c, e_cap, k)
+            pi_v = pi[flat_ev].reshape(c, e_cap, k)
         grads = _beta_gradients_chains(
             cfg, st.theta, st.beta, pi_u, pi_v, y_e, emask_s)
         beta_count = st.beta_count + 1
@@ -152,7 +198,7 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
     state, _ = jax.lax.scan(
         body, state,
         (nodes, node_mask, eu, ev, emask, weight, neighbors, y_phi,
-         phi_noise, beta_noise, y_edges),
+         phi_noise, beta_noise, y_edges, nbr_mask, lanes_u, lanes_v),
         unroll=cfg.scan_unroll)
     return state
 
@@ -195,10 +241,6 @@ class FlatChainLearner:
                              "are single-chain semantics)")
         if cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("FlatChainLearner supports phi_impl=jnp only")
-        if cfg.shared_neighbors:
-            raise ValueError("shared_neighbors is not wired into the "
-                             "chain engines (their neighbor ids are "
-                             "chain-offset)")
         if cfg.pi_dtype != "float32":
             raise ValueError("chain engines keep pi in fp32; "
                              "pi_dtype=bfloat16 is single-chip only")

@@ -80,9 +80,6 @@ class ShardedChainLearner:
                              "backend only")
         if cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("chain engines support phi_impl=jnp only")
-        if cfg.shared_neighbors:
-            raise ValueError("shared_neighbors is not wired into the "
-                             "chain engines")
         if cfg.pi_dtype != "float32":
             raise ValueError("chain engines keep pi in fp32; "
                              "pi_dtype=bfloat16 is single-chip only")

@@ -5,6 +5,13 @@ neighbors, spc as given) plus the module wall, to direct the next perf
 bite. Usage: python scripts/exp_profile_now.py [steps_per_call]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import sys
 import time
 
@@ -35,7 +42,8 @@ def main():
     dt = time.time() - t0
     print(f"# wall: {steps/dt:.0f} updates/s "
           f"({dt/steps*1e6:.2f} us/step)", flush=True)
-    learner.print_stage_profile(iters=4 * spc)
+    if "noprof" not in sys.argv:
+        learner.print_stage_profile(iters=4 * spc)
     learner.close()
 
 

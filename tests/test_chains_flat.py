@@ -53,6 +53,29 @@ def _fresh_flat(num_chains=2):
     return FlatChainLearner(cfg, graph, split, num_chains=num_chains)
 
 
+def test_flat_chains_shared_neighbors_converge_like_private():
+    """The shared per-(step,chain) neighbor draw is the chain-engine
+    version of the single-chain fast path: each chain keeps its own
+    independent stream; per-chain held-out ppx must land within a few
+    percent of the private-draw engine after the same steps."""
+    n, u, v = synthetic_sbm_edges(300, 4, p_in=0.15, p_out=0.005, seed=8)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=9)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=20)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    a = FlatChainLearner(cfg.replace(shared_neighbors=True), graph,
+                         split, num_chains=3)
+    b = FlatChainLearner(cfg, graph, split, num_chains=3)
+    a.run(400); b.run(400)
+    pa, pb = a.heldout_perplexity(), b.heldout_perplexity()
+    assert np.isfinite(pa).all() and (pa > 1.0).all()
+    np.testing.assert_allclose(pa, pb, rtol=0.06)
+    # chains stay distinct (independent neighbor streams per chain)
+    pi = np.asarray(a.state.pi).reshape(3, n, -1)
+    assert not np.allclose(pi[0], pi[1])
+
+
 def test_flat_chains_checkpoint_bit_exact_resume(tmp_path):
     """The multi-chain engine checkpoints like the single-chip learner
     (serialize-test.cc EndToEnd pattern): run, save, run on; restore,
