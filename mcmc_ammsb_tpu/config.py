@@ -143,14 +143,15 @@ class Config:
     # pi STORAGE precision. Compute stays fp32 everywhere (gathered
     # rows are upcast before the SGRLD math; staged rows are written
     # back at storage precision). "bfloat16" halves the pi HBM
-    # footprint and the row gather/scatter traffic — at K>=2048 rows
-    # are 8-16 KB and the step is bandwidth-bound in exactly those two
-    # stages (docs/design.md round 2 K=4096 profile: scatter+gather =
-    # 60% of the device wall), so bf16 storage is the big lever there.
-    # At K<=512 gathers are row-COUNT-bound and bf16 buys nothing
-    # (measured; don't bother). Opt-in: ~0.4% relative quantization on
-    # stored memberships is a semantic deviation from the reference's
-    # fp32 state (convergence contract: test_bf16_pi.py).
+    # footprint — the CAPACITY lever for large K (5.2 -> 2.6 GB at
+    # K=4096; headroom for K=8192 on one chip). Speed: measured a
+    # uniform 1.06x at K=1024/2048/4096 — the large-K wall is the
+    # scatter LOWERING (same cost both precisions) and noise
+    # generation, not row bytes (docs/design.md "post-factorization K
+    # ladder"). At K<=512 gathers are row-COUNT-bound and bf16 buys
+    # nothing. Opt-in: ~0.4% relative quantization on stored
+    # memberships is a semantic deviation from the reference's fp32
+    # state (convergence contract: test_bf16_pi.py).
     pi_dtype: str = "float32"        # float32 | bfloat16
     host_sampler: str = "auto"       # auto | native (C++) | numpy
     # --- full-MMSB (models/mmsb.py) identifiability knobs ----------------
