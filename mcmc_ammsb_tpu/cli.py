@@ -69,9 +69,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pi-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="pi STORAGE precision (compute stays fp32): "
-                        "bfloat16 halves the pi row gather/scatter "
-                        "traffic — the big lever at K>=2048 where the "
-                        "step is bandwidth-bound (single-chip a-MMSB "
+                        "bfloat16 halves the pi HBM footprint — the "
+                        "capacity lever for very large K (measured "
+                        "~1.06x speed at K>=1024; single-chip a-MMSB "
                         "only)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="lax.scan fusion depth of the training loop")
@@ -314,22 +314,41 @@ def main(argv=None) -> int:
                  int(learner.state.step_count))
 
     log.info("ppx[0] = %s", learner.heldout_perplexity())
+
+    def log_eval(i, ppx, st):
+        log.info("ppx[%d] = %s", i, ppx)
+        # per-eval link/non-link diagnostics (the reference logs the
+        # same quadruple every ppx call, perplexity.cc:269-272)
+        log.info("  links: %d (ll %.4f)  non-links: %d (ll %.4f)",
+                 st["link_count"], st["link_likelihood"],
+                 st["non_link_count"], st["non_link_likelihood"])
+        if cfg.calc_train_ppx:
+            log.info("train_ppx[%d] = %s", i,
+                     learner.training_perplexity())
+
+    fused_evals = (cfg.device_sampling and not args.mesh
+                   and cfg.steps_per_call > cfg.ppx_interval)
     i = 0
+    start_step = int(learner.state.step_count)
     while i < args.max_iters and not signaled["flag"]:
-        step = min(args.max_iters - i, cfg.ppx_interval)
-        learner.run(step)
-        i += step
-        if not signaled["flag"]:
-            log.info("ppx[%d] = %s", i, learner.heldout_perplexity())
-            st = learner.last_ppx_stats
-            # per-eval link/non-link diagnostics (the reference logs the
-            # same quadruple every ppx call, perplexity.cc:269-272)
-            log.info("  links: %d (ll %.4f)  non-links: %d (ll %.4f)",
-                     st["link_count"], st["link_likelihood"],
-                     st["non_link_count"], st["non_link_likelihood"])
-            if cfg.calc_train_ppx:
-                log.info("train_ppx[%d] = %s", i,
-                         learner.training_perplexity())
+        if fused_evals:
+            # evals ride inside the fused program (train_steps_fused_ppx)
+            # so the eval cadence doesn't cap the scan depth; each
+            # run_with_ppx call dispatches ~steps_per_call steps and
+            # SIGINT stays responsive between calls
+            take = min(args.max_iters - i,
+                       max(cfg.steps_per_call // cfg.ppx_interval, 1)
+                       * cfg.ppx_interval)
+            for ev in learner.run_with_ppx(take, cfg.ppx_interval):
+                log_eval(ev["step"] - start_step, ev["ppx"], ev)
+            i += take
+        else:
+            step = min(args.max_iters - i, cfg.ppx_interval)
+            learner.run(step)
+            i += step
+            if not signaled["flag"]:
+                log_eval(i, learner.heldout_perplexity(),
+                         learner.last_ppx_stats)
     if signaled["flag"]:
         log.info("FORCED TERMINATE")
     learner.print_stats(lambda s: log.info("%s", s))

@@ -492,6 +492,39 @@ def train_steps_fused(cfg: Config, edge_set: EdgeSet,
     return train_steps_scan(cfg, edge_set, state, batches)
 
 
+def train_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
+                          heldout_set: EdgeSet, state: TrainState,
+                          heldout_u: jnp.ndarray, heldout_v: jnp.ndarray,
+                          num_evals: int, interval: int,
+                          adjacency=None):
+    """num_evals x (interval fused steps + one held-out ppx eval) in ONE
+    device dispatch — the reference's primary output loop (train
+    ppx_interval iters, log ``ppx[i]``, main.cc:160-168) with zero host
+    round-trips between evals.
+
+    Without this, the CLI's eval cadence caps the scan depth: ``-i 100``
+    forces 100-step dispatches even when steps_per_call=1000 is the
+    measured sweet spot. Here the eval rides INSIDE the program as the
+    ys of an outer scan over eval periods, so the fusion depth is
+    ``num_evals * interval`` regardless of cadence. Composes the exact
+    train_steps_fused + heldout_perplexity_step functions, so the
+    trajectory and the running-average ppx state are bit-identical to
+    the chunked host loop (asserted by
+    tests/test_learner.py::test_fused_ppx_series_matches_host_loop).
+
+    Returns (state, series) where series is a PpxResult of [num_evals]-
+    leading arrays (neg_avg_log per eval, link/non-link stats)."""
+    def outer(s: TrainState, _):
+        s = train_steps_fused(cfg, edge_set, heldout_set, s, interval,
+                              adjacency)
+        s, res = heldout_perplexity_step(cfg, heldout_set, heldout_u,
+                                         heldout_v, s)
+        # the [H] running averages live in state; don't stack per eval
+        return s, res._replace(ppx_per_edge=None)
+
+    return jax.lax.scan(outer, state, None, length=num_evals)
+
+
 def heldout_perplexity_step(
     cfg: Config, heldout_set: EdgeSet,
     heldout_u: jnp.ndarray, heldout_v: jnp.ndarray,
@@ -647,6 +680,10 @@ class Learner(HostSamplingPipeline):
         self._fused_fn = jax.jit(partial(train_steps_fused, cfg),
                                  static_argnames="num_steps",
                                  donate_argnums=(2,))
+        self._fused_ppx_fn = jax.jit(
+            partial(train_steps_fused_ppx, cfg),
+            static_argnames=("num_evals", "interval"),
+            donate_argnums=(2,))
         self._ppx_fn = jax.jit(partial(heldout_perplexity_step, cfg),
                                donate_argnums=(3,))
         self._train_ppx_fn = jax.jit(partial(training_perplexity_step, cfg),
@@ -717,6 +754,61 @@ class Learner(HostSamplingPipeline):
                                            batches)
             done += take
         self._fence()
+
+    def run_with_ppx(self, max_iters: int, interval: int):
+        """Train max_iters steps with a held-out ppx eval every
+        ``interval`` steps, fused into single device dispatches
+        (train_steps_fused_ppx): the eval cadence no longer caps the
+        scan depth and there are no host round-trips between evals.
+        Requires cfg.device_sampling. Yields the eval series as a list
+        of dicts (step, ppx, link/non-link stats) matching the host
+        loop's heldout_perplexity() trajectory bit-exactly; any
+        non-multiple tail trains WITHOUT a trailing eval (the
+        reference's loop likewise only evaluates on the interval,
+        main.cc:160-168).
+
+        Eval groups per dispatch are capped so steps per call stay near
+        steps_per_call (dispatch amortization) while SIGINT between
+        calls stays responsive."""
+        if not self.cfg.device_sampling:
+            raise RuntimeError("run_with_ppx requires device_sampling "
+                               "(the host-batch loop evaluates between "
+                               "chunks instead)")
+        if self.heldout_u.shape[0] == 0:
+            raise RuntimeError("no held-out edges")
+        spc = max(1, self.cfg.steps_per_call)
+        group = max(1, spc // max(1, interval))
+        series = []
+        evals_left = max_iters // interval
+        with self.timers.stage("total"):
+            while evals_left > 0:
+                take = min(group, evals_left)
+                with self.timers.stage("device_step"):
+                    self.state, res = self._fused_ppx_fn(
+                        self.training_set, self.heldout_set, self.state,
+                        self.heldout_u, self.heldout_v,
+                        num_evals=take, interval=interval,
+                        adjacency=self.adjacency)
+                step_after = int(self.state.step_count)  # fence
+                # same exp as heldout_perplexity (XLA's, not numpy's —
+                # they differ by 1 ulp, and the series contract is
+                # bit-exact equality with the host loop)
+                ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
+                for i in range(take):
+                    series.append({
+                        "step": step_after - (take - 1 - i) * interval,
+                        "ppx": float(ppx_vals[i]),
+                        "link_count": int(res.link_count[i]),
+                        "non_link_count": int(res.non_link_count[i]),
+                        "link_likelihood": float(res.link_likelihood[i]),
+                        "non_link_likelihood":
+                            float(res.non_link_likelihood[i]),
+                    })
+                evals_left -= take
+            tail = max_iters % interval
+            if tail:
+                self._run_fused(tail, spc)
+        return series
 
     # -- evaluation --------------------------------------------------------
 

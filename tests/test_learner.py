@@ -193,3 +193,46 @@ def test_edgeset_backends_trajectory_identical():
     pa = a.heldout_perplexity(); pb = b.heldout_perplexity()
     assert pa == pb
     a.close(); b.close()
+
+
+def test_fused_ppx_series_matches_host_loop():
+    """run_with_ppx composes the exact fused-chunk + eval functions
+    inside one dispatch, so its series must reproduce the host loop
+    (run(interval); heldout_perplexity()) bit-exactly — values, link
+    stats, and final state."""
+    kw = {"device_sampling": True, "steps_per_call": 40}
+    a, _ = make_learner(kw)
+    b, _ = make_learner(kw)
+
+    series = a.run_with_ppx(40, 10)
+    assert [ev["step"] for ev in series] == [11, 21, 31, 41]
+
+    host = []
+    for _ in range(4):
+        b.run(10)
+        host.append((b.heldout_perplexity(), dict(b.last_ppx_stats)))
+
+    for ev, (ppx, st) in zip(series, host):
+        assert ev["ppx"] == ppx
+        assert ev["link_count"] == st["link_count"]
+        assert ev["non_link_count"] == st["non_link_count"]
+        assert ev["link_likelihood"] == st["link_likelihood"]
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    np.testing.assert_array_equal(np.asarray(a.state.ppx_per_edge),
+                                  np.asarray(b.state.ppx_per_edge))
+    a.close(); b.close()
+
+
+def test_fused_ppx_tail_and_guards():
+    kw = {"device_sampling": True, "steps_per_call": 40}
+    a, _ = make_learner(kw)
+    series = a.run_with_ppx(25, 10)   # 2 evals + 5-step tail, no eval
+    assert len(series) == 2
+    assert int(a.state.step_count) == 26
+    a.close()
+    b, _ = make_learner({})
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="device_sampling"):
+        b.run_with_ppx(10, 5)
+    b.close()
