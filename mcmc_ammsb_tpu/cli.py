@@ -326,7 +326,7 @@ def main(argv=None) -> int:
             log.info("train_ppx[%d] = %s", i,
                      learner.training_perplexity())
 
-    fused_evals = (cfg.device_sampling and not args.mesh
+    fused_evals = (cfg.device_sampling
                    and cfg.steps_per_call > cfg.ppx_interval)
     i = 0
     start_step = int(learner.state.step_count)

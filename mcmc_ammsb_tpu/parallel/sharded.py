@@ -353,6 +353,26 @@ def _sharded_ppx_body(cfg: Config, rows_per_shard: int, train: bool,
         link_count, non_link_count)
 
 
+def _sharded_fused_ppx(cfg: Config, rows_per_shard: int, n_data: int,
+                       num_evals: int, interval: int,
+                       edge_set: EdgeSet, heldout_set: EdgeSet,
+                       adjacency, eu, ev, hmask, state: TrainState):
+    """num_evals x (interval fused sharded steps + one collective
+    held-out eval) inside ONE shard_map program — the multi-chip analog
+    of learner.train_steps_fused_ppx: the eval cadence no longer caps
+    the dispatch depth, and the eval's psum rides the same program as
+    the training collectives."""
+    def outer(s: TrainState, _):
+        s = _sharded_fused_scan(cfg, rows_per_shard, n_data, interval,
+                                edge_set, heldout_set, adjacency, s)
+        s, res = _sharded_ppx_body(cfg, rows_per_shard, False,
+                                   heldout_set, eu, ev, hmask, s)
+        # [H_local] running averages live in state; don't stack per eval
+        return s, res._replace(ppx_per_edge=None)
+
+    return jax.lax.scan(outer, state, None, length=num_evals)
+
+
 # ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------
@@ -499,6 +519,25 @@ class ShardedLearner(HostSamplingPipeline):
         self._fused_fns = {}
         self._make_fused = make_fused
 
+        series_spec = ppx_ops.PpxResult(
+            ppx_per_edge=None, neg_avg_log=P(),
+            link_likelihood=P(), non_link_likelihood=P(),
+            link_count=P(), non_link_count=P())
+
+        def make_fused_ppx(num_evals, interval):
+            body = partial(_sharded_fused_ppx, cfg, self.rows_per_shard,
+                           n_data, num_evals, interval)
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), self.state_spec),
+                out_specs=(self.state_spec, series_spec),
+                check_vma=False,
+            ), donate_argnums=(6,))
+
+        self._fused_ppx_fns = {}
+        self._make_fused_ppx = make_fused_ppx
+
         ppx_res_spec = ppx_ops.PpxResult(
             ppx_per_edge=P(DATA_AXIS), neg_avg_log=P(),
             link_likelihood=P(), non_link_likelihood=P(),
@@ -583,6 +622,48 @@ class ShardedLearner(HostSamplingPipeline):
                     self.state = self._scan_fn(
                         self.training_set, self.state, batch)
             done += take
+
+    def run_with_ppx(self, max_iters: int, interval: int):
+        """Multi-chip analog of Learner.run_with_ppx: train max_iters
+        steps with a held-out eval every ``interval`` steps fused into
+        the shard_map program (_sharded_fused_ppx). Same series
+        contract; requires cfg.device_sampling."""
+        if not self.cfg.device_sampling:
+            raise RuntimeError("run_with_ppx requires device_sampling")
+        spc = max(1, self.cfg.steps_per_call)
+        group = max(1, spc // max(1, interval))
+        series = []
+        evals_left = max_iters // interval
+        with self.timers.stage("total"):
+            while evals_left > 0:
+                take = min(group, evals_left)
+                with self.timers.stage("device_step"):
+                    key = (take, interval)
+                    if key not in self._fused_ppx_fns:
+                        self._fused_ppx_fns[key] = self._make_fused_ppx(
+                            take, interval)
+                    self.state, res = self._fused_ppx_fns[key](
+                        self.training_set, self.heldout_set,
+                        self.adjacency, self.heldout_u, self.heldout_v,
+                        self.heldout_mask, self.state)
+                step_after = int(self.state.step_count)  # fence
+                ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
+                for i in range(take):
+                    series.append({
+                        "step": step_after - (take - 1 - i) * interval,
+                        "ppx": float(ppx_vals[i]),
+                        "link_count": int(res.link_count[i]),
+                        "non_link_count": int(res.non_link_count[i]),
+                        "link_likelihood": float(res.link_likelihood[i]),
+                        "non_link_likelihood":
+                            float(res.non_link_likelihood[i]),
+                    })
+                evals_left -= take
+            tail = max_iters % interval
+            if tail:
+                self._run_fused(tail, spc)
+            int(self.state.step_count)
+        return series
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):

@@ -49,26 +49,28 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
         source = f"synthetic({syn_n},{syn_deg})"
     split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
+    # production fast path: device sampling + shared draws + fused
+    # in-loop evals (run_with_ppx) — the eval cadence doesn't cap the
+    # dispatch depth
     cfg = Config(K=k, mini_batch_size=32, num_node_sample=32,
-                 steps_per_call=min(200, interval),
-                 edgeset_backend=EdgeSetBackend.PERFECT)
+                 steps_per_call=1000, device_sampling=True,
+                 shared_neighbors=True,
+                 edgeset_backend=EdgeSetBackend.AUTO)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"[{name}] {source}: N={cfg.N} E={cfg.E} K={k}",
           file=sys.stderr)
 
     learner = Learner(cfg, graph, split)
     t0 = time.time()
+    start = int(learner.state.step_count)
     series = [{"iter": 0, "ppx": learner.heldout_perplexity(),
                "seconds": time.time() - t0}]
     print(f"[{name}] ppx[0] = {series[0]['ppx']:.4f}", file=sys.stderr)
-    i = 0
-    while i < iters:
-        step = min(interval, iters - i)
-        learner.run(step)
-        i += step
-        series.append({"iter": i, "ppx": learner.heldout_perplexity(),
+    for ev in learner.run_with_ppx(iters, interval):
+        series.append({"iter": ev["step"] - start, "ppx": ev["ppx"],
                        "seconds": time.time() - t0})
-        print(f"[{name}] ppx[{i}] = {series[-1]['ppx']:.4f} "
+        print(f"[{name}] ppx[{series[-1]['iter']}] = "
+              f"{series[-1]['ppx']:.4f} "
               f"({series[-1]['seconds']:.1f}s)", file=sys.stderr)
     learner.close()
 

@@ -229,3 +229,30 @@ def test_sharded_prefetch_resume_bit_exact(tmp_path):
     assert ppx_a == ppx_b
     np.testing.assert_array_equal(np.asarray(a.state.pi),
                                   np.asarray(b.state.pi))
+
+
+def test_sharded_fused_ppx_series_matches_host_loop():
+    """ShardedLearner.run_with_ppx composes the exact fused-chunk +
+    collective-eval bodies inside one shard_map program; the series
+    must reproduce the host loop bit-exactly (Learner contract)."""
+    kw = {"device_sampling": True, "steps_per_call": 40,
+          "host_sampler": "numpy"}
+    cfg, graph, split = make_pair(cfg_kw=kw)
+    mesh = make_mesh(2, 4)
+    a = ShardedLearner(cfg, graph, split, mesh)
+    b = ShardedLearner(cfg, graph, split, mesh)
+
+    series = a.run_with_ppx(40, 10)
+    assert [ev["step"] for ev in series] == [11, 21, 31, 41]
+
+    for ev in series:
+        b.run(10)
+        ppx = b.heldout_perplexity()
+        assert ev["ppx"] == ppx
+        assert ev["link_count"] == b.last_ppx_stats["link_count"]
+        assert (ev["non_link_likelihood"]
+                == b.last_ppx_stats["non_link_likelihood"])
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    # series state keeps its mesh shardings
+    assert "model" in str(a.state.pi.sharding)
