@@ -9,6 +9,13 @@ cost. This decides whether fewer-bigger ops (windowed engine) can beat
 the current ~13 big-array touches per step.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import functools
 import time
 

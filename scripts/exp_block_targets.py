@@ -21,6 +21,13 @@ Measures updates/s of the prototype loop vs the production
 NODE_NON_LINK device-sampled loop at the bench shape.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import functools
 import sys
 import time

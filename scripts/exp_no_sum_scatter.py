@@ -8,6 +8,13 @@ phi_sum a gather-time row reduction instead of carried state). If the
 rate moves as predicted, the refactor is worth its blast radius.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -20,6 +20,13 @@ Timing: every variant runs S=200 steps/dispatch, fenced with a scalar
 readback (axon tunnel rule, CLAUDE.md).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import functools
 import time
 

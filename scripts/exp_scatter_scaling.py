@@ -5,6 +5,13 @@ issue/setup cost), then staging W steps of rows and flushing every W
 steps (windowed scatter) divides the per-step scatter cost by W.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import functools
 import time
 

@@ -2,6 +2,13 @@
 wall-vs-device gap (19.3 vs 16.0 us/step at spc=1000) does a deeper
 scan recover, and where does compile time / memory push back?"""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import sys
 import time
 
