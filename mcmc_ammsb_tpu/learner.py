@@ -173,10 +173,33 @@ def chunked_gamma_rows(cfg: Config, key: jax.Array,
             else jnp.concatenate(chunks, axis=0))
 
 
+def chunked_pi_rows(cfg: Config, key: jax.Array, store_dtype,
+                    dtype=jnp.float32):
+    """Gamma init + row normalize + quantize PER BLOCK: returns
+    (pi [N,K] store_dtype, phi_sum [N] fp32) without ever holding a
+    full-precision [N,K] — bf16 storage exists so K>=8192 fits on one
+    chip, and an fp32 phi_raw intermediate would defeat it. Same keys
+    and block size as chunked_gamma_rows, so the draws (and the bf16
+    trajectory) are identical to normalize-then-cast."""
+    block = max(1, (1 << 24) // max(cfg.K, 1))
+    pis, sums = [], []
+    for i, start in enumerate(range(0, cfg.N, block)):
+        rows = min(block, cfg.N - start)
+        g = native_rng.gamma(jax.random.fold_in(key, i), (rows, cfg.K),
+                             cfg.eta0, cfg.eta1, dtype)
+        s = jnp.sum(g, axis=-1)
+        pis.append((g / s[:, None]).astype(store_dtype))
+        sums.append(s)
+    if len(pis) == 1:
+        return pis[0], sums[0]
+    return jnp.concatenate(pis, axis=0), jnp.concatenate(sums, axis=0)
+
+
 def init_state(cfg: Config, heldout_size: int,
                train_ppx_size: int = 0,
                dtype=jnp.float32) -> TrainState:
     """Initialize model state (init laws of learner.cc:149-155)."""
+    pi = phi_sum = None
     if cfg.rng_backend == RngBackend.REFERENCE:
         from mcmc_ammsb_tpu.rng import reference as ref
         theta, phi_raw = _init_gamma_reference(cfg, dtype)
@@ -192,11 +215,16 @@ def init_state(cfg: Config, heldout_size: int,
         k_theta, k_pi = jax.random.split(root)
         theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1,
                                  dtype)
-        phi_raw = chunked_gamma_rows(cfg, k_pi, dtype)
+        if pi_storage_dtype(cfg) != jnp.float32:
+            pi, phi_sum = chunked_pi_rows(cfg, k_pi,
+                                          pi_storage_dtype(cfg), dtype)
+        else:
+            phi_raw = chunked_gamma_rows(cfg, k_pi, dtype)
         ref_seeds = None
     beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
-    phi_sum = jnp.sum(phi_raw, axis=-1)
-    pi = phi_raw / phi_sum[:, None]
+    if pi is None:
+        phi_sum = jnp.sum(phi_raw, axis=-1)
+        pi = phi_raw / phi_sum[:, None]
     return TrainState(
         pi=pi.astype(pi_storage_dtype(cfg)),
         phi_sum=phi_sum,
