@@ -203,6 +203,22 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
     return state
 
 
+def _chunk_ppx(cfg: Config, num_chains: int, edge_set: EdgeSet,
+               heldout_set: EdgeSet, adjacency,
+               eu: jnp.ndarray, ev: jnp.ndarray, state: ChainState,
+               num_evals: int, interval: int):
+    """num_evals x (interval fused chain steps + one per-chain eval) in
+    ONE dispatch — the chain-engine analog of
+    learner.train_steps_fused_ppx. Returns (state, neg_avg_log
+    [num_evals, C])."""
+    def outer(st: ChainState, _):
+        st = _chunk(cfg, num_chains, edge_set, heldout_set, adjacency,
+                    st, interval)
+        return _ppx(cfg, num_chains, heldout_set, eu, ev, st)
+
+    return jax.lax.scan(outer, state, None, length=num_evals)
+
+
 def _ppx(cfg: Config, num_chains: int, heldout_set: EdgeSet,
          eu: jnp.ndarray, ev: jnp.ndarray, state: ChainState):
     """Per-chain perplexity over the shared heldout population."""
@@ -287,6 +303,10 @@ class FlatChainLearner:
             static_argnames="num_steps", donate_argnums=(3,))
         self._ppx = jax.jit(partial(_ppx, cfg, num_chains),
                             donate_argnums=(3,))
+        self._chunk_ppx = jax.jit(
+            partial(_chunk_ppx, cfg, num_chains),
+            static_argnames=("num_evals", "interval"),
+            donate_argnums=(5,))
 
     def run(self, max_iters: int) -> None:
         spc = max(1, self.cfg.steps_per_call)
@@ -300,6 +320,41 @@ class FlatChainLearner:
                         self.adjacency, self.state, num_steps=take)
                 done += take
             int(self.state.step_count)  # fence inside the timer
+
+    def run_with_ppx(self, max_iters: int, interval: int):
+        """Train max_iters steps with a per-chain held-out eval every
+        ``interval`` steps fused into single dispatches (_chunk_ppx) —
+        the chain-engine analog of Learner.run_with_ppx. Returns a list
+        of {step, ppx: [C] array} dicts; bit-exact with the chunked
+        host loop (tested)."""
+        spc = max(1, self.cfg.steps_per_call)
+        group = max(1, spc // max(1, interval))
+        series = []
+        evals_left = max_iters // interval
+        with self.timers.stage("total"):
+            while evals_left > 0:
+                take = min(group, evals_left)
+                with self.timers.stage("device_step"):
+                    self.state, neg = self._chunk_ppx(
+                        self.training_set, self.heldout_set,
+                        self.adjacency, self.heldout_u, self.heldout_v,
+                        self.state, num_evals=take, interval=interval)
+                step_after = int(self.state.step_count)  # fence
+                ppx_vals = np.exp(np.asarray(neg))       # [take, C]
+                for i in range(take):
+                    series.append({
+                        "step": step_after - (take - 1 - i) * interval,
+                        "ppx": ppx_vals[i],
+                    })
+                evals_left -= take
+            tail = max_iters % interval
+            if tail:
+                with self.timers.stage("device_step"):
+                    self.state = self._chunk(
+                        self.training_set, self.heldout_set,
+                        self.adjacency, self.state, num_steps=tail)
+                int(self.state.step_count)  # fence
+        return series
 
     def heldout_perplexity(self) -> np.ndarray:
         with self.timers.stage("ppx"):

@@ -251,13 +251,26 @@ def main(argv=None) -> int:
             log.info("restored checkpoint %s (step=%d)", args.restore,
                      int(chains.state.step_count))
         log.info("ppx[0] = %s", chains.heldout_perplexity())
+        fused_evals = (hasattr(chains, "run_with_ppx")
+                       and cfg.steps_per_call > cfg.ppx_interval)
         i = 0
+        start_step = int(chains.state.step_count)
         while i < args.max_iters and not signaled["flag"]:
-            step = min(args.max_iters - i, cfg.ppx_interval)
-            chains.run(step)
-            i += step
-            if not signaled["flag"]:
-                log.info("ppx[%d] = %s", i, chains.heldout_perplexity())
+            if fused_evals:
+                take = min(args.max_iters - i,
+                           max(cfg.steps_per_call // cfg.ppx_interval, 1)
+                           * cfg.ppx_interval)
+                for ev in chains.run_with_ppx(take, cfg.ppx_interval):
+                    log.info("ppx[%d] = %s", ev["step"] - start_step,
+                             ev["ppx"])
+                i += take
+            else:
+                step = min(args.max_iters - i, cfg.ppx_interval)
+                chains.run(step)
+                i += step
+                if not signaled["flag"]:
+                    log.info("ppx[%d] = %s", i,
+                             chains.heldout_perplexity())
         if signaled["flag"]:
             log.info("FORCED TERMINATE")
         chains.timers.print_table(lambda s: log.info("%s", s))

@@ -106,3 +106,45 @@ def test_flat_chains_checkpoint_rejects_chain_mismatch(tmp_path):
     save_checkpoint(path, _fresh_flat(num_chains=2))
     with pytest.raises(ValueError, match="num_chains"):
         load_checkpoint(path, _fresh_flat(num_chains=3))
+
+
+def test_flat_chains_fused_ppx_series_matches_host_loop():
+    """run_with_ppx on the chain engine: same bit-exactness contract
+    as Learner.run_with_ppx, per chain."""
+    n, u, v = synthetic_sbm_edges(250, 4, p_in=0.15, p_out=0.005, seed=21)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=22)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                 steps_per_call=40)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    a = FlatChainLearner(cfg, graph, split, num_chains=2)
+    b = FlatChainLearner(cfg, graph, split, num_chains=2)
+
+    series = a.run_with_ppx(45, 10)   # 4 evals + 5-step tail
+    assert [ev["step"] for ev in series] == [11, 21, 31, 41]
+    assert int(a.state.step_count) == 46
+
+    for ev in series:
+        b.run(10)
+        np.testing.assert_array_equal(ev["ppx"], b.heldout_perplexity())
+    b.run(5)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+
+
+def test_vmap_chains_shared_neighbors_smoke():
+    """The vmap cross-check engine composes train_steps_fused, so
+    shared draws work per chain there too."""
+    from mcmc_ammsb_tpu.chains import MultiChainLearner
+
+    n, u, v = synthetic_sbm_edges(250, 4, p_in=0.15, p_out=0.005, seed=21)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=22)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=20, shared_neighbors=True)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    l = MultiChainLearner(cfg, graph, split, num_chains=2)
+    p0 = l.heldout_perplexity()
+    l.run(200)
+    p1 = l.heldout_perplexity()
+    assert np.isfinite(p1).all() and (p1 < p0).all()
