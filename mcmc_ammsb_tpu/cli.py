@@ -282,9 +282,9 @@ def main(argv=None) -> int:
         return 0
 
     if args.model == "mmsb":
-        if args.mesh or args.num_chains > 1 or args.device_sampling:
-            log.fatal("--model mmsb is single-chip, single-chain, "
-                      "host-sampled for now")
+        if args.mesh or args.num_chains > 1:
+            log.fatal("--model mmsb is single-chip, single-chain "
+                      "for now")
             return 1
         from mcmc_ammsb_tpu.models.mmsb import FullMMSBLearner
         mmsb = FullMMSBLearner(cfg, graph, split)
@@ -294,13 +294,26 @@ def main(argv=None) -> int:
             log.info("restored checkpoint %s (step=%d)", args.restore,
                      int(mmsb.state.step_count))
         log.info("ppx[0] = %s", mmsb.heldout_perplexity())
+        fused_evals = (cfg.device_sampling
+                       and cfg.steps_per_call > cfg.ppx_interval)
         i = 0
+        start_step = int(mmsb.state.step_count)
         while i < args.max_iters and not signaled["flag"]:
-            step = min(args.max_iters - i, cfg.ppx_interval)
-            mmsb.run(step)
-            i += step
-            if not signaled["flag"]:
-                log.info("ppx[%d] = %s", i, mmsb.heldout_perplexity())
+            if fused_evals:
+                take = min(args.max_iters - i,
+                           max(cfg.steps_per_call // cfg.ppx_interval, 1)
+                           * cfg.ppx_interval)
+                for ev in mmsb.run_with_ppx(take, cfg.ppx_interval):
+                    log.info("ppx[%d] = %s", ev["step"] - start_step,
+                             ev["ppx"])
+                i += take
+            else:
+                step = min(args.max_iters - i, cfg.ppx_interval)
+                mmsb.run(step)
+                i += step
+                if not signaled["flag"]:
+                    log.info("ppx[%d] = %s", i,
+                             mmsb.heldout_perplexity())
         if signaled["flag"]:
             log.info("FORCED TERMINATE")
         mmsb.print_stats(lambda s: log.info("%s", s))

@@ -79,6 +79,7 @@ class MMSBState(NamedTuple):
     phi_key: jax.Array
     theta_key: jax.Array
     neighbor_key: jax.Array
+    sample_key: jax.Array      # device-sampling stream
 
 
 def init_mmsb_state(cfg: Config, heldout_size: int,
@@ -118,6 +119,7 @@ def init_mmsb_state(cfg: Config, heldout_size: int,
         phi_key=native_rng.key_from_seed(cfg.phi_seed),
         theta_key=native_rng.key_from_seed(cfg.beta_seed),
         neighbor_key=native_rng.key_from_seed(cfg.neighbor_seed),
+        sample_key=native_rng.key_from_seed((cfg.sample_seed, 0x5A)),
     )
 
 
@@ -327,6 +329,38 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
     return state
 
 
+def mmsb_steps_fused(cfg: Config, edge_set: EdgeSet,
+                     heldout_set: EdgeSet, state: MMSBState,
+                     num_steps: int, adjacency=None) -> MMSBState:
+    """Fully-fused MMSB loop: minibatches for the whole chunk drawn ON
+    DEVICE (the sampler is model-agnostic — learner.train_steps_fused's
+    structure), then mmsb_steps_scan consumes them."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+
+    chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
+    ds = sample_minibatches_device(cfg, edge_set, heldout_set,
+                                   chunk_key, num_steps, adjacency)
+    batches = DeviceBatch(ds.edges_u, ds.edges_v, ds.edge_mask,
+                          ds.nodes, ds.node_mask, ds.weight)
+    return mmsb_steps_scan(cfg, edge_set, state, batches)
+
+
+def mmsb_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
+                         heldout_set: EdgeSet, state: MMSBState,
+                         eu: jnp.ndarray, ev: jnp.ndarray,
+                         num_evals: int, interval: int,
+                         adjacency=None):
+    """num_evals x (interval fused MMSB steps + one eval) in one
+    dispatch (learner.train_steps_fused_ppx's structure). Returns
+    (state, neg_avg_log [num_evals])."""
+    def outer(s: MMSBState, _):
+        s = mmsb_steps_fused(cfg, edge_set, heldout_set, s, interval,
+                             adjacency)
+        return mmsb_perplexity(cfg, heldout_set, eu, ev, s)
+
+    return jax.lax.scan(outer, state, None, length=num_evals)
+
+
 class FullMMSBLearner:
     """Orchestrator for the full-B MMSB (mirrors learner.Learner)."""
 
@@ -335,6 +369,10 @@ class FullMMSBLearner:
             raise ValueError("the full-MMSB family keeps pi in fp32; "
                              "pi_dtype=bfloat16 is a-MMSB single-chip "
                              "only")
+        if cfg.shared_neighbors:
+            raise ValueError("shared_neighbors is not wired into the "
+                             "full-MMSB phi stage (per-node draws "
+                             "only)")
         self.cfg = cfg
         self.graph = graph
         self.split = split
@@ -346,9 +384,18 @@ class FullMMSBLearner:
         self.heldout_v = jnp.asarray(split.heldout_edges_v)
         self.state = init_mmsb_state(cfg, len(split.heldout_edges_u))
         self.sampler = MiniBatchSampler(cfg, graph, split)
+        self.adjacency = (jnp.asarray(graph.offsets, jnp.int32),
+                          jnp.asarray(graph.cols, jnp.int32))
         self.timers = StageTimers()
         self._scan = jax.jit(partial(mmsb_steps_scan, cfg),
                              donate_argnums=(1,))
+        self._fused = jax.jit(partial(mmsb_steps_fused, cfg),
+                              static_argnames="num_steps",
+                              donate_argnums=(2,))
+        self._fused_ppx = jax.jit(
+            partial(mmsb_steps_fused_ppx, cfg),
+            static_argnames=("num_evals", "interval"),
+            donate_argnums=(2,))
         self._ppx = jax.jit(partial(mmsb_perplexity, cfg),
                             donate_argnums=(3,))
 
@@ -358,14 +405,56 @@ class FullMMSBLearner:
             done = 0
             while done < max_iters:
                 take = min(spc, max_iters - done)
-                with self.timers.stage("sampling"):
-                    stacked = self.sampler.sample_many(take)
-                    batches = DeviceBatch.from_stacked(stacked)
-                with self.timers.stage("device_step"):
-                    self.state = self._scan(self.training_set,
-                                            self.state, batches)
+                if self.cfg.device_sampling:
+                    with self.timers.stage("device_step"):
+                        self.state = self._fused(
+                            self.training_set, self.heldout_set,
+                            self.state, num_steps=take,
+                            adjacency=self.adjacency)
+                else:
+                    with self.timers.stage("sampling"):
+                        stacked = self.sampler.sample_many(take)
+                        batches = DeviceBatch.from_stacked(stacked)
+                    with self.timers.stage("device_step"):
+                        self.state = self._scan(self.training_set,
+                                                self.state, batches)
                 done += take
             int(self.state.step_count)  # fence inside the timer
+
+    def run_with_ppx(self, max_iters: int, interval: int):
+        """Fused eval series (Learner.run_with_ppx contract, scalar
+        ppx per eval). Requires cfg.device_sampling."""
+        if not self.cfg.device_sampling:
+            raise RuntimeError("run_with_ppx requires device_sampling")
+        spc = max(1, self.cfg.steps_per_call)
+        group = max(1, spc // max(1, interval))
+        series = []
+        evals_left = max_iters // interval
+        with self.timers.stage("total"):
+            while evals_left > 0:
+                take = min(group, evals_left)
+                with self.timers.stage("device_step"):
+                    self.state, neg = self._fused_ppx(
+                        self.training_set, self.heldout_set, self.state,
+                        self.heldout_u, self.heldout_v,
+                        num_evals=take, interval=interval,
+                        adjacency=self.adjacency)
+                step_after = int(self.state.step_count)  # fence
+                ppx_vals = np.asarray(jnp.exp(neg))
+                for i in range(take):
+                    series.append({
+                        "step": step_after - (take - 1 - i) * interval,
+                        "ppx": float(ppx_vals[i]),
+                    })
+                evals_left -= take
+            tail = max_iters % interval
+            if tail:
+                with self.timers.stage("device_step"):
+                    self.state = self._fused(
+                        self.training_set, self.heldout_set, self.state,
+                        num_steps=tail, adjacency=self.adjacency)
+                int(self.state.step_count)  # fence
+        return series
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):

@@ -139,3 +139,51 @@ def test_mmsb_trains_stably():
     assert ((b > 0) & (b < 1)).all()
     np.testing.assert_allclose(np.asarray(lrn.state.pi).sum(-1), 1.0,
                                atol=1e-5)
+
+
+def test_mmsb_device_sampled_trains():
+    """The fully-fused MMSB loop (device-drawn minibatches) trains and
+    improves like the host-sampled path."""
+    n, u, v = synthetic_sbm_edges(400, 4, p_in=0.12, p_out=0.005, seed=3)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=4)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=20, device_sampling=True)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    l = FullMMSBLearner(cfg, graph, split)
+    p0 = l.heldout_perplexity()
+    l.run(300)
+    assert int(l.state.step_count) == 301
+    p1 = l.heldout_perplexity()
+    assert np.isfinite(p1) and p1 < p0
+
+
+def test_mmsb_fused_ppx_series_matches_host_loop():
+    """Same bit-exactness contract as Learner.run_with_ppx."""
+    n, u, v = synthetic_sbm_edges(400, 4, p_in=0.12, p_out=0.005, seed=3)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=4)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=40, device_sampling=True)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    a = FullMMSBLearner(cfg, graph, split)
+    b = FullMMSBLearner(cfg, graph, split)
+
+    series = a.run_with_ppx(40, 10)
+    assert [ev["step"] for ev in series] == [11, 21, 31, 41]
+    for ev in series:
+        b.run(10)
+        assert ev["ppx"] == b.heldout_perplexity()
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+
+
+def test_mmsb_rejects_shared_neighbors():
+    n, u, v = synthetic_sbm_edges(400, 4, p_in=0.12, p_out=0.005, seed=3)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=4)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 shared_neighbors=True)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    with pytest.raises(ValueError, match="shared_neighbors"):
+        FullMMSBLearner(cfg, graph, split)
