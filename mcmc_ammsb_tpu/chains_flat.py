@@ -82,8 +82,9 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
 
     # one batched draw covers every (step, chain) minibatch
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
-    ds = sample_minibatches_device(cfg, edge_set, heldout_set, chunk_key,
-                                   s_len * c, adjacency)
+    with jax.named_scope("device_sampling"):
+        ds = sample_minibatches_device(cfg, edge_set, heldout_set,
+                                       chunk_key, s_len * c, adjacency)
 
     def r(x, cap):
         return x.reshape(s_len, c, cap, *x.shape[2:])
@@ -108,11 +109,13 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
         # fast path (config.py shared_neighbors doc), cutting the
         # dominant pi_nb gather from C*B*n to C*n rows per step.
         sentinel = jnp.full((c,), cfg.N, jnp.int32)
-        neighbors = jax.vmap(lambda key: sample_neighbors(
-            key, sentinel, cfg.N, cfg.num_node_sample))(nbr_keys)
-        # [S, C, n] chain-local ids
-        y_phi = edge_set.has_edges(nodes[..., None],
-                                   neighbors[:, :, None, :])  # [S,C,B,n]
+        with jax.named_scope("neighbor_draws"):
+            neighbors = jax.vmap(lambda key: sample_neighbors(
+                key, sentinel, cfg.N, cfg.num_node_sample))(nbr_keys)
+            # [S, C, n] chain-local ids
+        with jax.named_scope("membership"):
+            y_phi = edge_set.has_edges(
+                nodes[..., None], neighbors[:, :, None, :])  # [S,C,B,n]
         nbr_mask = (neighbors[:, :, None, :]
                     != nodes[..., None])                      # [S,C,B,n]
         # beta endpoint rows come from the step's STAGED phi rows (the
@@ -123,20 +126,26 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
         lanes_v = jnp.argmax(ev[..., None] == nodes[:, :, None, :],
                              axis=-1).astype(jnp.int32)
     else:
-        neighbors = jax.vmap(lambda key, nd: sample_neighbors(
-            key, nd, cfg.N, cfg.num_node_sample))(
-            nbr_keys, flat_nodes_all)     # [S, C*B, n]
-        y_phi = edge_set.has_edges(flat_nodes_all[:, :, None], neighbors)
+        with jax.named_scope("neighbor_draws"):
+            neighbors = jax.vmap(lambda key, nd: sample_neighbors(
+                key, nd, cfg.N, cfg.num_node_sample))(
+                nbr_keys, flat_nodes_all)     # [S, C*B, n]
+        with jax.named_scope("membership"):
+            y_phi = edge_set.has_edges(flat_nodes_all[:, :, None],
+                                       neighbors)
         nbr_mask = jnp.zeros((s_len,), jnp.bool_)   # unused placeholder
         lanes_u = lanes_v = jnp.zeros((s_len,), jnp.int32)
-    if cfg.phi_disable_noise:
-        phi_noise = jnp.ones((s_len, c * b_cap, k), jnp.float32)
-    else:
-        phi_noise = jax.vmap(lambda s: native_rng.randn(
-            jax.random.fold_in(state.phi_key, s), (c * b_cap, k)))(steps)
-    beta_noise = jax.vmap(lambda s: native_rng.randn(
-        jax.random.fold_in(state.beta_key, s), (c, k, 2)))(steps)
-    y_edges = edge_set.has_edges(eu, ev)   # [S,C,E]
+    with jax.named_scope("noise"):
+        if cfg.phi_disable_noise:
+            phi_noise = jnp.ones((s_len, c * b_cap, k), jnp.float32)
+        else:
+            phi_noise = jax.vmap(lambda s: native_rng.randn(
+                jax.random.fold_in(state.phi_key, s),
+                (c * b_cap, k)))(steps)
+        beta_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.beta_key, s), (c, k, 2)))(steps)
+    with jax.named_scope("membership"):
+        y_edges = edge_set.has_edges(eu, ev)   # [S,C,E]
 
     # chain row offsets; sentinel rows (id == N) map to the global
     # sentinel C*N so they never collide with another chain's row 0
@@ -149,48 +158,59 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
         flat_nodes = jnp.where(nodes_s < n_rows, nodes_s + offsets,
                                c * n_rows).reshape(-1)       # [C*B]
         flat_mask = nmask_s.reshape(-1)
-        pi_n = st.pi[flat_nodes]                             # [C*B, K]
-        phis = st.phi_sum[flat_nodes]
-        if cfg.shared_neighbors:
-            pi_nb = st.pi[nbrs_s + offsets]                  # [C, n, K]
-            rows_c, sums_c = jax.vmap(
-                lambda pn, ps, pnb, yy, bt, nz, nm:
-                phi_ops.phi_update_core(cfg, pn, ps, pnb[None], yy, bt,
-                                        st.step_count, nz, nm)
-            )(pi_n.reshape(c, b_cap, k), phis.reshape(c, b_cap),
-              pi_nb, y_n, st.beta, n_phi.reshape(c, b_cap, k), nm_s)
-            rows = rows_c.reshape(c * b_cap, k)
-            sums = sums_c.reshape(-1)
-        else:
-            flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
-                         + offsets[:, :, None]).reshape(c * b_cap, -1)
-            pi_nb = st.pi[flat_nbrs]                         # [C*B, n, K]
-            beta_rows = jnp.repeat(st.beta, b_cap, axis=0)[:, None, :]
-            rows, sums = phi_ops.phi_update_core(
-                cfg, pi_n, phis, pi_nb, y_n.reshape(c * b_cap, -1),
-                beta_rows, st.step_count, n_phi)
-        safe = jnp.where(flat_mask, flat_nodes, c * n_rows)
-        pi = st.pi.at[safe].set(rows, mode="drop")
-        phi_sum = st.phi_sum.at[safe].set(sums, mode="drop")
+        with jax.named_scope("pi_gather"):
+            pi_n = st.pi[flat_nodes]                         # [C*B, K]
+            phis = st.phi_sum[flat_nodes]
+            if cfg.shared_neighbors:
+                pi_nb = st.pi[nbrs_s + offsets]              # [C, n, K]
+            else:
+                flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
+                             + offsets[:, :, None]).reshape(c * b_cap, -1)
+                pi_nb = st.pi[flat_nbrs]                     # [C*B, n, K]
+        with jax.named_scope("phi_update"):
+            if cfg.shared_neighbors:
+                rows_c, sums_c = jax.vmap(
+                    lambda pn, ps, pnb, yy, bt, nz, nm:
+                    phi_ops.phi_update_core(cfg, pn, ps, pnb[None], yy,
+                                            bt, st.step_count, nz, nm)
+                )(pi_n.reshape(c, b_cap, k), phis.reshape(c, b_cap),
+                  pi_nb, y_n, st.beta, n_phi.reshape(c, b_cap, k), nm_s)
+                rows = rows_c.reshape(c * b_cap, k)
+                sums = sums_c.reshape(-1)
+            else:
+                beta_rows = jnp.repeat(st.beta, b_cap, axis=0)[:, None, :]
+                rows, sums = phi_ops.phi_update_core(
+                    cfg, pi_n, phis, pi_nb, y_n.reshape(c * b_cap, -1),
+                    beta_rows, st.step_count, n_phi)
+        with jax.named_scope("pi_scatter"):
+            safe = jnp.where(flat_mask, flat_nodes, c * n_rows)
+            pi = st.pi.at[safe].set(rows, mode="drop")
+            phi_sum = st.phi_sum.at[safe].set(sums, mode="drop")
         # ---- beta stage per chain ------------------------------------
-        if cfg.shared_neighbors:
-            # endpoint rows from the staged buffer (no [C*N,K] gathers);
-            # masked node lanes hold staging garbage the scatter drops —
-            # sanitize before the small lane gathers (NaN*0 != 0)
-            rows_safe = jnp.where(flat_mask[:, None], rows,
-                                  1.0 / k).reshape(c, b_cap, k)
-            pi_u = jnp.take_along_axis(rows_safe, lu_s[..., None], axis=1)
-            pi_v = jnp.take_along_axis(rows_safe, lv_s[..., None], axis=1)
-        else:
-            flat_eu = (eu_s + offsets).reshape(-1)
-            flat_ev = (ev_s + offsets).reshape(-1)
-            pi_u = pi[flat_eu].reshape(c, e_cap, k)
-            pi_v = pi[flat_ev].reshape(c, e_cap, k)
-        grads = _beta_gradients_chains(
-            cfg, st.theta, st.beta, pi_u, pi_v, y_e, emask_s)
+        with jax.named_scope("beta_grads"):
+            if cfg.shared_neighbors:
+                # endpoint rows from the staged buffer (no [C*N,K]
+                # gathers); masked node lanes hold staging garbage the
+                # scatter drops — sanitize before the small lane
+                # gathers (NaN*0 != 0)
+                rows_safe = jnp.where(flat_mask[:, None], rows,
+                                      1.0 / k).reshape(c, b_cap, k)
+                pi_u = jnp.take_along_axis(rows_safe, lu_s[..., None],
+                                           axis=1)
+                pi_v = jnp.take_along_axis(rows_safe, lv_s[..., None],
+                                           axis=1)
+            else:
+                flat_eu = (eu_s + offsets).reshape(-1)
+                flat_ev = (ev_s + offsets).reshape(-1)
+                pi_u = pi[flat_eu].reshape(c, e_cap, k)
+                pi_v = pi[flat_ev].reshape(c, e_cap, k)
+            grads = _beta_gradients_chains(
+                cfg, st.theta, st.beta, pi_u, pi_v, y_e, emask_s)
         beta_count = st.beta_count + 1
-        theta, beta = beta_ops.theta_step(
-            cfg, st.theta, grads, w_s[:, None, None], beta_count, n_beta)
+        with jax.named_scope("theta_update"):
+            theta, beta = beta_ops.theta_step(
+                cfg, st.theta, grads, w_s[:, None, None], beta_count,
+                n_beta)
         return st._replace(
             pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
             step_count=st.step_count + 1, beta_count=beta_count), None
@@ -362,3 +382,33 @@ class FlatChainLearner:
                 self.heldout_set, self.heldout_u, self.heldout_v,
                 self.state)
             return np.exp(np.asarray(neg))
+
+    def fused_stage_profile(self, iters=None) -> dict:
+        """TRUE per-stage attribution of the fused multi-chain program
+        (Learner.fused_stage_profile contract): a traced production
+        chunk aggregated by the named_scope stages in _chunk."""
+        from mcmc_ammsb_tpu.utils import profiling
+
+        spc = max(1, self.cfg.steps_per_call)
+        iters = iters or max(spc, 200)
+        iters = max(spc, (iters // spc) * spc)
+        self.run(spc)  # compile outside the trace
+        hlo_text = None
+        if jax.default_backend() == "cpu":
+            hlo_text = self._chunk.lower(
+                self.training_set, self.heldout_set, self.adjacency,
+                self.state, num_steps=spc,
+            ).compile().as_text()
+        prof = profiling.profile_trace(lambda: self.run(iters),
+                                       hlo_text=hlo_text)
+        prof["steps"] = iters
+        return prof
+
+    def print_stage_profile(self, log=print, iters=None) -> None:
+        from mcmc_ammsb_tpu.utils import profiling
+
+        prof = self.fused_stage_profile(iters)
+        if prof["source"] == "none" or prof["total_op_seconds"] <= 0:
+            log("trace captured no attributable device ops")
+            return
+        profiling.format_stage_table(prof, prof["steps"], log)
