@@ -274,6 +274,8 @@ def main(argv=None) -> int:
         if signaled["flag"]:
             log.info("FORCED TERMINATE")
         chains.timers.print_table(lambda s: log.info("%s", s))
+        if args.profile and hasattr(chains, "print_stage_profile"):
+            chains.print_stage_profile(lambda s: log.info("%s", s))
         if args.checkpoint:
             from mcmc_ammsb_tpu.checkpoint import save_checkpoint
             save_checkpoint(args.checkpoint, chains,
