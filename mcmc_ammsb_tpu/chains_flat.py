@@ -347,34 +347,29 @@ class FlatChainLearner:
         the chain-engine analog of Learner.run_with_ppx. Returns a list
         of {step, ppx: [C] array} dicts; bit-exact with the chunked
         host loop (tested)."""
+        from mcmc_ammsb_tpu.learner import run_fused_eval_series
+
         spc = max(1, self.cfg.steps_per_call)
-        group = max(1, spc // max(1, interval))
-        series = []
-        evals_left = max_iters // interval
-        with self.timers.stage("total"):
-            while evals_left > 0:
-                take = min(group, evals_left)
-                with self.timers.stage("device_step"):
-                    self.state, neg = self._chunk_ppx(
-                        self.training_set, self.heldout_set,
-                        self.adjacency, self.heldout_u, self.heldout_v,
-                        self.state, num_evals=take, interval=interval)
-                step_after = int(self.state.step_count)  # fence
-                ppx_vals = np.exp(np.asarray(neg))       # [take, C]
-                for i in range(take):
-                    series.append({
-                        "step": step_after - (take - 1 - i) * interval,
-                        "ppx": ppx_vals[i],
-                    })
-                evals_left -= take
-            tail = max_iters % interval
-            if tail:
-                with self.timers.stage("device_step"):
-                    self.state = self._chunk(
-                        self.training_set, self.heldout_set,
-                        self.adjacency, self.state, num_steps=tail)
-                int(self.state.step_count)  # fence
-        return series
+
+        def dispatch(take):
+            self.state, neg = self._chunk_ppx(
+                self.training_set, self.heldout_set, self.adjacency,
+                self.heldout_u, self.heldout_v, self.state,
+                num_evals=take, interval=interval)
+            return np.exp(np.asarray(neg))               # [take, C]
+
+        def tail(t):
+            with self.timers.stage("device_step"):
+                self.state = self._chunk(
+                    self.training_set, self.heldout_set,
+                    self.adjacency, self.state, num_steps=t)
+            int(self.state.step_count)  # fence
+
+        return run_fused_eval_series(
+            self.timers, spc, max_iters, interval, dispatch,
+            lambda: int(self.state.step_count),
+            lambda ppx_vals, i, step: {"step": step, "ppx": ppx_vals[i]},
+            tail)
 
     def heldout_perplexity(self) -> np.ndarray:
         with self.timers.stage("ppx"):

@@ -20,9 +20,13 @@ Two storage backends share the same manifest/sidecar layout:
 * ``npz`` (default) — one self-contained file; leaves are gathered to
   host. Right for single-process runs and small states.
 * ``orbax`` — a checkpoint DIRECTORY written by orbax.checkpoint:
-  atomic (tmp + rename), sharding-aware (each host writes only its
-  shards — the pod-scale path for ShardedLearner under
-  jax.distributed), and restored directly onto the learner's mesh
+  sharding-aware (the tensorstore save is collective — each host
+  writes only its own shards, the pod-scale path for ShardedLearner
+  under jax.distributed; host-side filesystem surgery is process 0's,
+  fenced by barriers), promoted via tmp rename with the previous
+  checkpoint parked at ``.orbax-old`` until the new one is in place
+  (a crash mid-promote is recoverable — load falls back to the
+  parking spot), and restored directly onto the learner's mesh
   shardings. Same bit-exact-resume contract.
 """
 
@@ -175,10 +179,14 @@ def load_checkpoint(path: str, learner):
     serialize-test.cc:90-134).
 
     The backend is detected from the path: a directory is an orbax
-    checkpoint, a file is npz.
+    checkpoint, a file is npz. If an orbax save crashed between its
+    promote renames, the previous checkpoint is recovered from the
+    ``.orbax-old`` parking spot.
     """
     if os.path.isdir(path):
         return _load_orbax(path, learner)
+    if not os.path.exists(path) and os.path.isdir(path + ".orbax-old"):
+        return _load_orbax(path + ".orbax-old", learner)
     z = np.load(path, allow_pickle=False)
     manifest = json.loads(bytes(z["manifest"]).decode())
     _check_manifest(manifest, learner)
@@ -220,6 +228,14 @@ def _quiet_orbax_logging() -> None:
     logging.getLogger("absl").setLevel(logging.WARNING)
 
 
+def _barrier(name: str) -> None:
+    """Cross-host sync point; a no-op in single-process runs."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def _save_orbax(path: str, learner) -> None:
     _quiet_orbax_logging()
     import orbax.checkpoint as ocp
@@ -227,9 +243,19 @@ def _save_orbax(path: str, learner) -> None:
     manifest, sampler_rng, pending_blob = _collect_host_state(learner)
     path = os.path.abspath(path)
     tmp = path + ".orbax-tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    old = path + ".orbax-old"
+    # multi-host discipline: the TENSORSTORE save is collective (every
+    # process calls it; each writes only its own shards), but all
+    # host-side filesystem surgery — tmp/old cleanup, sidecars, the
+    # final promote — is process 0's alone, fenced by barriers so no
+    # process races another's directory operations
+    primary = jax.process_index() == 0
+    if primary:
+        for d in (tmp, old):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.makedirs(tmp)
+    _barrier("mcmc_ammsb_orbax_tmp_ready")
     # orbax/tensorstore refuses zero-size arrays; they carry no data,
     # so persist only the non-empty leaves (the load side rebuilds the
     # empty ones as zeros of the learner's leaf shape/dtype)
@@ -237,15 +263,23 @@ def _save_orbax(path: str, learner) -> None:
               if l.size > 0]
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(tmp, "state"), leaves)
-    with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
-    with open(os.path.join(tmp, "sampler_rng.pkl"), "wb") as f:
-        f.write(sampler_rng)
-    with open(os.path.join(tmp, "pending.pkl"), "wb") as f:
-        f.write(pending_blob)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    if primary:
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(tmp, "sampler_rng.pkl"), "wb") as f:
+            f.write(sampler_rng)
+        with open(os.path.join(tmp, "pending.pkl"), "wb") as f:
+            f.write(pending_blob)
+        # promote: POSIX cannot atomically swap directories, so park
+        # the previous checkpoint at .orbax-old first — a crash between
+        # the two renames leaves the old checkpoint recoverable there
+        # (load_checkpoint falls back to it) instead of lost
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    _barrier("mcmc_ammsb_orbax_done")
 
 
 def _load_orbax(path: str, learner):

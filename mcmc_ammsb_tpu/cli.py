@@ -256,10 +256,11 @@ def main(argv=None) -> int:
         i = 0
         start_step = int(chains.state.step_count)
         while i < args.max_iters and not signaled["flag"]:
-            if fused_evals:
+            if fused_evals and args.max_iters - i >= cfg.ppx_interval:
                 take = min(args.max_iters - i,
                            max(cfg.steps_per_call // cfg.ppx_interval, 1)
                            * cfg.ppx_interval)
+                take -= take % cfg.ppx_interval
                 for ev in chains.run_with_ppx(take, cfg.ppx_interval):
                     log.info("ppx[%d] = %s", ev["step"] - start_step,
                              ev["ppx"])
@@ -301,10 +302,11 @@ def main(argv=None) -> int:
         i = 0
         start_step = int(mmsb.state.step_count)
         while i < args.max_iters and not signaled["flag"]:
-            if fused_evals:
+            if fused_evals and args.max_iters - i >= cfg.ppx_interval:
                 take = min(args.max_iters - i,
                            max(cfg.steps_per_call // cfg.ppx_interval, 1)
                            * cfg.ppx_interval)
+                take -= take % cfg.ppx_interval
                 for ev in mmsb.run_with_ppx(take, cfg.ppx_interval):
                     log.info("ppx[%d] = %s", ev["step"] - start_step,
                              ev["ppx"])
@@ -354,19 +356,27 @@ def main(argv=None) -> int:
             log.info("train_ppx[%d] = %s", i,
                      learner.training_perplexity())
 
+    # train-ppx must be evaluated on the state AT each interval, which
+    # the host loop does between chunks — fused evals carry only the
+    # held-out series, so they are off when --calc-train-ppx is on
     fused_evals = (cfg.device_sampling
-                   and cfg.steps_per_call > cfg.ppx_interval)
+                   and cfg.steps_per_call > cfg.ppx_interval
+                   and not cfg.calc_train_ppx)
     i = 0
     start_step = int(learner.state.step_count)
     while i < args.max_iters and not signaled["flag"]:
-        if fused_evals:
+        if fused_evals and args.max_iters - i >= cfg.ppx_interval:
             # evals ride inside the fused program (train_steps_fused_ppx)
             # so the eval cadence doesn't cap the scan depth; each
             # run_with_ppx call dispatches ~steps_per_call steps and
-            # SIGINT stays responsive between calls
+            # SIGINT stays responsive between calls. Only whole eval
+            # periods run fused; any final partial chunk falls to the
+            # host path below, which always ends on an eval (the old
+            # loop's behavior).
             take = min(args.max_iters - i,
                        max(cfg.steps_per_call // cfg.ppx_interval, 1)
                        * cfg.ppx_interval)
+            take -= take % cfg.ppx_interval
             for ev in learner.run_with_ppx(take, cfg.ppx_interval):
                 log_eval(ev["step"] - start_step, ev["ppx"], ev)
             i += take

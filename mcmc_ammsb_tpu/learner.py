@@ -553,6 +553,37 @@ def train_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
     return jax.lax.scan(outer, state, None, length=num_evals)
 
 
+def run_fused_eval_series(timers, spc: int, max_iters: int,
+                          interval: int, dispatch, fence, record, tail):
+    """Shared driver for every engine's ``run_with_ppx``: group fused
+    eval periods into ~steps_per_call dispatches, number each eval by
+    its absolute step, train any non-multiple tail without a trailing
+    eval. Parameterized by the engine's jitted call and record builder
+    so the bookkeeping lives in exactly one place.
+
+    dispatch(take) -> per-eval results for ``take`` fused eval periods;
+    fence() -> step_count after the dispatch (device readback);
+    record(res, i, step) -> the series entry for eval i;
+    tail(steps) -> train ``steps`` remaining steps (< interval)."""
+    group = max(1, spc // max(1, interval))
+    series = []
+    evals_left = max_iters // interval
+    with timers.stage("total"):
+        while evals_left > 0:
+            take = min(group, evals_left)
+            with timers.stage("device_step"):
+                res = dispatch(take)
+            step_after = fence()
+            for i in range(take):
+                series.append(
+                    record(res, i, step_after - (take - 1 - i) * interval))
+            evals_left -= take
+        t = max_iters % interval
+        if t:
+            tail(t)
+    return series
+
+
 def heldout_perplexity_step(
     cfg: Config, heldout_set: EdgeSet,
     heldout_u: jnp.ndarray, heldout_v: jnp.ndarray,
@@ -805,38 +836,33 @@ class Learner(HostSamplingPipeline):
         if self.heldout_u.shape[0] == 0:
             raise RuntimeError("no held-out edges")
         spc = max(1, self.cfg.steps_per_call)
-        group = max(1, spc // max(1, interval))
-        series = []
-        evals_left = max_iters // interval
-        with self.timers.stage("total"):
-            while evals_left > 0:
-                take = min(group, evals_left)
-                with self.timers.stage("device_step"):
-                    self.state, res = self._fused_ppx_fn(
-                        self.training_set, self.heldout_set, self.state,
-                        self.heldout_u, self.heldout_v,
-                        num_evals=take, interval=interval,
-                        adjacency=self.adjacency)
-                step_after = int(self.state.step_count)  # fence
-                # same exp as heldout_perplexity (XLA's, not numpy's —
-                # they differ by 1 ulp, and the series contract is
-                # bit-exact equality with the host loop)
-                ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
-                for i in range(take):
-                    series.append({
-                        "step": step_after - (take - 1 - i) * interval,
-                        "ppx": float(ppx_vals[i]),
-                        "link_count": int(res.link_count[i]),
-                        "non_link_count": int(res.non_link_count[i]),
-                        "link_likelihood": float(res.link_likelihood[i]),
-                        "non_link_likelihood":
-                            float(res.non_link_likelihood[i]),
-                    })
-                evals_left -= take
-            tail = max_iters % interval
-            if tail:
-                self._run_fused(tail, spc)
-        return series
+
+        def dispatch(take):
+            self.state, res = self._fused_ppx_fn(
+                self.training_set, self.heldout_set, self.state,
+                self.heldout_u, self.heldout_v,
+                num_evals=take, interval=interval,
+                adjacency=self.adjacency)
+            # same exp as heldout_perplexity (XLA's, not numpy's — they
+            # differ by 1 ulp, and the series contract is bit-exact
+            # equality with the host loop)
+            return res, np.asarray(jnp.exp(res.neg_avg_log))
+
+        def record(rr, i, step):
+            res, ppx_vals = rr
+            return {
+                "step": step,
+                "ppx": float(ppx_vals[i]),
+                "link_count": int(res.link_count[i]),
+                "non_link_count": int(res.non_link_count[i]),
+                "link_likelihood": float(res.link_likelihood[i]),
+                "non_link_likelihood": float(res.non_link_likelihood[i]),
+            }
+
+        return run_fused_eval_series(
+            self.timers, spc, max_iters, interval, dispatch,
+            lambda: int(self.state.step_count), record,
+            lambda t: self._run_fused(t, spc))
 
     # -- evaluation --------------------------------------------------------
 

@@ -426,35 +426,30 @@ class FullMMSBLearner:
         ppx per eval). Requires cfg.device_sampling."""
         if not self.cfg.device_sampling:
             raise RuntimeError("run_with_ppx requires device_sampling")
+        from mcmc_ammsb_tpu.learner import run_fused_eval_series
+
         spc = max(1, self.cfg.steps_per_call)
-        group = max(1, spc // max(1, interval))
-        series = []
-        evals_left = max_iters // interval
-        with self.timers.stage("total"):
-            while evals_left > 0:
-                take = min(group, evals_left)
-                with self.timers.stage("device_step"):
-                    self.state, neg = self._fused_ppx(
-                        self.training_set, self.heldout_set, self.state,
-                        self.heldout_u, self.heldout_v,
-                        num_evals=take, interval=interval,
-                        adjacency=self.adjacency)
-                step_after = int(self.state.step_count)  # fence
-                ppx_vals = np.asarray(jnp.exp(neg))
-                for i in range(take):
-                    series.append({
-                        "step": step_after - (take - 1 - i) * interval,
-                        "ppx": float(ppx_vals[i]),
-                    })
-                evals_left -= take
-            tail = max_iters % interval
-            if tail:
-                with self.timers.stage("device_step"):
-                    self.state = self._fused(
-                        self.training_set, self.heldout_set, self.state,
-                        num_steps=tail, adjacency=self.adjacency)
-                int(self.state.step_count)  # fence
-        return series
+
+        def dispatch(take):
+            self.state, neg = self._fused_ppx(
+                self.training_set, self.heldout_set, self.state,
+                self.heldout_u, self.heldout_v,
+                num_evals=take, interval=interval,
+                adjacency=self.adjacency)
+            return np.asarray(jnp.exp(neg))
+
+        def tail(t):
+            with self.timers.stage("device_step"):
+                self.state = self._fused(
+                    self.training_set, self.heldout_set, self.state,
+                    num_steps=t, adjacency=self.adjacency)
+            int(self.state.step_count)  # fence
+
+        return run_fused_eval_series(
+            self.timers, spc, max_iters, interval, dispatch,
+            lambda: int(self.state.step_count),
+            lambda pv, i, step: {"step": step, "ppx": float(pv[i])},
+            tail)
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):

@@ -630,40 +630,39 @@ class ShardedLearner(HostSamplingPipeline):
         contract; requires cfg.device_sampling."""
         if not self.cfg.device_sampling:
             raise RuntimeError("run_with_ppx requires device_sampling")
+        from mcmc_ammsb_tpu.learner import run_fused_eval_series
+
         spc = max(1, self.cfg.steps_per_call)
-        group = max(1, spc // max(1, interval))
-        series = []
-        evals_left = max_iters // interval
-        with self.timers.stage("total"):
-            while evals_left > 0:
-                take = min(group, evals_left)
-                with self.timers.stage("device_step"):
-                    key = (take, interval)
-                    if key not in self._fused_ppx_fns:
-                        self._fused_ppx_fns[key] = self._make_fused_ppx(
-                            take, interval)
-                    self.state, res = self._fused_ppx_fns[key](
-                        self.training_set, self.heldout_set,
-                        self.adjacency, self.heldout_u, self.heldout_v,
-                        self.heldout_mask, self.state)
-                step_after = int(self.state.step_count)  # fence
-                ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
-                for i in range(take):
-                    series.append({
-                        "step": step_after - (take - 1 - i) * interval,
-                        "ppx": float(ppx_vals[i]),
-                        "link_count": int(res.link_count[i]),
-                        "non_link_count": int(res.non_link_count[i]),
-                        "link_likelihood": float(res.link_likelihood[i]),
-                        "non_link_likelihood":
-                            float(res.non_link_likelihood[i]),
-                    })
-                evals_left -= take
-            tail = max_iters % interval
-            if tail:
-                self._run_fused(tail, spc)
+
+        def dispatch(take):
+            key = (take, interval)
+            if key not in self._fused_ppx_fns:
+                self._fused_ppx_fns[key] = self._make_fused_ppx(
+                    take, interval)
+            self.state, res = self._fused_ppx_fns[key](
+                self.training_set, self.heldout_set,
+                self.adjacency, self.heldout_u, self.heldout_v,
+                self.heldout_mask, self.state)
+            return res, np.asarray(jnp.exp(res.neg_avg_log))
+
+        def record(rr, i, step):
+            res, ppx_vals = rr
+            return {
+                "step": step,
+                "ppx": float(ppx_vals[i]),
+                "link_count": int(res.link_count[i]),
+                "non_link_count": int(res.non_link_count[i]),
+                "link_likelihood": float(res.link_likelihood[i]),
+                "non_link_likelihood": float(res.non_link_likelihood[i]),
+            }
+
+        def tail(t):
+            self._run_fused(t, spc)
             int(self.state.step_count)
-        return series
+
+        return run_fused_eval_series(
+            self.timers, spc, max_iters, interval, dispatch,
+            lambda: int(self.state.step_count), record, tail)
 
     def heldout_perplexity(self) -> float:
         with self.timers.stage("ppx"):

@@ -2,7 +2,10 @@
 
 Prints the trace-based per-stage table (device-sampled, shared
 neighbors, spc as given) plus the module wall, to direct the next perf
-bite. Usage: python scripts/exp_profile_now.py [steps_per_call]
+bite. Usage:
+    python scripts/exp_profile_now.py [spc [K [pi_dtype]]] [noprof]
+``noprof`` (any position) skips the trace table, leaving the fenced
+wall rate only.
 """
 
 import os as _os
@@ -21,9 +24,11 @@ from mcmc_ammsb_tpu.learner import Learner
 
 
 def main():
-    spc = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    pi_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    args = [a for a in sys.argv[1:] if a != "noprof"]
+    noprof = len(args) != len(sys.argv) - 1
+    spc = int(args[0]) if len(args) > 0 else 1000
+    k = int(args[1]) if len(args) > 1 else 256
+    pi_dtype = args[2] if len(args) > 2 else "float32"
     n, u, v = synthetic_edges(num_nodes=317_080, avg_degree=7, seed=1)
     split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
@@ -42,7 +47,7 @@ def main():
     dt = time.time() - t0
     print(f"# wall: {steps/dt:.0f} updates/s "
           f"({dt/steps*1e6:.2f} us/step)", flush=True)
-    if "noprof" not in sys.argv:
+    if not noprof:
         learner.print_stage_profile(iters=4 * spc)
     learner.close()
 

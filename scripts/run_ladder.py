@@ -66,12 +66,20 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
     series = [{"iter": 0, "ppx": learner.heldout_perplexity(),
                "seconds": time.time() - t0}]
     print(f"[{name}] ppx[0] = {series[0]['ppx']:.4f}", file=sys.stderr)
-    for ev in learner.run_with_ppx(iters, interval):
-        series.append({"iter": ev["step"] - start, "ppx": ev["ppx"],
-                       "seconds": time.time() - t0})
-        print(f"[{name}] ppx[{series[-1]['iter']}] = "
-              f"{series[-1]['ppx']:.4f} "
-              f"({series[-1]['seconds']:.1f}s)", file=sys.stderr)
+    # one run_with_ppx call per eval period: the wall clock is read
+    # after each fused dispatch, so the artifact's time axis is real
+    # (a single call for all iters would stamp every eval with the
+    # end-of-run time)
+    done = 0
+    while done < iters:
+        take = min(interval, iters - done)
+        for ev in learner.run_with_ppx(take, min(interval, take)):
+            series.append({"iter": ev["step"] - start, "ppx": ev["ppx"],
+                           "seconds": time.time() - t0})
+            print(f"[{name}] ppx[{series[-1]['iter']}] = "
+                  f"{series[-1]['ppx']:.4f} "
+                  f"({series[-1]['seconds']:.1f}s)", file=sys.stderr)
+        done += take
     learner.close()
 
     artifact = {

@@ -167,6 +167,25 @@ def test_orbax_overwrite_is_atomic(tmp_path):
     a.close(); b.close()
 
 
+def test_orbax_crash_mid_promote_recovers_from_parking_spot(tmp_path):
+    """A crash between the promote renames leaves the previous
+    checkpoint at .orbax-old; load_checkpoint falls back to it."""
+    import shutil
+
+    path = str(tmp_path / "ck_orbax")
+    a = fresh_learner()
+    a.run(10)
+    save_checkpoint(path, a, backend="orbax")
+    # simulate the crash window: old parked aside, new never promoted
+    shutil.move(path, path + ".orbax-old")
+    b = fresh_learner()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == int(a.state.step_count)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    a.close(); b.close()
+
+
 def test_unknown_backend_raises(tmp_path):
     a = fresh_learner()
     with pytest.raises(ValueError, match="backend"):
