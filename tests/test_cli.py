@@ -103,3 +103,26 @@ def test_cli_chains_checkpoint_roundtrip(tmp_path, caplog):
                               "10", "--restore", ck], caplog)
     assert rc == 0
     assert "restored checkpoint" in out and "step=11" in out
+
+
+def test_cli_fused_evals_with_tail(caplog):
+    """Fused in-loop evals (steps_per_call > interval) print the full
+    ppx series INCLUDING the final partial-chunk eval the old host
+    loop always ended on."""
+    rc, out = run_cli(BASE + ["-x", "25", "-i", "10",
+                              "--steps-per-call", "40",
+                              "--device-sampling"], caplog)
+    assert rc == 0
+    assert "ppx[10]" in out and "ppx[20]" in out
+    assert "ppx[25]" in out  # tail eval via the host path
+
+
+def test_cli_train_ppx_disables_fused_evals(caplog):
+    """--calc-train-ppx must see the state AT each interval, so the
+    fused-eval fast path is off and every interval logs train_ppx."""
+    rc, out = run_cli(BASE + ["-x", "20", "-i", "10",
+                              "--steps-per-call", "40",
+                              "--device-sampling", "--calc-train-ppx",
+                              "--train-ppx-ratio", "0.1"], caplog)
+    assert rc == 0
+    assert "train_ppx[10]" in out and "train_ppx[20]" in out
