@@ -175,6 +175,27 @@ class ShardedChainLearner:
             check_vma=False,
         ), donate_argnums=(3,))
 
+        def chunk_ppx_body(tset, hset, adj, eu, ev, state,
+                           num_evals, interval):
+            from mcmc_ammsb_tpu.chains_flat import _chunk_ppx
+
+            local, neg = _chunk_ppx(cfg, c_local, tset, hset, adj,
+                                    eu, ev, _local_view(state),
+                                    num_evals, interval)
+            return _rewrap(local, state), neg  # [num_evals, c_local]
+
+        def make_chunk_ppx(num_evals, interval):
+            return jax.jit(jax.shard_map(
+                partial(chunk_ppx_body, num_evals=num_evals,
+                        interval=interval), mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), self.state_spec),
+                out_specs=(self.state_spec, P(None, CHAIN_AXIS)),
+                check_vma=False,
+            ), donate_argnums=(5,))
+
+        self._chunk_ppx_fns: Dict[tuple, object] = {}
+        self._make_chunk_ppx = make_chunk_ppx
+
     # -- API (mirrors FlatChainLearner) ---------------------------------
 
     def run(self, max_iters: int) -> None:
@@ -191,6 +212,39 @@ class ShardedChainLearner:
                         self.adjacency, self.state)
                 done += take
             int(self.state.step_count)  # fence inside the timer
+
+    def run_with_ppx(self, max_iters: int, interval: int):
+        """Fused per-chain eval series across the chain mesh (the
+        FlatChainLearner.run_with_ppx contract: ppx is a [C] vector per
+        eval, all chain groups advancing in one shard_map program)."""
+        from mcmc_ammsb_tpu.learner import run_fused_eval_series
+
+        spc = max(1, self.cfg.steps_per_call)
+
+        def dispatch(take):
+            key = (take, interval)
+            if key not in self._chunk_ppx_fns:
+                self._chunk_ppx_fns[key] = self._make_chunk_ppx(
+                    take, interval)
+            self.state, neg = self._chunk_ppx_fns[key](
+                self.training_set, self.heldout_set, self.adjacency,
+                self.heldout_u, self.heldout_v, self.state)
+            return np.exp(np.asarray(neg))              # [take, C]
+
+        def tail(t):
+            with self.timers.stage("device_step"):
+                if t not in self._chunk_fns:
+                    self._chunk_fns[t] = self._make_chunk(t)
+                self.state = self._chunk_fns[t](
+                    self.training_set, self.heldout_set,
+                    self.adjacency, self.state)
+            int(self.state.step_count)  # fence
+
+        return run_fused_eval_series(
+            self.timers, spc, max_iters, interval, dispatch,
+            lambda: int(self.state.step_count),
+            lambda pv, i, step: {"step": step, "ppx": pv[i]},
+            tail)
 
     def heldout_perplexity(self) -> np.ndarray:
         """Per-chain held-out perplexity, all C chains."""

@@ -91,3 +91,21 @@ def test_sharded_chains_checkpoint_bit_exact_resume(tmp_path):
 def test_sharded_chains_geometry_errors():
     with pytest.raises(ValueError, match="divisible"):
         _make(num_chains=3, groups=2)
+
+
+def test_sharded_chains_fused_ppx_series_matches_host_loop():
+    """run_with_ppx across the chain mesh: same bit-exactness contract
+    as FlatChainLearner's, per chain, all groups in one program."""
+    a, _ = _make(num_chains=4, groups=2, spc=40)
+    b, _ = _make(num_chains=4, groups=2, spc=40)
+
+    series = a.run_with_ppx(45, 10)   # 4 evals + 5-step tail
+    assert [ev["step"] for ev in series] == [11, 21, 31, 41]
+    assert int(a.state.step_count) == 46
+    for ev in series:
+        assert ev["ppx"].shape == (4,)
+        b.run(10)
+        np.testing.assert_array_equal(ev["ppx"], b.heldout_perplexity())
+    b.run(5)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
