@@ -164,6 +164,53 @@ def _phi_rows_core(cfg: Config, pi, phi_sum, b, nodes, neighbors, y,
     return row_normalize(jnp.maximum(phi_new, _FLOOR))
 
 
+def _phi_rows_core_shared(cfg: Config, pi, phi_sum, b, nodes, pi_nb,
+                          y, nbr_mask, step_count, noise):
+    """Shared-draw phi math: ONE n-neighbor set for the whole minibatch
+    (pi_nb [n, K]), factorized so no [B, n, K] tensor exists — the
+    full-B analog of the a-MMSB factorization (ops/phi.py):
+
+        g_jk    = y_bj ? (B pi_b_j)_k : ((1-B) pi_b_j)_k
+        p_bj    = pi_b . g_j  ->  y ? (pi_n G_link^T) : (pi_n G_non^T)
+        grads_k = (sum_j g_jk / p_bj - n_valid) / phi_b
+
+    four matmuls total ([n,K]x[K,K] once, then three [B,n]-shaped),
+    with self-collision lanes excluded via the count-aware N/n_valid
+    scale exactly like the a-MMSB shared path."""
+    dtype = pi.dtype
+    pi_n = pi[nodes]                                   # [B, K]
+    phis = phi_sum[nodes]                              # [B]
+    g_link = jnp.dot(pi_nb, b.T,
+                     preferred_element_type=jnp.float32)   # [n, K]
+    # (1-B) pi_b = rowsum(pi_b) - B pi_b (rows are normalized)
+    g_non = pi_nb.sum(-1, keepdims=True) - g_link
+    p_link = jnp.dot(pi_n, g_link.T,
+                     preferred_element_type=jnp.float32)   # [B, n]
+    p_non = jnp.dot(pi_n, g_non.T,
+                    preferred_element_type=jnp.float32)
+    yf = y.astype(dtype)                               # [B, n]
+    p = jnp.where(y, p_link, p_non)
+    inv_p = 1.0 / p
+    mf = nbr_mask.astype(dtype)                        # [B, n]
+    w_link = yf * inv_p * mf
+    w_non = (1.0 - yf) * inv_p * mf
+    s = (jnp.dot(w_link, g_link, preferred_element_type=jnp.float32)
+         + jnp.dot(w_non, g_non,
+                   preferred_element_type=jnp.float32))    # [B, K]
+    n_valid = mf.sum(-1, keepdims=True)                # [B, 1]
+    inv_phi = 1.0 / phis[:, None]
+    grads = (s - n_valid) * inv_phi
+
+    eps_t = jnp.asarray(cfg.eps_t(step_count), dtype)
+    phi_k = pi_n * phis[:, None]
+    phi_new = jnp.abs(
+        phi_k
+        + eps_t / 2.0 * (cfg.alpha_value - phi_k
+                         + (cfg.N / n_valid) * grads)
+        + jnp.sqrt(eps_t * phi_k) * noise)
+    return row_normalize(jnp.maximum(phi_new, _FLOOR))
+
+
 def mmsb_theta_grads(cfg: Config, theta_b, b, pi, edge_set,
                      eu, ev, mask):
     """Responsibility outer-product fan-in. Returns [K, K, 2]."""
@@ -285,10 +332,24 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
 
     nbr_keys = jax.vmap(
         lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
-    neighbors = jax.vmap(
-        lambda k, nd: sample_neighbors(k, nd, cfg.N, cfg.num_node_sample)
-    )(nbr_keys, batches.nodes)
-    y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+    if cfg.shared_neighbors:
+        # one shared n-draw per step (unbiased per node; the a-MMSB
+        # fast path's estimator, _phi_rows_core_shared)
+        sentinel = jnp.full((1,), cfg.N, jnp.int32)
+        neighbors = jax.vmap(lambda k: sample_neighbors(
+            k, sentinel, cfg.N, cfg.num_node_sample))(nbr_keys)[:, 0]
+        # [S, n]
+        y_phi = edge_set.has_edges(batches.nodes[:, :, None],
+                                   neighbors[:, None, :])   # [S,B,n]
+        nbr_mask = (neighbors[:, None, :]
+                    != batches.nodes[:, :, None])           # [S,B,n]
+    else:
+        neighbors = jax.vmap(
+            lambda k, nd: sample_neighbors(k, nd, cfg.N,
+                                           cfg.num_node_sample)
+        )(nbr_keys, batches.nodes)
+        y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+        nbr_mask = jnp.zeros((s_len,), jnp.bool_)   # unused placeholder
     if cfg.phi_disable_noise:
         phi_noise = jnp.ones((s_len, b_sz, cfg.K), state.pi.dtype)
     else:
@@ -305,10 +366,15 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
     y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
 
     def body(s: MMSBState, xs):
-        batch, nbrs, y_n, n_phi, n_theta, y_e = xs
-        rows, sums = _phi_rows_core(cfg, s.pi, s.phi_sum, s.b,
-                                    batch.nodes, nbrs, y_n,
-                                    s.step_count, n_phi)
+        batch, nbrs, y_n, n_phi, n_theta, y_e, nm = xs
+        if cfg.shared_neighbors:
+            rows, sums = _phi_rows_core_shared(
+                cfg, s.pi, s.phi_sum, s.b, batch.nodes, s.pi[nbrs],
+                y_n, nm, s.step_count, n_phi)
+        else:
+            rows, sums = _phi_rows_core(cfg, s.pi, s.phi_sum, s.b,
+                                        batch.nodes, nbrs, y_n,
+                                        s.step_count, n_phi)
         safe = jnp.where(batch.node_mask, batch.nodes, cfg.N)
         pi = s.pi.at[safe].set(rows, mode="drop")
         phi_sum = s.phi_sum.at[safe].set(sums, mode="drop")
@@ -324,7 +390,8 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
 
     state, _ = jax.lax.scan(
         body, state,
-        (batches, neighbors, y_phi, phi_noise, t_noise, y_edges),
+        (batches, neighbors, y_phi, phi_noise, t_noise, y_edges,
+         nbr_mask),
         unroll=cfg.scan_unroll)
     return state
 
@@ -369,10 +436,6 @@ class FullMMSBLearner:
             raise ValueError("the full-MMSB family keeps pi in fp32; "
                              "pi_dtype=bfloat16 is a-MMSB single-chip "
                              "only")
-        if cfg.shared_neighbors:
-            raise ValueError("shared_neighbors is not wired into the "
-                             "full-MMSB phi stage (per-node draws "
-                             "only)")
         self.cfg = cfg
         self.graph = graph
         self.split = split

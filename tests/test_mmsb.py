@@ -178,12 +178,45 @@ def test_mmsb_fused_ppx_series_matches_host_loop():
                                   np.asarray(b.state.pi))
 
 
-def test_mmsb_rejects_shared_neighbors():
+def test_mmsb_shared_core_matches_naive_on_shared_set(mmsb_fixture):
+    """Golden equivalence: for one shared neighbor set, the factorized
+    shared core must reproduce the naive [B,n,K] core (same math, two
+    schedules — the cross-mode validation pattern of wg-phi-test.cc)."""
+    import jax.numpy as jnp
+    from mcmc_ammsb_tpu.models.mmsb import (_phi_rows_core,
+                                            _phi_rows_core_shared)
+
+    cfg, graph, pi, phi_sum, theta_b, b, es = mmsb_fixture
+    rng = np.random.RandomState(3)
+    nodes = rng.choice(cfg.N, 8, replace=False).astype(np.int32)
+    shared = rng.choice(cfg.N, 6, replace=False).astype(np.int32)
+    nbrs = np.tile(shared, (8, 1))
+    y = np.asarray(es.has_edges(jnp.asarray(nodes)[:, None],
+                                jnp.asarray(nbrs)))
+    noise = np.ones((8, cfg.K), np.float32)
+    mask = nbrs != nodes[:, None]
+
+    # the naive core has no mask; keep the comparison on mask-free data
+    assert mask.all()
+    rows_a, sums_a = jax.jit(lambda *a: _phi_rows_core(cfg, *a))(
+        pi, phi_sum, b, nodes, nbrs, y, 1, noise)
+    rows_b, sums_b = jax.jit(lambda *a: _phi_rows_core_shared(cfg, *a))(
+        pi, phi_sum, b, nodes, jnp.asarray(pi)[jnp.asarray(shared)],
+        y, mask, 1, noise)
+    np.testing.assert_allclose(rows_a, rows_b, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(sums_a, sums_b, rtol=2e-5)
+
+
+def test_mmsb_shared_neighbors_converges_like_private():
     n, u, v = synthetic_sbm_edges(400, 4, p_in=0.12, p_out=0.005, seed=3)
     split = generate_sets(n, u, v, heldout_ratio=0.1, seed=4)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
-                 shared_neighbors=True)
+                 steps_per_call=20, device_sampling=True)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
-    with pytest.raises(ValueError, match="shared_neighbors"):
-        FullMMSBLearner(cfg, graph, split)
+    a = FullMMSBLearner(cfg.replace(shared_neighbors=True), graph, split)
+    p_ctl = FullMMSBLearner(cfg, graph, split)
+    a.run(300); p_ctl.run(300)
+    pa, pb = a.heldout_perplexity(), p_ctl.heldout_perplexity()
+    assert np.isfinite(pa) and pa > 1.0
+    assert abs(pa - pb) / pb < 0.06
