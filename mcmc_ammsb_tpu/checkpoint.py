@@ -131,7 +131,8 @@ def _apply_host_state(learner, manifest: dict, sampler_rng_blob: bytes,
         learner.timers.calls[k] = v
 
 
-def save_checkpoint(path: str, learner, backend: str = "npz") -> None:
+def save_checkpoint(path: str, learner, backend: str = "npz",
+                    async_save: bool = False) -> None:
     """Full-fidelity checkpoint: state pytree + config + the complete
     host-sampling position — the numpy RNG state, the native sampler's
     chunk counter, and any produced-but-unconsumed prefetched batches
@@ -144,9 +145,16 @@ def save_checkpoint(path: str, learner, backend: str = "npz") -> None:
     sample_key inside the state pytree).
 
     ``backend="orbax"`` writes a checkpoint DIRECTORY via
-    orbax.checkpoint instead of one npz file (module docstring)."""
+    orbax.checkpoint instead of one npz file (module docstring).
+    ``async_save=True`` (orbax only) returns as soon as the state is
+    copied to host; serialization finishes on a background thread and
+    the checkpoint is promoted by ``wait_for_async_saves`` (invoked
+    automatically by the next save to the same path or by
+    load_checkpoint — call it explicitly before process exit)."""
     if backend == "orbax":
-        return _save_orbax(path, learner)
+        return _save_orbax(path, learner, async_save=async_save)
+    if async_save:
+        raise ValueError("async_save requires backend='orbax'")
     if backend != "npz":
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     manifest, sampler_rng, pending_blob = _collect_host_state(learner)
@@ -183,6 +191,7 @@ def load_checkpoint(path: str, learner):
     promote renames, the previous checkpoint is recovered from the
     ``.orbax-old`` parking spot.
     """
+    wait_for_async_saves(path)  # an in-flight async save must land
     if os.path.isdir(path):
         return _load_orbax(path, learner)
     if not os.path.exists(path) and os.path.isdir(path + ".orbax-old"):
@@ -236,12 +245,31 @@ def _barrier(name: str) -> None:
         multihost_utils.sync_global_devices(name)
 
 
-def _save_orbax(path: str, learner) -> None:
+# pending async orbax saves: path -> finalize closure (waits for the
+# background serialization, then writes sidecars and promotes)
+_ASYNC_PENDING: dict = {}
+
+
+def wait_for_async_saves(path: Optional[str] = None) -> None:
+    """Finalize async orbax saves: block until the background
+    serialization completes, then write sidecars and promote the
+    checkpoint directory. With no argument, finalizes all pending
+    saves (call before process exit)."""
+    keys = [path] if path is not None else list(_ASYNC_PENDING)
+    for k in keys:
+        fin = _ASYNC_PENDING.pop(os.path.abspath(k), None)
+        if fin is not None:
+            fin()
+
+
+def _save_orbax(path: str, learner, async_save: bool = False) -> None:
     _quiet_orbax_logging()
     import orbax.checkpoint as ocp
 
     manifest, sampler_rng, pending_blob = _collect_host_state(learner)
     path = os.path.abspath(path)
+    # a previous async save to this path must land before we start over
+    wait_for_async_saves(path)
     tmp = path + ".orbax-tmp"
     old = path + ".orbax-old"
     # multi-host discipline: the TENSORSTORE save is collective (every
@@ -261,25 +289,48 @@ def _save_orbax(path: str, learner) -> None:
     # empty ones as zeros of the learner's leaf shape/dtype)
     leaves = [l for l in jax.tree_util.tree_leaves(learner.state)
               if l.size > 0]
+
+    def sidecars_and_promote():
+        if primary:
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump(manifest, f)
+            with open(os.path.join(tmp, "sampler_rng.pkl"), "wb") as f:
+                f.write(sampler_rng)
+            with open(os.path.join(tmp, "pending.pkl"), "wb") as f:
+                f.write(pending_blob)
+            # promote: POSIX cannot atomically swap directories, so
+            # park the previous checkpoint at .orbax-old first — a
+            # crash between the two renames leaves the old checkpoint
+            # recoverable there (load_checkpoint falls back to it)
+            # instead of lost
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        _barrier("mcmc_ammsb_orbax_done")
+
+    if async_save:
+        # AsyncCheckpointer.save blocks only for the device->host copy
+        # (training can resume immediately — donated buffers are safe,
+        # the data is already on host); tensorstore serialization rides
+        # a background thread and the promote is deferred to
+        # wait_for_async_saves (auto-invoked by the next save to this
+        # path, or by load_checkpoint)
+        ckptr = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+        ckptr.save(os.path.join(tmp, "state"), args=ocp.args.StandardSave(leaves))
+
+        def finalize(c=ckptr):
+            c.wait_until_finished()
+            c.close()
+            sidecars_and_promote()
+
+        _ASYNC_PENDING[path] = finalize
+        return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(tmp, "state"), leaves)
-    if primary:
-        with open(os.path.join(tmp, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        with open(os.path.join(tmp, "sampler_rng.pkl"), "wb") as f:
-            f.write(sampler_rng)
-        with open(os.path.join(tmp, "pending.pkl"), "wb") as f:
-            f.write(pending_blob)
-        # promote: POSIX cannot atomically swap directories, so park
-        # the previous checkpoint at .orbax-old first — a crash between
-        # the two renames leaves the old checkpoint recoverable there
-        # (load_checkpoint falls back to it) instead of lost
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-    _barrier("mcmc_ammsb_orbax_done")
+    sidecars_and_promote()
 
 
 def _load_orbax(path: str, learner):

@@ -229,3 +229,45 @@ def test_bit_exact_resume_with_prefetch(tmp_path, host_sampler):
     assert ppx_a == ppx_b
     np.testing.assert_array_equal(np.asarray(a.state.pi),
                                   np.asarray(b.state.pi))
+
+
+def test_orbax_async_save_is_a_snapshot(tmp_path):
+    """async_save returns once the state is on host; training can
+    continue immediately (donated device buffers don't corrupt the
+    snapshot), and the finalized checkpoint holds the state AT save
+    time — resume from it is bit-exact."""
+    from mcmc_ammsb_tpu.checkpoint import wait_for_async_saves
+
+    path = str(tmp_path / "ck_async")
+    a = fresh_learner()
+    a.run(10)
+    save_checkpoint(path, a, backend="orbax", async_save=True)
+    a.run(20)          # keeps training while the save is in flight
+    wait_for_async_saves()
+
+    b = fresh_learner()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == 11   # the snapshot, not step 31
+    b.run(20)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    a.close(); b.close()
+
+
+def test_orbax_async_save_finalized_by_load(tmp_path):
+    """load_checkpoint finalizes an in-flight async save implicitly."""
+    path = str(tmp_path / "ck_async2")
+    a = fresh_learner()
+    a.run(5)
+    save_checkpoint(path, a, backend="orbax", async_save=True)
+    b = fresh_learner()
+    load_checkpoint(path, b)   # no explicit wait
+    assert int(b.state.step_count) == 6
+    a.close(); b.close()
+
+
+def test_async_requires_orbax(tmp_path):
+    a = fresh_learner()
+    with pytest.raises(ValueError, match="orbax"):
+        save_checkpoint(str(tmp_path / "x.npz"), a, async_save=True)
+    a.close()
