@@ -157,6 +157,9 @@ def save_checkpoint(path: str, learner, backend: str = "npz",
         raise ValueError("async_save requires backend='orbax'")
     if backend != "npz":
         raise ValueError(f"unknown checkpoint backend {backend!r}")
+    # an in-flight async orbax save to this path must land first, or
+    # its deferred promote would later rename this npz file away
+    wait_for_async_saves(path)
     manifest, sampler_rng, pending_blob = _collect_host_state(learner)
     leaves = jax.tree_util.tree_leaves(learner.state)
 
@@ -254,12 +257,17 @@ def wait_for_async_saves(path: Optional[str] = None) -> None:
     """Finalize async orbax saves: block until the background
     serialization completes, then write sidecars and promote the
     checkpoint directory. With no argument, finalizes all pending
-    saves (call before process exit)."""
+    saves. Registered with atexit on first use, so a normally-exiting
+    process never loses an in-flight save; a FAILED finalize stays
+    pending (and raises loudly on every retry) rather than letting a
+    later load silently read the stale pre-save checkpoint."""
     keys = [path] if path is not None else list(_ASYNC_PENDING)
     for k in keys:
-        fin = _ASYNC_PENDING.pop(os.path.abspath(k), None)
+        k = os.path.abspath(k)
+        fin = _ASYNC_PENDING.get(k)
         if fin is not None:
-            fin()
+            fin()                    # raises on serialization failure
+            _ASYNC_PENDING.pop(k, None)
 
 
 def _save_orbax(path: str, learner, async_save: bool = False) -> None:
@@ -322,11 +330,17 @@ def _save_orbax(path: str, learner, async_save: bool = False) -> None:
         ckptr.save(os.path.join(tmp, "state"), args=ocp.args.StandardSave(leaves))
 
         def finalize(c=ckptr):
-            c.wait_until_finished()
-            c.close()
+            try:
+                c.wait_until_finished()
+            finally:
+                c.close()            # never leak the background thread
             sidecars_and_promote()
 
         _ASYNC_PENDING[path] = finalize
+        if len(_ASYNC_PENDING) == 1:
+            import atexit
+
+            atexit.register(wait_for_async_saves)
         return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(tmp, "state"), leaves)

@@ -341,15 +341,12 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
         # [S, n]
         y_phi = edge_set.has_edges(batches.nodes[:, :, None],
                                    neighbors[:, None, :])   # [S,B,n]
-        nbr_mask = (neighbors[:, None, :]
-                    != batches.nodes[:, :, None])           # [S,B,n]
     else:
         neighbors = jax.vmap(
             lambda k, nd: sample_neighbors(k, nd, cfg.N,
                                            cfg.num_node_sample)
         )(nbr_keys, batches.nodes)
         y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
-        nbr_mask = jnp.zeros((s_len,), jnp.bool_)   # unused placeholder
     if cfg.phi_disable_noise:
         phi_noise = jnp.ones((s_len, b_sz, cfg.K), state.pi.dtype)
     else:
@@ -366,8 +363,11 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
     y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
 
     def body(s: MMSBState, xs):
-        batch, nbrs, y_n, n_phi, n_theta, y_e, nm = xs
+        batch, nbrs, y_n, n_phi, n_theta, y_e = xs
         if cfg.shared_neighbors:
+            # self-collision mask is a trivial in-body recompute — no
+            # need to stream an [S,B,n] operand through the scan
+            nm = nbrs[None, :] != batch.nodes[:, None]
             rows, sums = _phi_rows_core_shared(
                 cfg, s.pi, s.phi_sum, s.b, batch.nodes, s.pi[nbrs],
                 y_n, nm, s.step_count, n_phi)
@@ -390,8 +390,7 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
 
     state, _ = jax.lax.scan(
         body, state,
-        (batches, neighbors, y_phi, phi_noise, t_noise, y_edges,
-         nbr_mask),
+        (batches, neighbors, y_phi, phi_noise, t_noise, y_edges),
         unroll=cfg.scan_unroll)
     return state
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mcmc_ammsb_tpu.chains_flat import ChainState, _chunk, _ppx
+from mcmc_ammsb_tpu.chains_flat import (ChainState, _chunk, _chunk_ppx,
+                                        _ppx)
 from mcmc_ammsb_tpu.config import Config, PhiImpl, RngBackend
 from mcmc_ammsb_tpu.data import DataSplit, Graph
 from mcmc_ammsb_tpu.learner import init_state
@@ -177,8 +178,6 @@ class ShardedChainLearner:
 
         def chunk_ppx_body(tset, hset, adj, eu, ev, state,
                            num_evals, interval):
-            from mcmc_ammsb_tpu.chains_flat import _chunk_ppx
-
             local, neg = _chunk_ppx(cfg, c_local, tset, hset, adj,
                                     eu, ev, _local_view(state),
                                     num_evals, interval)

@@ -271,3 +271,24 @@ def test_async_requires_orbax(tmp_path):
     with pytest.raises(ValueError, match="orbax"):
         save_checkpoint(str(tmp_path / "x.npz"), a, async_save=True)
     a.close()
+
+
+def test_npz_save_finalizes_pending_async_first(tmp_path):
+    """A pending async orbax save to the same path is promoted before
+    an npz save proceeds — the deferred promote can never rename a
+    freshly-written npz away."""
+    import os
+
+    path = str(tmp_path / "ck")
+    a = fresh_learner()
+    a.run(5)
+    save_checkpoint(path, a, backend="orbax", async_save=True)
+    save_checkpoint(path + ".npz", a, backend="npz")
+    # the orbax promote for `path` still pending -> force via npz save
+    # to the SAME path string
+    save_checkpoint(path, a, backend="orbax")  # sync save waits first
+    assert os.path.isdir(path)
+    b = fresh_learner()
+    load_checkpoint(path, b)
+    assert int(b.state.step_count) == 6
+    a.close(); b.close()
