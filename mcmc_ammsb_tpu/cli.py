@@ -129,6 +129,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # checkpointing (the reference only exercises this in tests)
     p.add_argument("--checkpoint", type=str, default="",
                    help="save checkpoint here at exit / SIGINT")
+    p.add_argument("--checkpoint-interval", type=int, default=0,
+                   metavar="ITERS",
+                   help="also checkpoint every ITERS training steps "
+                        "(rounded up to eval-loop boundaries); with "
+                        "--checkpoint-backend orbax the save is ASYNC "
+                        "— training resumes as soon as the state is "
+                        "copied off the device")
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"],
                    default="npz",
                    help="npz = one file; orbax = sharding-aware "
@@ -362,6 +369,24 @@ def main(argv=None) -> int:
     fused_evals = (cfg.device_sampling
                    and cfg.steps_per_call > cfg.ppx_interval
                    and not cfg.calc_train_ppx)
+    ck_next = [args.checkpoint_interval or None]
+
+    def maybe_checkpoint(i):
+        """Periodic checkpoint (--checkpoint-interval), checked at
+        eval-loop boundaries; orbax saves are async so training
+        resumes right after the device->host copy."""
+        if ck_next[0] is None or i < ck_next[0] or not args.checkpoint:
+            return
+        from mcmc_ammsb_tpu.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, learner,
+                        backend=args.checkpoint_backend,
+                        async_save=args.checkpoint_backend == "orbax")
+        log.info("checkpoint saved to %s (step %d)%s", args.checkpoint,
+                 i, " [async]" if args.checkpoint_backend == "orbax"
+                 else "")
+        while ck_next[0] <= i:
+            ck_next[0] += args.checkpoint_interval
+
     i = 0
     start_step = int(learner.state.step_count)
     while i < args.max_iters and not signaled["flag"]:
@@ -380,6 +405,7 @@ def main(argv=None) -> int:
             for ev in learner.run_with_ppx(take, cfg.ppx_interval):
                 log_eval(ev["step"] - start_step, ev["ppx"], ev)
             i += take
+            maybe_checkpoint(i)
         else:
             step = min(args.max_iters - i, cfg.ppx_interval)
             learner.run(step)
@@ -387,6 +413,7 @@ def main(argv=None) -> int:
             if not signaled["flag"]:
                 log_eval(i, learner.heldout_perplexity(),
                          learner.last_ppx_stats)
+            maybe_checkpoint(i)
     if signaled["flag"]:
         log.info("FORCED TERMINATE")
     learner.print_stats(lambda s: log.info("%s", s))

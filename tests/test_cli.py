@@ -126,3 +126,19 @@ def test_cli_train_ppx_disables_fused_evals(caplog):
                               "--train-ppx-ratio", "0.1"], caplog)
     assert rc == 0
     assert "train_ppx[10]" in out and "train_ppx[20]" in out
+
+
+def test_cli_periodic_checkpointing(tmp_path, caplog):
+    """--checkpoint-interval saves a restorable checkpoint during
+    training (async via orbax), not just at exit."""
+    path = str(tmp_path / "periodic_ck")
+    rc, out = run_cli(BASE + ["-x", "30", "-i", "10",
+                              "--steps-per-call", "40",
+                              "--device-sampling",
+                              "--checkpoint", path,
+                              "--checkpoint-backend", "orbax",
+                              "--checkpoint-interval", "10"], caplog)
+    assert rc == 0
+    assert "[async]" in out
+    import os
+    assert os.path.isdir(path)  # exit save (sync) finalized everything
