@@ -149,7 +149,10 @@ def main():
 
     print(json.dumps({
         "metric": "minibatch phi+beta updates/sec "
-                  "(com-DBLP-scale synthetic, K=256, m=32, n=32)",
+                  "(com-DBLP-scale synthetic, K=256, m=32, n=32; "
+                  "shared-draw estimator — the strict "
+                  "reference-semantics per-node-draw rate is "
+                  "co-reported in extra.reference_semantics_rate)",
         "value": round(ups, 2),
         "unit": "updates/sec",
         "vs_baseline": None,

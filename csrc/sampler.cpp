@@ -416,4 +416,49 @@ int64_t chd_build(int64_t n_edges, const int32_t* u, const int32_t* v,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Cuckoo edge-set construction: ONE placement attempt at a given table
+// size (the native fast path behind ops/edgeset.py::_build_cuckoo_host;
+// 2 buckets x num_bins x 4 slots, random-walk displacement —
+// mcmc/cuckoo.cc:98-189 semantics, same hash functions as the device
+// lookup). The python per-key loop is O(E) interpreter iterations —
+// minutes at 1M+ edges; the walk itself is inherently sequential, so
+// it runs here. Any placement where each key occupies one of its two
+// hash buckets is a valid table for the lookup; the growth-on-failure
+// retry loop stays in python (matching the numpy fallback).
+// Returns 0 on success (slots [2*num_bins*4] filled; empty slots are
+// all-ones), -5 when the walk fails at this size (caller grows).
+// ---------------------------------------------------------------------------
+
+int cuckoo_try(int64_t n_edges, const uint64_t* keys, int64_t num_bins,
+               uint64_t seed, uint64_t* slots) {
+  const uint64_t kEmpty = ~0ULL;
+  const uint64_t p1 = 15485807ULL, p2 = 920429591ULL;
+  const uint64_t nb = static_cast<uint64_t>(num_bins);
+  std::fill(slots, slots + 2 * num_bins * 4, kEmpty);
+  Rng rng(seed);
+  const int64_t max_disp = std::max<int64_t>(64, n_edges / 2 + 1);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    uint64_t k = keys[i];
+    bool placed = false;
+    int bucket = 0;
+    for (int64_t d = 0; d < max_disp; ++d) {
+      const uint64_t h = (bucket == 0) ? (p1 * k) % nb : (k ^ p2) % nb;
+      uint64_t* row =
+          slots + (static_cast<int64_t>(bucket) * num_bins +
+                   static_cast<int64_t>(h)) * 4;
+      int e = -1;
+      for (int s = 0; s < 4; ++s)
+        if (row[s] == kEmpty) { e = s; break; }
+      if (e >= 0) { row[e] = k; placed = true; break; }
+      // evict a random occupant, retry it in the other bucket
+      int j = static_cast<int>(rng() % 4);
+      std::swap(k, row[j]);
+      bucket = 1 - bucket;
+    }
+    if (!placed) return -5;
+  }
+  return 0;
+}
+
 }  // extern "C"

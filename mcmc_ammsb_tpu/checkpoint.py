@@ -260,7 +260,17 @@ def wait_for_async_saves(path: Optional[str] = None) -> None:
     saves. Registered with atexit on first use, so a normally-exiting
     process never loses an in-flight save; a FAILED finalize stays
     pending (and raises loudly on every retry) rather than letting a
-    later load silently read the stale pre-save checkpoint."""
+    later load silently read the stale pre-save checkpoint.
+
+    Multi-host caveat: the finalize contains cross-host barriers
+    (sync_global_devices has no timeout), so under jax.distributed
+    EVERY process must call this explicitly before shutdown — relying
+    on atexit is unsafe there: if one process crashes or exits without
+    reaching its matching barrier, the remaining processes hang in
+    sync_global_devices at interpreter exit. Call
+    ``wait_for_async_saves()`` at the end of the training script (the
+    CLI does) so a missing peer surfaces as a visible hang in user
+    code rather than inside atexit."""
     keys = [path] if path is not None else list(_ASYNC_PENDING)
     for k in keys:
         k = os.path.abspath(k)

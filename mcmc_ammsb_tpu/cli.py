@@ -71,17 +71,29 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pi STORAGE precision (compute stays fp32): "
                         "bfloat16 halves the pi HBM footprint — the "
                         "capacity lever for very large K (measured "
-                        "~1.06x speed at K>=1024; single-chip a-MMSB "
-                        "only)")
-    p.add_argument("--steps-per-call", type=int, default=1,
-                   help="lax.scan fusion depth of the training loop")
-    p.add_argument("--device-sampling", action="store_true",
+                        "~1.06x speed at K>=1024; a-MMSB single-chip "
+                        "and --mesh; chain engines are fp32)")
+    p.add_argument("--steps-per-call", type=int, default=0,
+                   help="lax.scan fusion depth of the training loop; "
+                        "0 = auto (the measured sweet spot: 1000 with "
+                        "device sampling, the eval interval otherwise)")
+    p.add_argument("--device-sampling",
+                   action=argparse.BooleanOptionalAction, default=None,
                    help="sample minibatches on device inside the fused "
-                        "loop (Node-family strategies)")
-    p.add_argument("--shared-neighbors", action="store_true",
+                        "loop (Node-family strategies). Default: auto — "
+                        "ON whenever the strategy/RNG/phi-impl support "
+                        "it (the reference's defaults are its fast "
+                        "path, main.cc:43-88; ours follow suit). "
+                        "--no-device-sampling restores host sampling")
+    p.add_argument("--shared-neighbors",
+                   action=argparse.BooleanOptionalAction, default=None,
                    help="one shared n-neighbor draw per step instead "
                         "of per minibatch node (unbiased per node; "
-                        "cuts the dominant pi-row gather cost B*n -> n)")
+                        "cuts the dominant pi-row gather cost B*n -> "
+                        "n; held-out ppx parity 0.2%%). Default: auto "
+                        "— follows --device-sampling. "
+                        "--no-shared-neighbors restores the "
+                        "reference's per-node draw semantics")
     p.add_argument("--profile", action="store_true",
                    help="print the per-stage timing table at exit "
                         "(PrintStats-style per-kernel attribution)")
@@ -146,6 +158,48 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+_NODE_FAMILY = (SampleStrategy.NODE, SampleStrategy.NODE_LINK,
+                SampleStrategy.NODE_NON_LINK)
+
+
+def resolve_fast_defaults(args) -> None:
+    """Resolve auto flags to the measured fast path (in place).
+
+    The reference's defaults ARE its fast path (main.cc:43-88 pick the
+    tuned kernels); ours mirror that: device sampling + shared
+    per-step neighbor draws + deep fused dispatches whenever the
+    configuration supports them (measured sweet spot, docs/design.md).
+    The reference-exact slow path stays reachable:
+    --no-device-sampling --no-shared-neighbors --steps-per-call 1.
+    """
+    strategy = SampleStrategy.parse(args.sample)
+    fast_ok = (strategy in _NODE_FAMILY
+               and args.rng == RngBackend.NATIVE.value
+               and args.phi_impl == PhiImpl.JNP.value)
+    if args.device_sampling is None:
+        args.device_sampling = fast_ok
+        if fast_ok:
+            log.info("device sampling auto-enabled (Node-family "
+                     "strategy, native RNG); --no-device-sampling "
+                     "restores host sampling")
+    if args.shared_neighbors is None:
+        # shared draws keep per-node gradients unbiased but are a
+        # documented semantic deviation (one n-draw per step); only
+        # auto-enable on the supported fast path
+        args.shared_neighbors = fast_ok and bool(args.device_sampling)
+        if args.shared_neighbors:
+            log.info("shared neighbor draws auto-enabled (unbiased per "
+                     "node, held-out ppx parity 0.2%%); "
+                     "--no-shared-neighbors restores per-node draws")
+    if args.steps_per_call <= 0:
+        if args.device_sampling:
+            args.steps_per_call = max(1000, args.ppx_interval)
+        else:
+            # host-sampled: one dispatch per eval period
+            args.steps_per_call = max(1, min(200, args.ppx_interval))
+        log.info("steps_per_call auto-set to %d", args.steps_per_call)
+
+
 def config_from_args(args) -> Config:
     return Config(
         K=args.K,
@@ -185,6 +239,7 @@ def main(argv=None) -> int:
     )
     args = build_arg_parser().parse_args(argv)
     log.info(" ".join(sys.argv if argv is None else argv))
+    resolve_fast_defaults(args)
 
     # device/backend echo (ChooseDevice parity, main.cc:17-20,94-96)
     import jax
@@ -292,19 +347,25 @@ def main(argv=None) -> int:
         return 0
 
     if args.model == "mmsb":
-        if args.mesh or args.num_chains > 1:
-            log.fatal("--model mmsb is single-chip, single-chain "
-                      "for now")
+        if args.mesh:
+            log.fatal("--model mmsb is single-chip (use --num-chains "
+                      "for parallelism)")
             return 1
-        from mcmc_ammsb_tpu.models.mmsb import FullMMSBLearner
-        mmsb = FullMMSBLearner(cfg, graph, split)
+        if args.num_chains > 1:
+            from mcmc_ammsb_tpu.models.mmsb import MMSBChainLearner
+            mmsb = MMSBChainLearner(cfg, graph, split, args.num_chains)
+        else:
+            from mcmc_ammsb_tpu.models.mmsb import FullMMSBLearner
+            mmsb = FullMMSBLearner(cfg, graph, split)
         if args.restore:
             from mcmc_ammsb_tpu.checkpoint import load_checkpoint
             load_checkpoint(args.restore, mmsb)
             log.info("restored checkpoint %s (step=%d)", args.restore,
                      int(mmsb.state.step_count))
         log.info("ppx[0] = %s", mmsb.heldout_perplexity())
-        fused_evals = (cfg.device_sampling
+        # chain engines force device sampling internally; read the
+        # engine's own cfg
+        fused_evals = (mmsb.cfg.device_sampling
                        and cfg.steps_per_call > cfg.ppx_interval)
         i = 0
         start_step = int(mmsb.state.step_count)

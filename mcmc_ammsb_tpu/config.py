@@ -200,6 +200,18 @@ class Config:
             raise ValueError(
                 f"num_node_sample={self.num_node_sample} must be < N={N} "
                 "(cannot draw that many distinct neighbors)")
+        derived_nodes = max(2 * self.mini_batch_size, int(max_fan_out) + 1)
+        if self.batch_nodes_cap and self.batch_nodes_cap < derived_nodes:
+            # The fused loop's edge-lane maps assume every unmasked
+            # edge endpoint appears in the deduped node list; a cap
+            # below the derived minimum could truncate the unique
+            # prefix, silently mapping missing endpoints to lane 0 and
+            # corrupting beta gradients (learner.py edge_lanes).
+            raise ValueError(
+                f"batch_nodes_cap={self.batch_nodes_cap} is below the "
+                f"derived minimum max(2m, max_fan_out+1)={derived_nodes}; "
+                "a NodeLink minibatch's endpoints would not fit the "
+                "deduped node buffer")
         return dataclasses.replace(
             self,
             N=int(N),

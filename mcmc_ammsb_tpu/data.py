@@ -253,7 +253,17 @@ def generate_sets(
     fake_u = np.empty(heldout_len, VERTEX_DTYPE)
     fake_v = np.empty(heldout_len, VERTEX_DTYPE)
     count = 0
+    rounds = 0
     while count < heldout_len:
+        rounds += 1
+        if rounds > 200:
+            # near-complete graphs may not HAVE heldout_len distinct
+            # non-edges; fail loudly instead of spinning (the same
+            # retry-budget discipline as the minibatch samplers)
+            raise ValueError(
+                f"generate_sets: found only {count}/{heldout_len} fake "
+                "non-edges after 200 rejection rounds — the graph is "
+                "too dense for this heldout_ratio")
         need = heldout_len - count
         # oversample; rejection for self-loops / existing / duplicates
         ra = rng.randint(0, num_nodes, size=2 * need + 16)
@@ -306,7 +316,14 @@ def make_training_ppx_edges(
     fu = np.empty(num_non_links, VERTEX_DTYPE)
     fv = np.empty(num_non_links, VERTEX_DTYPE)
     count = 0
+    rounds = 0
     while count < num_non_links:
+        rounds += 1
+        if rounds > 200:
+            raise ValueError(
+                f"make_training_ppx_edges: found only {count}/"
+                f"{num_non_links} non-edges after 200 rejection rounds "
+                "— the graph is too dense for this ratio")
         need = num_non_links - count
         ra = rng.randint(0, n, size=2 * need + 16)
         rb = rng.randint(0, n, size=2 * need + 16)

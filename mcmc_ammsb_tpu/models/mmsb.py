@@ -128,17 +128,17 @@ def mmsb_phi_rows(cfg: Config, pi, phi_sum, b, edge_set, nodes,
     """Staged phi' rows. The inner product over communities is
     g = F @ pi_b — an MXU matmul over the [B*n, K] neighbor batch."""
     y = edge_set.has_edges(nodes[:, None], neighbors)  # [B, n]
-    return _phi_rows_core(cfg, pi, phi_sum, b, nodes, neighbors, y,
-                          step_count, noise)
+    return _phi_rows_core(cfg, pi[nodes], phi_sum[nodes], b,
+                          pi[neighbors], y, step_count, noise)
 
 
-def _phi_rows_core(cfg: Config, pi, phi_sum, b, nodes, neighbors, y,
+def _phi_rows_core(cfg: Config, pi_n, phis, b, pi_nb, y,
                    step_count, noise):
-    """phi math with membership labels precomputed (hoisted scan)."""
+    """phi math on pre-gathered rows (pi_n [B,K], phis [B], pi_nb
+    [B,n,K]) with membership labels precomputed (hoisted scan; the
+    pre-gathered contract also lets the chain engine vmap this core
+    over a chain axis)."""
     n_nb = cfg.num_node_sample
-    pi_n = pi[nodes]                                   # [B, K]
-    phis = phi_sum[nodes]                              # [B]
-    pi_nb = pi[neighbors]                              # [B, n, K]
 
     flat_nb = pi_nb.reshape(-1, cfg.K)
     g_link = jnp.dot(flat_nb, b.T,
@@ -154,7 +154,7 @@ def _phi_rows_core(cfg: Config, pi, phi_sum, b, nodes, neighbors, y,
     grads = (jnp.sum(probs / p, axis=1) / pi_n * inv_phi
              - n_nb * inv_phi)
 
-    eps_t = jnp.asarray(cfg.eps_t(step_count), pi.dtype)
+    eps_t = jnp.asarray(cfg.eps_t(step_count), pi_n.dtype)
     phi_k = pi_n * phis[:, None]
     phi_new = jnp.abs(
         phi_k
@@ -164,7 +164,7 @@ def _phi_rows_core(cfg: Config, pi, phi_sum, b, nodes, neighbors, y,
     return row_normalize(jnp.maximum(phi_new, _FLOOR))
 
 
-def _phi_rows_core_shared(cfg: Config, pi, phi_sum, b, nodes, pi_nb,
+def _phi_rows_core_shared(cfg: Config, pi_n, phis, b, pi_nb,
                           y, nbr_mask, step_count, noise):
     """Shared-draw phi math: ONE n-neighbor set for the whole minibatch
     (pi_nb [n, K]), factorized so no [B, n, K] tensor exists — the
@@ -176,10 +176,10 @@ def _phi_rows_core_shared(cfg: Config, pi, phi_sum, b, nodes, pi_nb,
 
     four matmuls total ([n,K]x[K,K] once, then three [B,n]-shaped),
     with self-collision lanes excluded via the count-aware N/n_valid
-    scale exactly like the a-MMSB shared path."""
-    dtype = pi.dtype
-    pi_n = pi[nodes]                                   # [B, K]
-    phis = phi_sum[nodes]                              # [B]
+    scale exactly like the a-MMSB shared path. Operates on
+    pre-gathered rows (pi_n [B,K], phis [B]) so the chain engine can
+    vmap it over a chain axis."""
+    dtype = pi_n.dtype
     g_link = jnp.dot(pi_nb, b.T,
                      preferred_element_type=jnp.float32)   # [n, K]
     # (1-B) pi_b = rowsum(pi_b) - B pi_b (rows are normalized)
@@ -369,12 +369,12 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
             # need to stream an [S,B,n] operand through the scan
             nm = nbrs[None, :] != batch.nodes[:, None]
             rows, sums = _phi_rows_core_shared(
-                cfg, s.pi, s.phi_sum, s.b, batch.nodes, s.pi[nbrs],
-                y_n, nm, s.step_count, n_phi)
+                cfg, s.pi[batch.nodes], s.phi_sum[batch.nodes], s.b,
+                s.pi[nbrs], y_n, nm, s.step_count, n_phi)
         else:
-            rows, sums = _phi_rows_core(cfg, s.pi, s.phi_sum, s.b,
-                                        batch.nodes, nbrs, y_n,
-                                        s.step_count, n_phi)
+            rows, sums = _phi_rows_core(
+                cfg, s.pi[batch.nodes], s.phi_sum[batch.nodes], s.b,
+                s.pi[nbrs], y_n, s.step_count, n_phi)
         safe = jnp.where(batch.node_mask, batch.nodes, cfg.N)
         pi = s.pi.at[safe].set(rows, mode="drop")
         phi_sum = s.phi_sum.at[safe].set(sums, mode="drop")
@@ -519,6 +519,318 @@ class FullMMSBLearner:
                 self.heldout_set, self.heldout_u, self.heldout_v,
                 self.state)
             return float(jnp.exp(neg))
+
+    def print_stats(self, log=print) -> None:
+        self.timers.print_table(log)
+
+    def close(self) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Multi-chain engine: C independent full-MMSB chains in one fused
+# program, flat row layout (the chains_flat.py formulation applied to
+# the full-B family — pi [C*N, K] with chain c's node u at row c*N+u so
+# the hot scatter/gather stays a plain 1-D-index op; per-chain theta_B
+# [C, K, K, 2] carried by vmapping the pre-gathered-row cores).
+# ---------------------------------------------------------------------------
+
+
+class MMSBChainState(NamedTuple):
+    pi: jnp.ndarray            # [C*N, K]
+    phi_sum: jnp.ndarray       # [C*N]
+    theta_b: jnp.ndarray       # [C, K, K, 2]
+    b: jnp.ndarray             # [C, K, K]
+    step_count: jnp.ndarray    # scalar (chains advance in lockstep)
+    theta_count: jnp.ndarray
+    ppx_per_edge: jnp.ndarray  # [C, H]
+    ppx_count: jnp.ndarray
+    phi_key: jax.Array
+    theta_key: jax.Array
+    neighbor_key: jax.Array
+    sample_key: jax.Array
+
+
+def _mmsb_chains_chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
+                       heldout_set: EdgeSet, adjacency,
+                       state: MMSBChainState,
+                       num_steps: int) -> MMSBChainState:
+    """Advance all chains num_steps in one fused program (the
+    chains_flat._chunk structure with the full-B cores)."""
+    c = num_chains
+    n_rows = cfg.N
+    e_cap, b_cap = cfg.max_batch_edges, cfg.max_batch_nodes
+    s_len = num_steps
+    k = cfg.K
+
+    chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
+    with jax.named_scope("device_sampling"):
+        ds = sample_minibatches_device(cfg, edge_set, heldout_set,
+                                       chunk_key, s_len * c, adjacency)
+
+    def r(x, cap):
+        return x.reshape(s_len, c, cap, *x.shape[2:])
+
+    nodes = r(ds.nodes, b_cap)           # [S,C,B] (sentinel = N)
+    node_mask = r(ds.node_mask, b_cap)
+    eu = r(ds.edges_u, e_cap)
+    ev = r(ds.edges_v, e_cap)
+    emask = r(ds.edge_mask, e_cap)
+    weight = ds.weight.reshape(s_len, c)
+
+    steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
+    nbr_keys = jax.vmap(
+        lambda s: jax.random.fold_in(state.neighbor_key, s))(steps)
+    if cfg.shared_neighbors:
+        # one n-draw per (step, chain): chains keep independent
+        # streams (R-hat validity); within a chain every node reads
+        # the same set — the unbiased shared estimator
+        sentinel = jnp.full((c,), cfg.N, jnp.int32)
+        with jax.named_scope("neighbor_draws"):
+            neighbors = jax.vmap(lambda key: sample_neighbors(
+                key, sentinel, cfg.N, cfg.num_node_sample))(nbr_keys)
+            # [S, C, n] chain-local ids
+        with jax.named_scope("membership"):
+            y_phi = edge_set.has_edges(
+                nodes[..., None], neighbors[:, :, None, :])  # [S,C,B,n]
+    else:
+        flat_nodes_all = nodes.reshape(s_len, c * b_cap)
+        with jax.named_scope("neighbor_draws"):
+            neighbors = jax.vmap(lambda key, nd: sample_neighbors(
+                key, nd, cfg.N, cfg.num_node_sample))(
+                nbr_keys, flat_nodes_all)     # [S, C*B, n]
+        with jax.named_scope("membership"):
+            y_phi = edge_set.has_edges(
+                flat_nodes_all[:, :, None], neighbors
+            ).reshape(s_len, c, b_cap, -1)                   # [S,C,B,n]
+    with jax.named_scope("noise"):
+        if cfg.phi_disable_noise:
+            phi_noise = jnp.ones((s_len, c, b_cap, k), jnp.float32)
+        else:
+            phi_noise = jax.vmap(lambda s: native_rng.randn(
+                jax.random.fold_in(state.phi_key, s),
+                (c, b_cap, k)))(steps)
+            if cfg.mmsb_noise_scale != 1.0:
+                phi_noise = phi_noise * cfg.mmsb_noise_scale
+        t_noise = jax.vmap(lambda s: jax.vmap(
+            partial(_symmetrize_noise, cfg))(native_rng.randn(
+                jax.random.fold_in(state.theta_key, s),
+                (c, k, k, 2))))(steps)                      # [S,C,K,K,2]
+        if cfg.mmsb_noise_scale != 1.0:
+            t_noise = t_noise * cfg.mmsb_noise_scale
+    with jax.named_scope("membership"):
+        y_edges = edge_set.has_edges(eu, ev)   # [S,C,E]
+
+    # chain row offsets; sentinel rows (id == N) map to the global
+    # sentinel C*N so they never collide with another chain's row 0
+    offsets = (jnp.arange(c, dtype=jnp.int32) * n_rows)[:, None]  # [C,1]
+
+    def body(st: MMSBChainState, xs):
+        (nodes_s, nmask_s, eu_s, ev_s, emask_s, w_s,
+         nbrs_s, y_n, n_phi, n_theta, y_e) = xs
+        flat_nodes = jnp.where(nodes_s < n_rows, nodes_s + offsets,
+                               c * n_rows).reshape(-1)       # [C*B]
+        flat_mask = nmask_s.reshape(-1)
+        with jax.named_scope("pi_gather"):
+            pi_n = st.pi[flat_nodes].reshape(c, b_cap, k)
+            phis = st.phi_sum[flat_nodes].reshape(c, b_cap)
+            if cfg.shared_neighbors:
+                pi_nb = st.pi[nbrs_s + offsets]              # [C, n, K]
+            else:
+                flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
+                             + offsets[:, :, None])
+                pi_nb = st.pi[flat_nbrs]                 # [C, B, n, K]
+        with jax.named_scope("phi_update"):
+            if cfg.shared_neighbors:
+                nm = nbrs_s[:, None, :] != nodes_s[..., None]  # [C,B,n]
+                rows_c, sums_c = jax.vmap(
+                    lambda pn, ps, bb, pnb, yy, mm, nz:
+                    _phi_rows_core_shared(cfg, pn, ps, bb, pnb, yy, mm,
+                                          st.step_count, nz)
+                )(pi_n, phis, st.b, pi_nb, y_n, nm, n_phi)
+            else:
+                rows_c, sums_c = jax.vmap(
+                    lambda pn, ps, bb, pnb, yy, nz:
+                    _phi_rows_core(cfg, pn, ps, bb, pnb, yy,
+                                   st.step_count, nz)
+                )(pi_n, phis, st.b, pi_nb, y_n, n_phi)
+            rows = rows_c.reshape(c * b_cap, k)
+            sums = sums_c.reshape(-1)
+        with jax.named_scope("pi_scatter"):
+            safe = jnp.where(flat_mask, flat_nodes, c * n_rows)
+            pi = st.pi.at[safe].set(rows, mode="drop")
+            phi_sum = st.phi_sum.at[safe].set(sums, mode="drop")
+        count = st.theta_count + 1
+        with jax.named_scope("theta_grads"):
+            flat_eu = (eu_s + offsets).reshape(-1)
+            flat_ev = (ev_s + offsets).reshape(-1)
+            pi_u = pi[flat_eu].reshape(c, e_cap, k)
+            pi_v = pi[flat_ev].reshape(c, e_cap, k)
+            grads = jax.vmap(
+                lambda tb, bb, pu, pv, yy, mm:
+                _theta_grads_core(cfg, tb, bb, pu, pv, yy, mm)
+            )(st.theta_b, st.b, pi_u, pi_v, y_e, emask_s)
+        with jax.named_scope("theta_update"):
+            theta_b, b = jax.vmap(
+                lambda tb, g, w, nz:
+                mmsb_theta_step(cfg, tb, g, w, count, nz)
+            )(st.theta_b, grads, w_s, n_theta)
+        return st._replace(
+            pi=pi, phi_sum=phi_sum, theta_b=theta_b, b=b,
+            step_count=st.step_count + 1, theta_count=count), None
+
+    state, _ = jax.lax.scan(
+        body, state,
+        (nodes, node_mask, eu, ev, emask, weight, neighbors, y_phi,
+         phi_noise, t_noise, y_edges),
+        unroll=cfg.scan_unroll)
+    return state
+
+
+def _mmsb_chains_ppx(cfg: Config, num_chains: int, heldout_set: EdgeSet,
+                     eu: jnp.ndarray, ev: jnp.ndarray,
+                     state: MMSBChainState):
+    """Per-chain perplexity over the shared heldout population."""
+    c = num_chains
+    h = eu.shape[0]
+    k = cfg.K
+    count = state.ppx_count + 1
+    y = heldout_set.has_edges(eu, ev)                        # [H]
+    offsets = (jnp.arange(c, dtype=jnp.int32) * cfg.N)[:, None]
+    pi_u = state.pi[(eu[None, :] + offsets).reshape(-1)].reshape(c, h, k)
+    pi_v = state.pi[(ev[None, :] + offsets).reshape(-1)].reshape(c, h, k)
+    link = jnp.einsum("chk,ckl,chl->ch", pi_u, state.b, pi_v)
+    non = 1.0 - link     # pi rows normalized: pi_u (1-B) pi_v = 1-link
+    lik = jnp.maximum(jnp.where(y[None, :], link, non), 1e-30)
+    cnt = count.astype(pi_u.dtype)
+    ppx_new = (state.ppx_per_edge * (cnt - 1.0) + lik) / cnt   # [C,H]
+    neg_avg = -jnp.mean(jnp.log(ppx_new), axis=-1)             # [C]
+    state = state._replace(ppx_per_edge=ppx_new, ppx_count=count)
+    return state, neg_avg
+
+
+def _mmsb_chains_chunk_ppx(cfg: Config, num_chains: int,
+                           edge_set: EdgeSet, heldout_set: EdgeSet,
+                           adjacency, eu, ev, state: MMSBChainState,
+                           num_evals: int, interval: int):
+    def outer(st: MMSBChainState, _):
+        st = _mmsb_chains_chunk(cfg, num_chains, edge_set, heldout_set,
+                                adjacency, st, interval)
+        return _mmsb_chains_ppx(cfg, num_chains, heldout_set, eu, ev, st)
+
+    return jax.lax.scan(outer, state, None, length=num_evals)
+
+
+class MMSBChainLearner:
+    """C independent full-MMSB chains, one flat row space, one fused
+    program per chunk (FlatChainLearner's surface for --model mmsb)."""
+
+    def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
+                 num_chains: int):
+        from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
+        assert num_chains >= 1
+        if cfg.rng_backend != RngBackend.NATIVE:
+            raise ValueError("MMSBChainLearner supports the native RNG "
+                             "backend only")
+        if cfg.phi_impl != PhiImpl.JNP:
+            raise ValueError("MMSBChainLearner supports phi_impl=jnp "
+                             "only")
+        if cfg.pi_dtype != "float32":
+            raise ValueError("chain engines keep pi in fp32")
+        if len(split.heldout_edges_u) == 0:
+            raise ValueError("no held-out edges: heldout_ratio too "
+                             "small for this graph")
+        cfg = cfg.replace(device_sampling=True)
+        self.cfg = cfg
+        self.num_chains = num_chains
+        self.training_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+        self.heldout_set = build_edge_set(
+            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
+        self.heldout_u = jnp.asarray(split.heldout_edges_u)
+        self.heldout_v = jnp.asarray(split.heldout_edges_v)
+        self.adjacency = (jnp.asarray(graph.offsets, jnp.int32),
+                          jnp.asarray(graph.cols, jnp.int32))
+        self.timers = StageTimers()
+
+        h = len(split.heldout_edges_u)
+        pis, phis, thetas, bs = [], [], [], []
+        base = None
+        for ci in range(num_chains):
+            st = init_mmsb_state(
+                cfg.replace(init_seed=cfg.init_seed + ci), h)
+            base = st
+            pis.append(st.pi); phis.append(st.phi_sum)
+            thetas.append(st.theta_b); bs.append(st.b)
+        self.state = MMSBChainState(
+            pi=jnp.concatenate(pis, axis=0),
+            phi_sum=jnp.concatenate(phis, axis=0),
+            theta_b=jnp.stack(thetas),
+            b=jnp.stack(bs),
+            step_count=base.step_count,
+            theta_count=base.theta_count,
+            ppx_per_edge=jnp.zeros((num_chains, h), jnp.float32),
+            ppx_count=jnp.asarray(0, jnp.int32),
+            phi_key=base.phi_key,
+            theta_key=base.theta_key,
+            neighbor_key=base.neighbor_key,
+            sample_key=base.sample_key,
+        )
+        self._chunk = jax.jit(
+            partial(_mmsb_chains_chunk, cfg, num_chains),
+            static_argnames="num_steps", donate_argnums=(3,))
+        self._ppx = jax.jit(partial(_mmsb_chains_ppx, cfg, num_chains),
+                            donate_argnums=(3,))
+        self._chunk_ppx = jax.jit(
+            partial(_mmsb_chains_chunk_ppx, cfg, num_chains),
+            static_argnames=("num_evals", "interval"),
+            donate_argnums=(5,))
+
+    def run(self, max_iters: int) -> None:
+        spc = max(1, self.cfg.steps_per_call)
+        with self.timers.stage("total"):
+            done = 0
+            while done < max_iters:
+                take = min(spc, max_iters - done)
+                with self.timers.stage("device_step"):
+                    self.state = self._chunk(
+                        self.training_set, self.heldout_set,
+                        self.adjacency, self.state, num_steps=take)
+                done += take
+            int(self.state.step_count)  # fence inside the timer
+
+    def run_with_ppx(self, max_iters: int, interval: int):
+        """Fused per-chain eval series ({step, ppx: [C]} dicts)."""
+        from mcmc_ammsb_tpu.learner import run_fused_eval_series
+
+        spc = max(1, self.cfg.steps_per_call)
+
+        def dispatch(take):
+            self.state, neg = self._chunk_ppx(
+                self.training_set, self.heldout_set, self.adjacency,
+                self.heldout_u, self.heldout_v, self.state,
+                num_evals=take, interval=interval)
+            return np.exp(np.asarray(neg))               # [take, C]
+
+        def tail(t):
+            with self.timers.stage("device_step"):
+                self.state = self._chunk(
+                    self.training_set, self.heldout_set,
+                    self.adjacency, self.state, num_steps=t)
+            int(self.state.step_count)  # fence
+
+        return run_fused_eval_series(
+            self.timers, spc, max_iters, interval, dispatch,
+            lambda: int(self.state.step_count),
+            lambda pv, i, step: {"step": step, "ppx": pv[i]},
+            tail)
+
+    def heldout_perplexity(self) -> np.ndarray:
+        with self.timers.stage("ppx"):
+            self.state, neg = self._ppx(
+                self.heldout_set, self.heldout_u, self.heldout_v,
+                self.state)
+            return np.exp(np.asarray(neg))
 
     def print_stats(self, log=print) -> None:
         self.timers.print_table(log)

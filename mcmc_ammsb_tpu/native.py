@@ -106,6 +106,12 @@ def _load() -> Optional[ctypes.CDLL]:
             i64, i64, ctypes.c_uint32,               # M, NB, seed
             ctypes.c_void_p, ctypes.c_void_p,        # out_d, out_slot_of
         ]
+        lib.cuckoo_try.restype = ctypes.c_int
+        lib.cuckoo_try.argtypes = [
+            i64, ctypes.c_void_p,                    # keys
+            i64, ctypes.c_uint64,                    # num_bins, seed
+            ctypes.c_void_p,                         # out slots
+        ]
         _lib = lib
         return _lib
 
@@ -206,3 +212,21 @@ def chd_build(u: np.ndarray, v: np.ndarray, m_slots: int,
     if rc != 0:
         raise IOError(f"chd_build failed: rc={rc}")
     return d, slot_of
+
+
+def cuckoo_try(keys: np.ndarray, num_bins: int, seed: int):
+    """One native cuckoo placement attempt (same walk discipline as the
+    numpy fallback in ops/edgeset.py). Returns the filled slots array
+    [2, num_bins, 4] uint64 (empty = all-ones) or None when the walk
+    fails at this table size (caller grows and retries)."""
+    lib = _load()
+    assert lib is not None, "native cuckoo_try unavailable"
+    keys = np.ascontiguousarray(keys, np.uint64)
+    slots = np.empty((2, num_bins, 4), np.uint64)
+    rc = lib.cuckoo_try(len(keys), _ptr(keys), num_bins,
+                        np.uint64(seed), _ptr(slots))
+    if rc == -5:
+        return None
+    if rc != 0:
+        raise IOError(f"cuckoo_try failed: rc={rc}")
+    return slots

@@ -490,37 +490,52 @@ def _build_cuckoo_host(u: np.ndarray, v: np.ndarray):
         return _build_cuckoo_host_impl(u, v)
 
 
+def _cuckoo_try_py(keys: np.ndarray, num_bins: int,
+                   rng: np.random.RandomState):
+    """One numpy placement attempt; returns slots or None on failure.
+    Fallback for images without a C++ toolchain — the native
+    csrc/sampler.cpp::cuckoo_try runs the same walk ~1000x faster
+    (the walk is inherently sequential; python pays an interpreter
+    iteration per displacement)."""
+    n = len(keys)
+    slots = np.full((2, num_bins, 4), _EMPTY64)
+    for key in keys:
+        k = np.uint64(key)
+        placed = False
+        bucket = 0
+        for _disp in range(max(64, n // 2 + 1)):
+            h1, h2 = _cuckoo_hashes(k, num_bins)
+            h = h1 if bucket == 0 else h2
+            row = slots[bucket, h]
+            empty = np.nonzero(row == _EMPTY64)[0]
+            if len(empty):
+                row[empty[0]] = k
+                placed = True
+                break
+            # evict a random occupant, retry it in the other bucket
+            j = rng.randint(4)
+            k, row[j] = row[j], k
+            bucket = 1 - bucket
+        if not placed:
+            return None
+    return slots
+
+
 def _build_cuckoo_host_impl(u: np.ndarray, v: np.ndarray):
     n = len(u)
     keys = (np.asarray(u, np.uint64) << np.uint64(32)) | np.asarray(
         v, np.uint64
     ).astype(np.uint64)
     num_bins = int(1 + np.ceil((1.15 * max(n, 1)) / (2 * 4)))
+    from mcmc_ammsb_tpu import native
+    use_native = native.available()
     rng = np.random.RandomState(42)
-    for _attempt in range(12):
-        slots = np.full((2, num_bins, 4), _EMPTY64)
-        ok = True
-        for key in keys:
-            k = np.uint64(key)
-            placed = False
-            bucket = 0
-            for _disp in range(max(64, n // 2 + 1)):
-                h1, h2 = _cuckoo_hashes(k, num_bins)
-                h = h1 if bucket == 0 else h2
-                row = slots[bucket, h]
-                empty = np.nonzero(row == _EMPTY64)[0]
-                if len(empty):
-                    row[empty[0]] = k
-                    placed = True
-                    break
-                # evict a random occupant, retry it in the other bucket
-                j = rng.randint(4)
-                k, row[j] = row[j], k
-                bucket = 1 - bucket
-            if not placed:
-                ok = False
-                break
-        if ok:
+    for attempt in range(12):
+        if use_native:
+            slots = native.cuckoo_try(keys, num_bins, seed=42 + attempt)
+        else:
+            slots = _cuckoo_try_py(keys, num_bins, rng)
+        if slots is not None:
             break
         num_bins = int(num_bins * 1.3) + 1
     else:

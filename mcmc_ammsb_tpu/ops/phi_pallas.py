@@ -249,7 +249,8 @@ def phi_update_rows_pallas(
     y = edge_set.has_edges(nodes[:, None], neighbors)
     phis = phi_sum[nodes]                                  # [B]
     return phi_update_core_pallas(cfg, pi_n, phis, pi_nb, y, beta,
-                                  step_count, noise, interpret)
+                                  step_count, noise,
+                                  interpret=interpret)
 
 
 def phi_update_core_pallas(
@@ -261,12 +262,22 @@ def phi_update_core_pallas(
     beta: jnp.ndarray,       # [K]
     step_count: jnp.ndarray,
     noise: jnp.ndarray,      # [B, K]
+    nbr_mask: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kernel on pre-gathered rows — same contract as
-    ops.phi.phi_update_core, so the hoisted scan (learner.
-    train_steps_scan) can route through the streaming kernel instead
-    of the jnp elementwise chain without giving up hoisting."""
+    ops.phi.phi_update_core (including the positional ``nbr_mask``
+    slot, so the scan's 9-positional-arg call can never silently bind
+    a mask into ``interpret``), so the hoisted scan
+    (learner.train_steps_scan) can route through the streaming kernel
+    instead of the jnp elementwise chain without giving up hoisting.
+    Shared-neighbor masks are a jnp-path feature: the kernel tiles
+    per-node neighbor rows, so a non-None mask is rejected loudly
+    (the Learner constructor already forbids the combination)."""
+    if nbr_mask is not None:
+        raise ValueError(
+            "phi_update_core_pallas does not support shared-neighbor "
+            "masks (shared_neighbors requires phi_impl=jnp)")
     b, k = pi_n.shape
     nn = cfg.num_node_sample
     if k % 128 != 0:

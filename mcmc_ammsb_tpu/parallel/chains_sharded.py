@@ -108,23 +108,47 @@ class ShardedChainLearner:
         self.timers = StageTimers()
 
         h = len(split.heldout_edges_u)
-        pis, phis, thetas, betas = [], [], [], []
+        # Initialize per GROUP and place each group's block directly on
+        # its mesh slice: peak un-sharded memory stays at ONE group's
+        # [C_local*N, K] block instead of the whole [C*N, K] concat —
+        # the engine exists precisely for chain counts whose full state
+        # does not fit a single chip.
+        mesh_devs = list(mesh.devices.reshape(-1))
+        c_per = num_chains // n_groups
+        pi_blocks, phi_blocks, theta_blocks, beta_blocks = [], [], [], []
         base = None
-        for ci in range(num_chains):
-            st = init_state(cfg.replace(init_seed=cfg.init_seed + ci), h)
-            base = st
-            pis.append(st.pi); phis.append(st.phi_sum)
-            thetas.append(st.theta); betas.append(st.beta)
+        for g in range(n_groups):
+            pis, phis, thetas, betas = [], [], [], []
+            for ci in range(g * c_per, (g + 1) * c_per):
+                st = init_state(
+                    cfg.replace(init_seed=cfg.init_seed + ci), h)
+                base = st
+                pis.append(st.pi); phis.append(st.phi_sum)
+                thetas.append(st.theta); betas.append(st.beta)
+            dev = mesh_devs[g]
+            pi_blocks.append(
+                jax.device_put(jnp.concatenate(pis, axis=0), dev))
+            phi_blocks.append(
+                jax.device_put(jnp.concatenate(phis, axis=0), dev))
+            theta_blocks.append(jax.device_put(jnp.stack(thetas), dev))
+            beta_blocks.append(jax.device_put(jnp.stack(betas), dev))
+            del pis, phis
+
+        def from_blocks(blocks, spec):
+            shape = ((sum(b.shape[0] for b in blocks),)
+                     + blocks[0].shape[1:])
+            return jax.make_array_from_single_device_arrays(
+                shape, NamedSharding(mesh, spec), blocks)
 
         def group_keys(key):
             return jax.vmap(lambda g: jax.random.fold_in(key, g))(
                 jnp.arange(n_groups))
 
         state = ChainState(
-            pi=jnp.concatenate(pis, axis=0),
-            phi_sum=jnp.concatenate(phis, axis=0),
-            theta=jnp.stack(thetas),
-            beta=jnp.stack(betas),
+            pi=from_blocks(pi_blocks, P(CHAIN_AXIS, None)),
+            phi_sum=from_blocks(phi_blocks, P(CHAIN_AXIS)),
+            theta=from_blocks(theta_blocks, P(CHAIN_AXIS)),
+            beta=from_blocks(beta_blocks, P(CHAIN_AXIS)),
             step_count=base.step_count,
             beta_count=base.beta_count,
             ppx_per_edge=jnp.zeros((num_chains, h), jnp.float32),

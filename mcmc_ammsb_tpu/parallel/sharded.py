@@ -66,12 +66,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _fetch_rows(pi_local: jnp.ndarray, idx: jnp.ndarray,
                 rows_per_shard: int) -> jnp.ndarray:
-    """Cross-shard row gather: local masked gather + psum over 'model'."""
+    """Cross-shard row gather: local masked gather + psum over 'model'.
+
+    Gathered rows are upcast to fp32 BEFORE the collective — compute
+    (and the ICI reduction) stays fp32 even when pi storage is bf16,
+    mirroring the single-chip gather-then-upcast discipline
+    (learner.train_steps_scan pi_gather)."""
     m_idx = jax.lax.axis_index(MODEL_AXIS)
     local = idx - m_idx * rows_per_shard
     ok = (local >= 0) & (local < rows_per_shard)
     li = jnp.clip(local, 0, rows_per_shard - 1)
-    rows = pi_local[li] * ok.astype(pi_local.dtype)[..., None]
+    rows = (pi_local[li].astype(jnp.float32)
+            * ok.astype(jnp.float32)[..., None])
     return jax.lax.psum(rows, MODEL_AXIS)
 
 
@@ -120,13 +126,14 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
     nbr_mask = (neighbors != batch.nodes[:, None]
                 if cfg.shared_neighbors else None)
     with jax.named_scope("noise"):
+        # noise (like all compute) is fp32 even under bf16 pi storage
         if cfg.phi_disable_noise:
-            noise = jnp.ones((b_local, cfg.K), state.pi.dtype)
+            noise = jnp.ones((b_local, cfg.K), state.phi_sum.dtype)
         else:
             noise = native_rng.randn(
                 jax.random.fold_in(
                     jax.random.fold_in(state.phi_key, step), d_idx),
-                (b_local, cfg.K), state.pi.dtype)
+                (b_local, cfg.K), state.phi_sum.dtype)
     with jax.named_scope("phi_update"):
         rows, sums = phi_ops.phi_update_core(
             cfg, pi_n, phis, pi_nb, y, state.beta, step, noise, nbr_mask)
@@ -141,7 +148,10 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
         local = g_nodes - m_idx * rows_per_shard
         ok = (local >= 0) & (local < rows_per_shard) & g_mask
         safe = jnp.where(ok, local, rows_per_shard)
-        pi = state.pi.at[safe].set(g_rows, mode="drop")
+        # staged rows are fp32; quantize only at the write-back
+        # (scatter_rows discipline) when pi storage is bf16
+        pi = state.pi.at[safe].set(g_rows.astype(state.pi.dtype),
+                                   mode="drop")
         phi_sum = state.phi_sum.at[safe].set(g_sums, mode="drop")
 
     # --- theta/beta from the local edge slice ----------------------------
@@ -157,7 +167,7 @@ def _sharded_step_body(cfg: Config, rows_per_shard: int,
     with jax.named_scope("theta_update"):
         beta_noise = native_rng.randn(
             jax.random.fold_in(state.beta_key, step), (cfg.K, 2),
-            state.pi.dtype)
+            state.phi_sum.dtype)
         theta, beta = beta_ops.theta_step(
             cfg, state.theta, grads, batch.weight, beta_count,
             beta_noise)
@@ -201,16 +211,18 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
         y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
         y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
     with jax.named_scope("noise"):
+        # fp32 noise regardless of pi storage precision
         if cfg.phi_disable_noise:
-            phi_noise = jnp.ones((s_len, b_local, cfg.K), state.pi.dtype)
+            phi_noise = jnp.ones((s_len, b_local, cfg.K),
+                                 state.phi_sum.dtype)
         else:
             phi_noise = jax.vmap(lambda s: native_rng.randn(
                 jax.random.fold_in(jax.random.fold_in(state.phi_key, s),
                                    d_idx),
-                (b_local, cfg.K), state.pi.dtype))(steps)
+                (b_local, cfg.K), state.phi_sum.dtype))(steps)
         beta_noise = jax.vmap(lambda s: native_rng.randn(
             jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
-            state.pi.dtype))(steps)
+            state.phi_sum.dtype))(steps)
     with jax.named_scope("edge_lanes"):
         # the local edge slice's endpoints live somewhere in the GLOBAL
         # deduped node list; the write-back all_gathers every shard's
@@ -255,7 +267,9 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
             local = g_nodes - m_idx * rows_per_shard
             ok = (local >= 0) & (local < rows_per_shard) & g_mask
             safe = jnp.where(ok, local, rows_per_shard)
-            pi = s.pi.at[safe].set(g_rows, mode="drop")
+            # quantize fp32 staged rows only at the write-back
+            pi = s.pi.at[safe].set(g_rows.astype(s.pi.dtype),
+                                   mode="drop")
             phi_sum = s.phi_sum.at[safe].set(g_sums, mode="drop")
 
         with jax.named_scope("beta_grads"):
@@ -340,7 +354,7 @@ def _sharded_ppx_body(cfg: Config, rows_per_shard: int, train: bool,
     non_link_lik = jax.lax.psum(res.non_link_likelihood, DATA_AXIS)
     link_count = jax.lax.psum(res.link_count, DATA_AXIS)
     non_link_count = jax.lax.psum(res.non_link_count, DATA_AXIS)
-    total = (link_count + non_link_count).astype(state.pi.dtype)
+    total = (link_count + non_link_count).astype(state.phi_sum.dtype)
     neg_avg = -(link_lik + non_link_lik) / total
     if train:
         state = state._replace(train_ppx_per_edge=res.ppx_per_edge,
@@ -391,10 +405,14 @@ class ShardedLearner(HostSamplingPipeline):
         from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
         if cfg.shared_neighbors and cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("shared_neighbors requires phi_impl=jnp")
-        if cfg.pi_dtype != "float32":
-            raise ValueError("ShardedLearner keeps pi in fp32; "
-                             "pi_dtype=bfloat16 is single-chip only "
-                             "for now")
+        if cfg.pi_dtype != "float32" and cfg.phi_impl != PhiImpl.JNP:
+            raise ValueError("pi_dtype=bfloat16 requires phi_impl=jnp")
+        # bf16 pi storage is supported sharded: rows are quantized at
+        # the write-back and upcast in _fetch_rows, exactly as the
+        # single-chip path — the capacity lever matters MOST here (the
+        # reference's RowPartitionedMatrix exists precisely to exceed
+        # one allocation's limits, partitioned-alloc.h:87-131; bf16
+        # halves every shard's row bytes on top of the row split).
         if cfg.rng_backend != RngBackend.NATIVE:
             raise ValueError(
                 "ShardedLearner requires rng_backend=native: the "

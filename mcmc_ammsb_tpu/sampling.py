@@ -37,6 +37,14 @@ from mcmc_ammsb_tpu.data import DataSplit, Graph
 from mcmc_ammsb_tpu.types import VERTEX_DTYPE, canonicalize, pack_edges
 
 
+class SamplerExhausted(RuntimeError):
+    """A rejection-sampling loop ran out of retry budget: the graph
+    cannot supply the requested minibatch (e.g. a near-complete graph
+    asked for more non-links than exist). Mirrors the native sampler's
+    rc=-4 (csrc/sampler.cpp:50,193) so both host paths fail the same
+    way instead of the numpy fallback spinning forever."""
+
+
 @dataclasses.dataclass
 class MiniBatch:
     """One padded minibatch (host numpy)."""
@@ -81,13 +89,30 @@ class MiniBatchSampler:
 
     # -- strategies --------------------------------------------------------
 
+    def _budget(self, extra: int = 0) -> int:
+        """Rejection-retry budget, matching the native path's rc=-4
+        semantics (csrc/sampler.cpp:63-114: 100*(m+N)+1000 attempts):
+        pathological inputs (near-complete graphs, m close to the
+        number of possible non-links, all-isolated node sets) fail
+        loudly instead of spinning forever."""
+        return 100 * (self.graph.num_nodes + extra) + 1000
+
+    def _exhausted(self, what: str) -> "SamplerExhausted":
+        return SamplerExhausted(
+            f"{what}: retry budget exhausted after "
+            f"{self._budget(self.cfg.mini_batch_size)} attempts — the "
+            "graph cannot supply this minibatch (native sampler "
+            "returns rc=-4 for the same condition)")
+
     def _node_link(self) -> Tuple[np.ndarray, np.ndarray, float]:
         g = self.graph
-        while True:
+        for _ in range(self._budget()):
             u = self.rng.randint(g.num_nodes)
             nbrs = g.neighbors_of(u)
             if len(nbrs):
                 break
+        else:
+            raise self._exhausted("NodeLink (no non-isolated pivot)")
         uu = np.full(len(nbrs), u, VERTEX_DTYPE)
         eu, ev = canonicalize(uu, nbrs.astype(VERTEX_DTYPE))
         return eu, ev, float(self.cfg.N)
@@ -100,7 +125,14 @@ class MiniBatchSampler:
         eu = np.empty(m, VERTEX_DTYPE)
         ev = np.empty(m, VERTEX_DTYPE)
         count = 0
+        attempts = 0
+        budget = self._budget(m)
         while count < m:
+            attempts += 1
+            if attempts > budget:
+                raise self._exhausted(
+                    f"NodeNonLink (found {count}/{m} non-links at "
+                    f"pivot {u})")
             v = self.rng.randint(g.num_nodes)
             if v == u or v in chosen_v:
                 continue
@@ -112,17 +144,26 @@ class MiniBatchSampler:
             count += 1
         return eu, ev, 2.0 * cfg.E / m
 
+    def _fresh_pivot(self, seen_u) -> int:
+        for _ in range(self._budget()):
+            u = self.rng.randint(self.graph.num_nodes)
+            if u not in seen_u:
+                return u
+        raise self._exhausted("BF (no unseen pivot left)")
+
     def _bf_link(self) -> Tuple[np.ndarray, np.ndarray, float]:
         cfg, g = self.cfg, self.graph
         m = cfg.mini_batch_size
         seen_u, q, edges = set(), [], {}
+        attempts = 0
+        budget = self._budget(m)
         while len(edges) < m:
+            attempts += 1
+            if attempts > budget:
+                raise self._exhausted(
+                    f"BFLink (found {len(edges)}/{m} edges)")
             if not q:
-                while True:
-                    u = self.rng.randint(g.num_nodes)
-                    if u not in seen_u:
-                        break
-                q.append(u)
+                q.append(self._fresh_pivot(seen_u))
             u = q.pop(0)
             if u in seen_u:
                 continue
@@ -141,13 +182,15 @@ class MiniBatchSampler:
         cfg, g = self.cfg, self.graph
         m = cfg.mini_batch_size
         seen_u, q, edges = set(), [], {}
+        attempts = 0
+        budget = self._budget(m)
         while len(edges) < m:
+            attempts += 1
+            if attempts > budget:
+                raise self._exhausted(
+                    f"BFNonLink (found {len(edges)}/{m} non-links)")
             if not q:
-                while True:
-                    u = self.rng.randint(g.num_nodes)
-                    if u not in seen_u:
-                        break
-                q.append(u)
+                q.append(self._fresh_pivot(seen_u))
             u = q.pop(0)
             if u in seen_u:
                 continue
@@ -156,10 +199,14 @@ class MiniBatchSampler:
             for _ in range(32):
                 if len(edges) >= m:
                     break
-                while True:
+                for _ in range(self._budget()):
                     v = self.rng.randint(g.num_nodes)
                     if v != u and v not in nbrs:
                         break
+                else:
+                    raise self._exhausted(
+                        f"BFNonLink (pivot {u} is adjacent to every "
+                        "other node)")
                 q.append(v)
                 a, b = (u, v) if u < v else (v, u)
                 edges[(a, b)] = None

@@ -88,9 +88,66 @@ def test_bf16_unsupported_engines_raise():
     from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
     with pytest.raises(ValueError, match="fp32"):
         FlatChainLearner(cfg, graph, split, 2)
+
+
+def test_bf16_sharded_state_and_convergence():
+    """bf16 pi on the ('data','model') mesh: rows quantized at the
+    all_gather write-back, upcast in _fetch_rows — the capacity lever
+    composed WITH the row sharding (the RowPartitionedMatrix
+    generalization, partitioned-alloc.h:87-131)."""
     from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
-    with pytest.raises(ValueError, match="fp32"):
-        ShardedLearner(cfg, graph, split, make_mesh(2, 4))
+
+    cfg, graph, split = _setup(pi_dtype="bfloat16")
+    lrn = ShardedLearner(cfg, graph, split, make_mesh(2, 4),
+                         prefetch=False)
+    assert lrn.state.pi.dtype == jnp.bfloat16
+    assert lrn.state.phi_sum.dtype == jnp.float32
+    p0 = lrn.heldout_perplexity()
+    lrn.run(300)
+    p1 = lrn.heldout_perplexity()
+    assert np.isfinite(p1) and p1 < p0
+    pi = np.asarray(lrn.state.pi, np.float32)[:cfg.N]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=0.05)
+    lrn.close()
+
+
+def test_bf16_sharded_tracks_single_chip():
+    """Cross-engine contract: the sharded bf16 trajectory's held-out
+    ppx matches the single-chip bf16 run closely (same draws; the only
+    deltas are collective reduction order and per-data-shard noise
+    stream splits)."""
+    from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+
+    cfg, graph, split = _setup(pi_dtype="bfloat16")
+    a = ShardedLearner(cfg, graph, split, make_mesh(2, 4),
+                       prefetch=False)
+    b = Learner(cfg, graph, split, prefetch=False)
+    a.run(300); b.run(300)
+    pa, pb = a.heldout_perplexity(), b.heldout_perplexity()
+    assert abs(pa - pb) / pb < 0.05
+    a.close(); b.close()
+
+
+def test_bf16_sharded_checkpoint_bit_exact_resume(tmp_path):
+    from mcmc_ammsb_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+
+    cfg, graph, split = _setup(pi_dtype="bfloat16")
+    mesh = make_mesh(2, 4)
+    a = ShardedLearner(cfg, graph, split, mesh, prefetch=False)
+    a.run(20)
+    path = str(tmp_path / "bf16_sharded.npz")
+    save_checkpoint(path, a)
+    a.run(30)
+
+    b = ShardedLearner(cfg, graph, split, mesh, prefetch=False)
+    load_checkpoint(path, b)
+    assert b.state.pi.dtype == jnp.bfloat16
+    b.run(30)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.pi, np.float32),
+        np.asarray(b.state.pi, np.float32))
+    a.close(); b.close()
 
 
 def test_unknown_pi_dtype_raises():

@@ -236,3 +236,46 @@ def test_fused_ppx_tail_and_guards():
     with _pytest.raises(RuntimeError, match="device_sampling"):
         b.run_with_ppx(10, 5)
     b.close()
+
+
+def test_batch_nodes_cap_below_minimum_rejected():
+    """A user cap below max(2m, max_fan_out+1) would truncate the
+    deduped node prefix and silently corrupt the edge-lane maps
+    (ADVICE r2); finalize must reject it loudly."""
+    cfg = Config(K=8, mini_batch_size=8, batch_nodes_cap=10)
+    with pytest.raises(ValueError, match="batch_nodes_cap"):
+        cfg.finalize(N=100, E=300, max_fan_out=20)
+    # at or above the derived minimum it passes through
+    ok = Config(K=8, mini_batch_size=8, batch_nodes_cap=32).finalize(
+        N=100, E=300, max_fan_out=20)
+    assert ok.max_batch_nodes == 32
+
+
+def test_cli_fast_default_resolution():
+    """resolve_fast_defaults: fast path auto-on for Node-family +
+    native RNG; reference-exact combos stay on the host path;
+    explicit flags always win."""
+    from mcmc_ammsb_tpu import cli
+
+    args = cli.build_arg_parser().parse_args(["--synthetic", "100,4"])
+    cli.resolve_fast_defaults(args)
+    assert args.device_sampling and args.shared_neighbors
+    assert args.steps_per_call == 1000
+
+    args = cli.build_arg_parser().parse_args(
+        ["--synthetic", "100,4", "--rng", "reference"])
+    cli.resolve_fast_defaults(args)
+    assert not args.device_sampling and not args.shared_neighbors
+    assert args.steps_per_call == 100  # one dispatch per eval period
+
+    args = cli.build_arg_parser().parse_args(
+        ["--synthetic", "100,4", "-s", "BF"])
+    cli.resolve_fast_defaults(args)
+    assert not args.device_sampling  # breadth-first is host-only
+
+    args = cli.build_arg_parser().parse_args(
+        ["--synthetic", "100,4", "--no-device-sampling",
+         "--steps-per-call", "7"])
+    cli.resolve_fast_defaults(args)
+    assert not args.device_sampling and not args.shared_neighbors
+    assert args.steps_per_call == 7

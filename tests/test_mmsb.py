@@ -197,12 +197,13 @@ def test_mmsb_shared_core_matches_naive_on_shared_set(mmsb_fixture):
     mask = nbrs != nodes[:, None]
 
     # the naive core has no mask; keep the comparison on mask-free data
+    # (both cores take pre-gathered rows — the contract that lets the
+    # chain engine vmap them over a chain axis)
     assert mask.all()
     rows_a, sums_a = jax.jit(lambda *a: _phi_rows_core(cfg, *a))(
-        pi, phi_sum, b, nodes, nbrs, y, 1, noise)
+        pi[nodes], phi_sum[nodes], b, pi[nbrs], y, 1, noise)
     rows_b, sums_b = jax.jit(lambda *a: _phi_rows_core_shared(cfg, *a))(
-        pi, phi_sum, b, nodes, jnp.asarray(pi)[jnp.asarray(shared)],
-        y, mask, 1, noise)
+        pi[nodes], phi_sum[nodes], b, pi[shared], y, mask, 1, noise)
     np.testing.assert_allclose(rows_a, rows_b, rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(sums_a, sums_b, rtol=2e-5)
 
@@ -220,3 +221,81 @@ def test_mmsb_shared_neighbors_converges_like_private():
     pa, pb = a.heldout_perplexity(), p_ctl.heldout_perplexity()
     assert np.isfinite(pa) and pa > 1.0
     assert abs(pa - pb) / pb < 0.06
+
+
+def _chain_setup(**kw):
+    n, u, v = synthetic_sbm_edges(400, 4, p_in=0.12, p_out=0.005, seed=3)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=4)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=20, **kw)
+    return cfg.finalize(n, split.total_edges, graph.max_fan_out), \
+        graph, split
+
+
+@pytest.mark.parametrize("shared", [False, True],
+                         ids=["private", "shared"])
+def test_mmsb_chains_train_and_improve(shared):
+    """C independent full-MMSB chains in one fused program: every
+    chain's held-out ppx falls, pi rows stay normalized per chain, and
+    B stays in (0,1)."""
+    from mcmc_ammsb_tpu.models.mmsb import MMSBChainLearner
+
+    cfg, graph, split = _chain_setup(shared_neighbors=shared)
+    lrn = MMSBChainLearner(cfg, graph, split, num_chains=3)
+    p0 = lrn.heldout_perplexity()
+    assert p0.shape == (3,)
+    lrn.run(300)
+    assert int(lrn.state.step_count) == 301
+    p1 = lrn.heldout_perplexity()
+    assert np.isfinite(p1).all() and (p1 < p0).all()
+    pi = np.asarray(lrn.state.pi)[: 3 * cfg.N]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    b = np.asarray(lrn.state.b)
+    assert ((b > 0) & (b < 1)).all()
+
+
+def test_mmsb_chains_are_independent():
+    """Chains start from distinct seeds and evolve independently: no
+    two chains share state after training."""
+    from mcmc_ammsb_tpu.models.mmsb import MMSBChainLearner
+
+    cfg, graph, split = _chain_setup()
+    lrn = MMSBChainLearner(cfg, graph, split, num_chains=2)
+    lrn.run(40)
+    pi = np.asarray(lrn.state.pi)
+    assert not np.array_equal(pi[: cfg.N], pi[cfg.N: 2 * cfg.N])
+    tb = np.asarray(lrn.state.theta_b)
+    assert not np.array_equal(tb[0], tb[1])
+
+
+def test_mmsb_chains_fused_ppx_series():
+    """run_with_ppx returns the per-chain series; trajectories match
+    the chunked run bit-exactly."""
+    from mcmc_ammsb_tpu.models.mmsb import MMSBChainLearner
+
+    cfg, graph, split = _chain_setup(steps_per_call=40)
+    a = MMSBChainLearner(cfg, graph, split, num_chains=2)
+    b = MMSBChainLearner(cfg, graph, split, num_chains=2)
+    series = a.run_with_ppx(40, 10)
+    assert [ev["step"] for ev in series] == [11, 21, 31, 41]
+    for ev in series:
+        b.run(10)
+        np.testing.assert_array_equal(ev["ppx"], b.heldout_perplexity())
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+
+
+def test_mmsb_chain_single_matches_single_chain_sampling_law():
+    """A 1-chain MMSBChainLearner uses the same init law as
+    FullMMSBLearner (init_seed + 0) and produces a working trajectory
+    with identical initial state."""
+    from mcmc_ammsb_tpu.models.mmsb import MMSBChainLearner
+
+    cfg, graph, split = _chain_setup(device_sampling=True)
+    chain = MMSBChainLearner(cfg, graph, split, num_chains=1)
+    single = FullMMSBLearner(cfg, graph, split)
+    np.testing.assert_array_equal(np.asarray(chain.state.pi),
+                                  np.asarray(single.state.pi))
+    np.testing.assert_array_equal(np.asarray(chain.state.theta_b[0]),
+                                  np.asarray(single.state.theta_b))
