@@ -48,9 +48,14 @@ def main():
     # invariants), 1000 steps per dispatch — at 15 us/step of device
     # time, host sampling + tunnel dispatch dominate anything shallower
     # (docs/design.md round 2 "host-bound" measurements).
+    # Round-3 addition: the T-step fused window engine (ops/window.py,
+    # window=12) — one bulk gather + one Pallas mega-kernel + one
+    # scatter per 12 steps, intra-window collisions redirected via
+    # exact one-hot selects; the trajectory is exactly the sequential
+    # scan's (golden-tested) and the rate is ~1.25x it.
     cfg = Config(K=256, mini_batch_size=32, num_node_sample=32,
                  steps_per_call=1000, device_sampling=True,
-                 shared_neighbors=True,
+                 shared_neighbors=True, window=12,
                  edgeset_backend=EdgeSetBackend.AUTO)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"# dataset ready in {time.time()-t0:.1f}s: N={cfg.N} "
@@ -83,9 +88,10 @@ def main():
               f"heldout ppx {ppx:.3f}", file=sys.stderr)
         return best, float(ppx)
 
-    ups, ppx = measure(cfg, "shared-neighbors")
+    ups, ppx = measure(cfg, "windowed-shared-neighbors")
     ref_ups, ref_ppx = measure(
-        cfg.replace(shared_neighbors=False), "reference-semantics")
+        cfg.replace(shared_neighbors=False, window=0),
+        "reference-semantics")
     dt = 10_000 / ups
 
     # multi-chain aggregate (beyond-reference capability): C=4
@@ -116,6 +122,64 @@ def main():
               file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# chains-c{n_chains} phase skipped: {e}",
+              file=sys.stderr)
+
+    # degree-realistic convergence: seconds to target held-out ppx on
+    # a com-DBLP-shaped degree-corrected power-law surrogate
+    # (N~317k, avg deg 6.6, max degree ~343 — the real metric's shape,
+    # BASELINE.md; the dataset itself is unfetchable in this
+    # zero-egress image). Heavy tails exercise the hub-sized NodeLink
+    # batches (max_batch_edges = max fan-out) and the adjacency-budget
+    # regime that the near-regular synthetic above never does.
+    # Target = 90% of the way from the initial ppx to the run's floor
+    # (fixed seeds -> reproducible and comparable across rounds).
+    # Best-effort: never lose the headline metric.
+    ttp = {}
+    try:
+        from mcmc_ammsb_tpu.data import synthetic_powerlaw_edges
+
+        t0 = time.time()
+        n3, u3, v3 = synthetic_powerlaw_edges(
+            317_080, 6.6, exponent=2.7, max_degree=343,
+            num_communities=256, intra_fraction=0.85, seed=5)
+        split3 = generate_sets(n3, u3, v3, heldout_ratio=0.01, seed=6)
+        graph3 = Graph.from_edges(n3, split3.training_u,
+                                  split3.training_v)
+        cfg3 = Config(K=256, mini_batch_size=32, num_node_sample=32,
+                      steps_per_call=1000, device_sampling=True,
+                      shared_neighbors=True, window=12,
+                      edgeset_backend=EdgeSetBackend.AUTO)
+        cfg3 = cfg3.finalize(n3, split3.total_edges, graph3.max_fan_out)
+        print(f"# powerlaw dataset ready in {time.time()-t0:.1f}s: "
+              f"N={cfg3.N} E={cfg3.E} max_fan_out={cfg3.max_fan_out}",
+              file=sys.stderr)
+        l3 = Learner(cfg3, graph3, split3)
+        ppx0 = l3.heldout_perplexity()
+        l3.run(1000)   # warmup: compile the fused program
+        series = []    # (seconds, ppx) with fenced per-dispatch walls
+        t0 = time.time()
+        for _ in range(20):
+            for ev in l3.run_with_ppx(1000, 500):
+                series.append((time.time() - t0, ev["ppx"]))
+        floor = min(p for _, p in series)
+        target = ppx0 - 0.9 * (ppx0 - floor)
+        secs = next(s for s, p in series if p <= target)
+        rate3 = int(l3.state.step_count) / (time.time() - t0)
+        l3.close()
+        ttp = {
+            "powerlaw_N": cfg3.N, "powerlaw_E": cfg3.E,
+            "powerlaw_max_fan_out": cfg3.max_fan_out,
+            "powerlaw_updates_per_sec": round(rate3, 2),
+            "ppx_initial": round(float(ppx0), 4),
+            "ppx_floor": round(float(floor), 4),
+            "ppx_target": round(float(target), 4),
+            "seconds_to_ppx_target": round(float(secs), 3),
+        }
+        print(f"# powerlaw: {rate3:.0f} updates/s, ppx {ppx0:.3f} -> "
+              f"{floor:.3f}, target {target:.3f} reached in {secs:.1f}s",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# powerlaw time-to-ppx phase skipped: {e}",
               file=sys.stderr)
 
     # convergence sanity on a structured (planted-partition) graph:
@@ -162,6 +226,7 @@ def main():
             "seconds": round(dt, 3),
             "heldout_ppx": round(float(ppx), 4),
             "shared_neighbors": True,
+            "window": cfg.window,
             "reference_semantics_rate": round(ref_ups, 2),
             "reference_semantics_ppx": round(ref_ppx, 4),
             "chains_aggregate_rate": (round(chains_aggregate, 2)
@@ -171,6 +236,7 @@ def main():
                               if ppx_start is not None else None),
             "sbm_ppx_end": (round(float(ppx_end), 4)
                             if ppx_end is not None else None),
+            **ttp,
         },
     }))
 

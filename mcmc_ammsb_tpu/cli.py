@@ -94,6 +94,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "— follows --device-sampling. "
                         "--no-shared-neighbors restores the "
                         "reference's per-node draw semantics")
+    p.add_argument("--window", type=int, default=0,
+                   help="T-step fused window engine: each scan "
+                        "iteration advances T steps with one bulk "
+                        "gather + one Pallas mega-kernel + one "
+                        "scatter; intra-window collisions are "
+                        "redirected via exact one-hot selects so the "
+                        "trajectory is exactly the sequential scan's "
+                        "(requires the fast-path defaults; 0 = auto "
+                        "[12 on the single-chip fast path], -1 = off)")
+    p.add_argument("--window-impl", choices=["pallas", "jnp"],
+                   default="pallas",
+                   help="window fast-branch schedule (jnp = golden "
+                        "cross-check twin)")
     p.add_argument("--profile", action="store_true",
                    help="print the per-stage timing table at exit "
                         "(PrintStats-style per-kernel attribution)")
@@ -198,6 +211,18 @@ def resolve_fast_defaults(args) -> None:
             # host-sampled: one dispatch per eval period
             args.steps_per_call = max(1, min(200, args.ppx_interval))
         log.info("steps_per_call auto-set to %d", args.steps_per_call)
+    if (args.window == 0 and args.device_sampling
+            and args.shared_neighbors and args.pi_dtype == "float32"
+            and args.num_chains == 1 and not args.mesh
+            and args.model == "ammsb"):
+        # the T-step fused window engine (ops/window.py): measured
+        # ~1.25x over the sequential scan at reference shapes, with
+        # exactly the sequential trajectory semantics
+        args.window = 12
+        log.info("window auto-set to 12 (T-step fused windows; "
+                 "--window -1 disables)")
+    if args.window < 0:
+        args.window = 0
 
 
 def config_from_args(args) -> Config:
@@ -225,6 +250,8 @@ def config_from_args(args) -> Config:
         rng_backend=RngBackend(args.rng),
         pi_dtype=args.pi_dtype,
         steps_per_call=args.steps_per_call,
+        window=args.window,
+        window_impl=args.window_impl,
         mmsb_prior_diag=(tuple(args.mmsb_prior_diag)
                          if args.mmsb_prior_diag else None),
         mmsb_noise_scale=args.mmsb_noise_scale,

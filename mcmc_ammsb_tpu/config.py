@@ -140,6 +140,28 @@ class Config:
     # (neighbor == node, prob ~n/N) are masked with the per-node
     # count-aware scale. Requires rng_backend=native, phi_impl=jnp.
     node_tile: int = 8               # Pallas: minibatch nodes per block
+    # T-step WINDOWED fused loop (ops/window.py): the scan advances T
+    # steps per iteration — ONE bulk pi-row gather, ONE Pallas
+    # mega-kernel running the T sequential phi/beta updates entirely
+    # in VMEM (collapsing the ~13 XLA per-op dispatch overheads that
+    # bound the 15 us step, docs/design.md "the step is bound by ~13
+    # per-op overheads"), ONE scatter. Windows containing any
+    # intra-window read-after-write / write-after-write collision
+    # (rare: expected ~0.1-0.6 per window at reference shapes) take
+    # the exact sequential branch under lax.cond, so trajectories are
+    # EXACTLY the sequential scan's. 0 disables. Requires
+    # shared_neighbors + device native RNG + jnp phi + fp32 pi.
+    window: int = 0
+    window_impl: str = "pallas"      # pallas | jnp (golden reference)
+    window_correction: str = "always"
+    # always (default): every window runs the corrected kernel — no
+    #       cond in the program (the correction is an exact 0/1
+    #       select; measured FASTER than the cond at every T: the
+    #       two-branch conditional costs more in scheduling than the
+    #       correction matmuls save, docs/design.md round 3);
+    # auto: lax.cond picks the corrected kernel only for windows with
+    #       intra-window collisions (the predicate is a hoisted
+    #       integer compare; kept as the measured-slower variant).
     # pi STORAGE precision. Compute stays fp32 everywhere (gathered
     # rows are upcast before the SGRLD math; staged rows are written
     # back at storage precision). "bfloat16" halves the pi HBM

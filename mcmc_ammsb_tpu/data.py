@@ -207,6 +207,74 @@ def synthetic_sbm_edges(
     return n, u, v, labels[uniq]
 
 
+def synthetic_powerlaw_edges(
+    num_nodes: int,
+    avg_degree: float,
+    exponent: float = 2.7,
+    max_degree: Optional[int] = None,
+    num_communities: int = 0,
+    intra_fraction: float = 0.85,
+    seed: int = 0,
+    return_labels: bool = False,
+):
+    """Degree-realistic surrogate graph: a degree-corrected planted
+    partition whose degree sequence follows a truncated power law.
+
+    The uniform (``synthetic_edges``) and planted-partition
+    (``synthetic_sbm_edges``) generators both produce near-regular
+    degrees (bench graph max_fan_out = 23) — nothing like the
+    heavy-tailed SNAP graphs the reference's experiments target
+    (com-DBLP max degree ~343, com-LiveJournal ~14k), whose hubs
+    stress ``max_batch_edges`` (NodeLink returns EVERY edge of a
+    pivot, sample.cc:129), NodeLink weighting, and the adjacency-
+    matrix membership backend's N*max_degree*4B budget. This generator
+    fills that gap for the zero-egress image: per-node propensities
+    theta_i ~ 1 + Pareto(exponent-1), capped so the maximum EXPECTED
+    degree lands near ``max_degree``; edges draw endpoints ∝ theta
+    (a Chung-Lu / configuration-model law), with ``intra_fraction`` of
+    them constrained inside ``num_communities`` planted communities
+    (degree-corrected SBM) so held-out perplexity has real structure
+    to learn. Returns renumbered, deduped, canonical edges like every
+    other generator (isolated nodes dropped — SNAP ETL parity,
+    data.cc:36-78); with ``return_labels`` also the community label
+    per renumbered node id.
+    """
+    rng = np.random.RandomState(seed)
+    theta = rng.pareto(exponent - 1.0, num_nodes) + 1.0
+    if max_degree is not None:
+        for _ in range(4):
+            scale = avg_degree * num_nodes / theta.sum()
+            theta = np.minimum(theta, max_degree / scale)
+    p_global = theta / theta.sum()
+    total = int(num_nodes * avg_degree) // 2
+    a = rng.choice(num_nodes, size=total, p=p_global)
+    if num_communities and num_communities > 1:
+        labels = rng.randint(0, num_communities, num_nodes)
+        b = rng.choice(num_nodes, size=total, p=p_global)
+        intra = rng.rand(total) < intra_fraction
+        # redirect intra edges' second endpoint into a's community,
+        # endpoint ∝ theta within the community
+        for c in range(num_communities):
+            members = np.where(labels == c)[0]
+            if len(members) < 2:
+                continue
+            idx = np.where(intra & (labels[a] == c))[0]
+            if len(idx) == 0:
+                continue
+            pc = theta[members] / theta[members].sum()
+            b[idx] = members[rng.choice(len(members), size=len(idx),
+                                        p=pc)]
+    else:
+        labels = np.zeros(num_nodes, np.int64)
+        b = rng.choice(num_nodes, size=total, p=p_global)
+    n, u, v = renumber_dedup_shuffle(a, b, shuffle_seed=seed + 1)
+    if not return_labels:
+        return n, u, v
+    keep = a != b
+    uniq = np.unique(np.concatenate([a[keep], b[keep]]))
+    return n, u, v, labels[uniq]
+
+
 @dataclasses.dataclass
 class DataSplit:
     """Training / held-out split plus the held-out evaluation edge list.

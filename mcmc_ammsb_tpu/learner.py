@@ -438,49 +438,56 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
             jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
             state.phi_sum.dtype))(steps)                     # [S, K, 2]
 
-    def body(s: TrainState, xs):
-        batch, nbrs, y_n, n_phi, n_beta, y_e, lane_u, lane_v = xs
-        with jax.named_scope("pi_gather"):
-            cdt = s.phi_sum.dtype
-            pi_n = s.pi[batch.nodes].astype(cdt)
-            phis = s.phi_sum[batch.nodes]
-            pi_nb = s.pi[nbrs].astype(cdt)  # [B,n,K], or [1,n,K] shared
-        with jax.named_scope("phi_update"):
-            nbr_mask = (nbrs != batch.nodes[:, None]
-                        if cfg.shared_neighbors else None)
-            rows, sums = phi_core(
-                cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count,
-                n_phi, nbr_mask)
-        with jax.named_scope("pi_scatter"):
-            pi, phi_sum = phi_ops.scatter_rows(
-                s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
-        beta_count = s.beta_count + 1
-        with jax.named_scope("beta_grads"):
-            # endpoint rows from the staged phi rows (see edge_lanes
-            # above). Masked NODE lanes hold non-finite staging garbage
-            # (padded gathers) that the scatter drops; any edge mapped
-            # there is itself masked, but NaN*0 != 0, so sanitize the
-            # staging buffer once before the small-array lane gathers
-            # (uniform 1/K rows keep every downstream denominator
-            # strictly positive).
-            rows_safe = jnp.where(batch.node_mask[:, None], rows,
-                                  1.0 / cfg.K)
-            grads = beta_ops.beta_gradients_core(
-                cfg, s.theta, s.beta, rows_safe[lane_u],
-                rows_safe[lane_v], y_e, batch.edge_mask)
-        with jax.named_scope("theta_update"):
-            theta, beta = beta_ops.theta_step(
-                cfg, s.theta, grads, batch.weight, beta_count, n_beta)
-        s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
-                       step_count=s.step_count + 1, beta_count=beta_count)
-        return s, None
-
-    state, _ = jax.lax.scan(
-        body, state,
-        (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges,
-         lanes_u, lanes_v),
-        unroll=cfg.scan_unroll)
+    body = partial(_hoisted_step_body, cfg, phi_core)
+    xs = (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges,
+          lanes_u, lanes_v)
+    if cfg.window > 1 and cfg.shared_neighbors:
+        from mcmc_ammsb_tpu.ops.window import windowed_scan
+        return windowed_scan(cfg, state, xs, body)
+    state, _ = jax.lax.scan(body, state, xs, unroll=cfg.scan_unroll)
     return state
+
+
+def _hoisted_step_body(cfg: Config, phi_core, s: TrainState, xs):
+    """One SGRLD step on hoisted per-step operands — the lax.scan body
+    of train_steps_scan, factored out so the windowed engine
+    (ops/window.py) can reuse it verbatim for its exact sequential
+    branch."""
+    batch, nbrs, y_n, n_phi, n_beta, y_e, lane_u, lane_v = xs
+    with jax.named_scope("pi_gather"):
+        cdt = s.phi_sum.dtype
+        pi_n = s.pi[batch.nodes].astype(cdt)
+        phis = s.phi_sum[batch.nodes]
+        pi_nb = s.pi[nbrs].astype(cdt)  # [B,n,K], or [1,n,K] shared
+    with jax.named_scope("phi_update"):
+        nbr_mask = (nbrs != batch.nodes[:, None]
+                    if cfg.shared_neighbors else None)
+        rows, sums = phi_core(
+            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count,
+            n_phi, nbr_mask)
+    with jax.named_scope("pi_scatter"):
+        pi, phi_sum = phi_ops.scatter_rows(
+            s.pi, s.phi_sum, batch.nodes, batch.node_mask, rows, sums)
+    beta_count = s.beta_count + 1
+    with jax.named_scope("beta_grads"):
+        # endpoint rows from the staged phi rows (see edge_lanes
+        # above). Masked NODE lanes hold non-finite staging garbage
+        # (padded gathers) that the scatter drops; any edge mapped
+        # there is itself masked, but NaN*0 != 0, so sanitize the
+        # staging buffer once before the small-array lane gathers
+        # (uniform 1/K rows keep every downstream denominator
+        # strictly positive).
+        rows_safe = jnp.where(batch.node_mask[:, None], rows,
+                              1.0 / cfg.K)
+        grads = beta_ops.beta_gradients_core(
+            cfg, s.theta, s.beta, rows_safe[lane_u],
+            rows_safe[lane_v], y_e, batch.edge_mask)
+    with jax.named_scope("theta_update"):
+        theta, beta = beta_ops.theta_step(
+            cfg, s.theta, grads, batch.weight, beta_count, n_beta)
+    s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+                   step_count=s.step_count + 1, beta_count=beta_count)
+    return s, None
 
 
 def train_step_device_sampled(cfg: Config, edge_set: EdgeSet,
@@ -695,6 +702,19 @@ class Learner(HostSamplingPipeline):
                 "pi_dtype=bfloat16 requires rng_backend=native and "
                 "phi_impl=jnp (bit-exact reference trajectories and "
                 "the Pallas kernel's tiling are fp32 semantics)")
+        if cfg.window > 1 and (
+                not cfg.shared_neighbors
+                or cfg.rng_backend != RngBackend.NATIVE
+                or cfg.phi_impl != PhiImpl.JNP
+                or pi_storage_dtype(cfg) != jnp.float32):
+            raise ValueError(
+                "window > 1 (the T-step fused window engine, "
+                "ops/window.py) requires shared_neighbors, "
+                "rng_backend=native, phi_impl=jnp and fp32 pi")
+        if cfg.window > 1 and cfg.window_impl not in ("pallas", "jnp"):
+            raise ValueError(
+                f"unknown window_impl {cfg.window_impl!r} "
+                "(pallas | jnp)")
         heldout_size = len(split.heldout_edges_u)
         self.cfg = cfg
         self.graph = graph

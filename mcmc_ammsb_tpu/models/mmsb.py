@@ -557,6 +557,8 @@ def _mmsb_chains_chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
                        num_steps: int) -> MMSBChainState:
     """Advance all chains num_steps in one fused program (the
     chains_flat._chunk structure with the full-B cores)."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+
     c = num_chains
     n_rows = cfg.N
     e_cap, b_cap = cfg.max_batch_edges, cfg.max_batch_nodes

@@ -1,0 +1,441 @@
+"""T-step windowed fused training loop — the Pallas mega-kernel path.
+
+Motivation (docs/design.md "the scatter wall holds"): at reference
+shapes the fused scan body is bound by ~13 XLA per-op dispatch
+overheads of ~1-3 us each plus the scatter lowering — NOT by FLOPs or
+bytes. Structural wins must REMOVE ops from the loop body. This module
+advances the scan T steps per iteration:
+
+  1. ONE bulk gather of all T steps' pi rows ([T*(B+n)] indices);
+  2. ONE Pallas kernel executing the T sequential phi/beta updates
+     entirely in VMEM (python-unrolled, zero DMA — XLA's gather/
+     scatter stay outside: the recorded 709 ns/row per-row-DMA
+     negative says Pallas cannot beat them);
+  3. ONE scatter of the T*B staged rows (last-write-wins masked).
+
+Exactness: step t+1 may read a row an earlier step wrote. Windows
+containing such intra-window collisions (~2% at T=4, ~11% at T=8 on
+the bench graph) run a kernel variant that redirects each colliding
+read to the staged row via an exact one-hot select (coefficients are
+exactly 0/1, so the select introduces no float error); clean windows
+skip the correction under lax.cond. CRITICALLY, pi itself is only
+READ inside the cond — the scatter runs unconditionally outside it.
+(The first formulation scattered inside the cond branches; XLA cannot
+alias a donated buffer through a two-branch conditional, so every
+dirty window paid a full [N, K] pi copy ≈ 500 us — the measured
+round-3 regression.) Trajectories are exactly the sequential scan's
+modulo float-op scheduling (golden-tested against the sequential scan
+on collision-heavy graphs; ``window_impl='jnp'`` runs the same
+windowed structure with the stock jnp cores as the cross-check
+schedule — the reference's multi-mode validation pattern,
+wg-phi-test.cc:116-158).
+
+Reference behavior reproduced: the same per-step numerics as
+/root/reference/mcmc/phi.cc:84-173 and beta.cc:30-137 (via the same
+formulas as ops/phi.py / ops/beta.py); the fusion itself is the
+reference's own winning move (phi.cc:305-412 fuses its pipeline
+stages into one kernel) taken to the TPU limit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcmc_ammsb_tpu.config import Config
+from mcmc_ammsb_tpu.ops import beta as beta_ops
+from mcmc_ammsb_tpu.ops import phi as phi_ops
+
+_PHI_FLOOR = 1e-24
+_THETA_FLOOR = 1e-24
+
+
+# ---------------------------------------------------------------------------
+# Window orchestration
+# ---------------------------------------------------------------------------
+
+def windowed_scan(cfg: Config, state, xs, body):
+    """Scan T-step windows over the hoisted per-step operands; any
+    non-multiple tail runs through the sequential ``body``.
+
+    ``xs`` is train_steps_scan's operand tuple:
+    (batches, neighbors [S,1,n], y_phi, phi_noise, beta_noise,
+     y_edges, lanes_u, lanes_v)."""
+    t_win = cfg.window
+    s_len = xs[1].shape[0]
+    n_win = s_len // t_win
+    tail = s_len - n_win * t_win
+    if n_win == 0:
+        state, _ = jax.lax.scan(body, state, xs, unroll=cfg.scan_unroll)
+        return state
+
+    xs_w = jax.tree.map(
+        lambda a: a[: n_win * t_win].reshape(n_win, t_win, *a.shape[1:]),
+        xs)
+    batches_w = xs_w[0]
+    b_cap = cfg.max_batch_nodes
+
+    if cfg.window_correction == "always":
+        dirty = jnp.zeros((n_win,), bool)     # every window corrects
+    else:
+        with jax.named_scope("window_dirty"):
+            dirty = _dirty_windows(batches_w.nodes,
+                                   batches_w.node_mask,
+                                   xs_w[1][:, :, 0, :], t_win)
+    with jax.named_scope("window_lanes"):
+        lane_eye = jnp.arange(b_cap, dtype=jnp.int32)
+        oh_u = (xs_w[6][..., None] == lane_eye).astype(jnp.float32)
+        oh_v = (xs_w[7][..., None] == lane_eye).astype(jnp.float32)
+
+    core = (_window_core_jnp if cfg.window_impl == "jnp"
+            else _window_core_pallas)
+
+    def wbody(s, xw):
+        xs_t, ohu, ohv, dirty_w = xw
+        batch = xs_t[0]
+        nbrs = xs_t[1][:, 0, :]                             # [T, n]
+        with jax.named_scope("window_gather"):
+            g, sums_g = _window_gather(cfg, s, batch, nbrs)
+
+        def corrected(op):
+            gg, ss = op
+            with jax.named_scope("window_correct"):
+                mcode = _correction_codes(cfg, batch.nodes,
+                                          batch.node_mask, nbrs)
+            return core(cfg, s, xs_t, ohu, ohv, gg, ss, mcode)
+
+        def plain(op):
+            gg, ss = op
+            return core(cfg, s, xs_t, ohu, ohv, gg, ss, None)
+
+        if cfg.window_correction == "always":
+            # single branch: every window pays the (exact, cheap)
+            # one-hot correction; no cond in the program at all
+            rows_flat, sums_flat, theta, beta = corrected((g, sums_g))
+        else:
+            # pi is only READ inside the cond; the scatter runs
+            # OUTSIDE it so the donated [N, K] buffer keeps its
+            # in-place update (a scatter under a two-branch
+            # conditional forces a full copy)
+            rows_flat, sums_flat, theta, beta = jax.lax.cond(
+                dirty_w, corrected, plain, (g, sums_g))
+        with jax.named_scope("window_scatter"):
+            keep = _last_write_wins(batch.nodes, batch.node_mask, t_win)
+            flat_nodes = batch.nodes.reshape(-1)
+            safe = jnp.where(keep.reshape(-1), flat_nodes, cfg.N)
+            pi = s.pi.at[safe].set(rows_flat.astype(s.pi.dtype),
+                                   mode="drop")
+            phi_sum = s.phi_sum.at[safe].set(sums_flat, mode="drop")
+        s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+                       step_count=s.step_count + t_win,
+                       beta_count=s.beta_count + t_win)
+        return s, None
+
+    state, _ = jax.lax.scan(wbody, state, (xs_w, oh_u, oh_v, dirty))
+    if tail:
+        xs_tail = jax.tree.map(lambda a: a[n_win * t_win:], xs)
+        state, _ = jax.lax.scan(body, state, xs_tail,
+                                unroll=cfg.scan_unroll)
+    return state
+
+
+def _dirty_windows(nodes, mask, nbrs, t_win):
+    """[W] bool: window has an intra-window read-after-write (a later
+    step reads a row an earlier step wrote) or write-after-write.
+    Shapes: nodes/mask [W,T,B], nbrs [W,T,n]."""
+    writes = jnp.where(mask, nodes, -2)                    # [W,T,B]
+    reads = jnp.concatenate(
+        [jnp.where(mask, nodes, -1), nbrs], axis=2)        # [W,T,R]
+    # masked write lanes are non-writes: they must never match each
+    # other (every padded lane carries the same sentinel) nor a read
+    wvalid = mask[:, :, :, None, None] & mask[:, None, None, :, :]
+    t_r = jnp.arange(t_win)
+    later_reads = (t_r[None, :, None, None, None]
+                   > t_r[None, None, None, :, None])       # read t > write t'
+    rw = (reads[:, :, :, None, None] == writes[:, None, None, :, :]
+          ) & later_reads & mask[:, None, None, :, :]
+    distinct = (t_r[None, :, None, None, None]
+                != t_r[None, None, None, :, None])
+    ww = (writes[:, :, :, None, None] == writes[:, None, None, :, :]
+          ) & distinct & wvalid
+    return rw.any(axis=(1, 2, 3, 4)) | ww.any(axis=(1, 2, 3, 4))
+
+
+def _last_write_wins(nodes, mask, t_win):
+    """[T, B] bool: valid writes NOT superseded by a later step's write
+    of the same row — the bulk scatter must apply exactly the last
+    write (duplicate scatter indices apply in unspecified order)."""
+    wf = jnp.where(mask, nodes, -2)                        # [T, B]
+    eqw = wf[:, :, None, None] == wf[None, None, :, :]     # [T,B,T,B]
+    t_r = jnp.arange(t_win)
+    later = (t_r[None, None, :, None] > t_r[:, None, None, None])
+    superseded = (eqw & later & mask[None, None, :, :]).any(axis=(2, 3))
+    return mask & ~superseded
+
+
+def _correction_codes(cfg: Config, nodes, mask, nbrs):
+    """[T, B+n, 1] int32: 1 + the staged-buffer slot of the LATEST
+    earlier write of the row read lane (t, i) references, 0 when the
+    pre-window gather is already current. The kernel expands each
+    step's codes into an exact one-hot ([B+n, T*B], coefficients
+    exactly 0/1) on the fly — streaming codes instead of the expanded
+    matrix keeps the correction's VMEM footprint O(T*(B+n)) instead of
+    O(T^2 * B * (B+n)), which is what bounds the usable window size."""
+    t_win, b_cap = nodes.shape
+    lin = jnp.arange(t_win * b_cap, dtype=jnp.int32)
+    writes_flat = jnp.where(mask, nodes, -2).reshape(-1)   # [T*B]
+    reads = jnp.concatenate([nodes, nbrs], axis=1)         # [T, B+n]
+    eq = reads[:, :, None] == writes_flat[None, None, :]   # [T,B+n,T*B]
+    earlier = ((lin[None, None, :] // b_cap)
+               < jnp.arange(t_win)[:, None, None])
+    sel = eq & earlier
+    mcode = jnp.max(jnp.where(sel, lin[None, None, :] + 1, 0), axis=-1)
+    return mcode[:, :, None]
+
+
+def _window_gather(cfg, s, batch, nbrs):
+    b_cap, k = cfg.max_batch_nodes, cfg.K
+    t_win = batch.nodes.shape[0]
+    read_idx = jnp.concatenate([batch.nodes, nbrs], axis=1)  # [T, B+n]
+    g = s.pi[read_idx.reshape(-1)].astype(jnp.float32).reshape(
+        t_win, read_idx.shape[1], k)
+    sums_g = s.phi_sum[batch.nodes.reshape(-1)].reshape(t_win, b_cap)
+    return g, sums_g
+
+
+# ---------------------------------------------------------------------------
+# Window core, jnp schedule (golden twin of the kernel)
+# ---------------------------------------------------------------------------
+
+def _window_core_jnp(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
+                     mcode):
+    """T sequential steps on the bulk-gathered rows with the stock jnp
+    cores; ``mcode`` (when not None, [T, B+n, 1]) redirects
+    intra-window stale reads to the staged rows via an exact one-hot
+    select. Returns (rows_flat, sums_flat, theta, beta)."""
+    batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, _lu, _lv = xs_t
+    t_win = cfg.window
+    b_cap, k = cfg.max_batch_nodes, cfg.K
+    nbrs = nbrs_s[:, 0, :]
+    lin = jnp.arange(t_win * b_cap, dtype=jnp.int32)
+    theta, beta = s.theta, s.beta
+    rows_buf = jnp.zeros((t_win * b_cap, k), jnp.float32)
+    sums_buf = jnp.zeros((t_win * b_cap,), jnp.float32)
+    with jax.named_scope("window_body"):
+        for t in range(t_win):
+            if mcode is None:
+                pi_n = g[t, :b_cap]
+                pi_nb = g[t, b_cap:][None]
+                phis = sums_g[t]
+            else:
+                m_t = (mcode[t] == lin[None, :] + 1).astype(jnp.float32)
+                rs = (mcode[t] > 0).astype(jnp.float32)     # [B+n, 1]
+                g_corr = (jnp.dot(m_t, rows_buf,
+                                  preferred_element_type=jnp.float32)
+                          + (1.0 - rs) * g[t])
+                pi_n = g_corr[:b_cap]
+                pi_nb = g_corr[b_cap:][None]
+                phis = (jnp.dot(m_t[:b_cap], sums_buf,
+                                preferred_element_type=jnp.float32)
+                        + (1.0 - rs[:b_cap, 0]) * sums_g[t])
+            nbr_mask = nbrs[t][None, :] != batch.nodes[t][:, None]
+            rows, sums = phi_ops.phi_update_core(
+                cfg, pi_n, phis, pi_nb, y_w[t], beta,
+                s.step_count + t, nphi_w[t], nbr_mask)
+            rows_buf = jax.lax.dynamic_update_slice(
+                rows_buf, rows, (t * b_cap, 0))
+            sums_buf = jax.lax.dynamic_update_slice(
+                sums_buf, sums, (t * b_cap,))
+            rows_safe = jnp.where(batch.node_mask[t][:, None], rows,
+                                  1.0 / k)
+            pi_u = jnp.dot(oh_u[t], rows_safe,
+                           preferred_element_type=jnp.float32)
+            pi_v = jnp.dot(oh_v[t], rows_safe,
+                           preferred_element_type=jnp.float32)
+            grads = beta_ops.beta_gradients_core(
+                cfg, theta, beta, pi_u, pi_v, ye_w[t],
+                batch.edge_mask[t])
+            theta, beta = beta_ops.theta_step(
+                cfg, theta, grads, batch.weight[t],
+                s.beta_count + 1 + t, nbeta_w[t])
+    return rows_buf, sums_buf, theta, beta
+
+
+# ---------------------------------------------------------------------------
+# Window core, Pallas mega-kernel
+# ---------------------------------------------------------------------------
+
+def _window_kernel(cfg: Config, t_win: int, b_cap: int, e_cap: int,
+                   k: int, corrected: bool, refs):
+    """T sequential SGRLD steps in VMEM (one pallas_call): the phi
+    factorized contraction (ops/phi.py:89-149), the staged-row beta
+    gradient fan-in (ops/beta.py:56-84 with one-hot lane selects) and
+    the theta SGRLD step (beta.cc:51-82), python-unrolled over t.
+    theta/beta flow through loop variables; staged rows land in the
+    output refs, which the ``corrected`` variant also reads back
+    through the exact one-hot redirect."""
+    if corrected:
+        (g_ref, sums_ref, yf_ref, mf_ref, nmask_ref, noise_ref,
+         bnoise_ref, yef_ref, emask_ref, ohu_ref, ohv_ref, m_ref,
+         wts_ref, epsphi_ref, epstheta_ref, theta_ref, beta_ref,
+         rows_out_ref, sums_out_ref, theta_out_ref, beta_out_ref) = refs
+    else:
+        (g_ref, sums_ref, yf_ref, mf_ref, nmask_ref, noise_ref,
+         bnoise_ref, yef_ref, emask_ref, ohu_ref, ohv_ref,
+         wts_ref, epsphi_ref, epstheta_ref, theta_ref, beta_ref,
+         rows_out_ref, sums_out_ref, theta_out_ref, beta_out_ref) = refs
+        m_ref = None
+    eps = cfg.epsilon
+    alpha = cfg.alpha_value
+    f32 = jnp.float32
+    theta = theta_ref[:]                                   # [2, K]
+    beta = beta_ref[:]                                     # [1, K]
+    eta = jnp.concatenate([jnp.full((1, k), cfg.eta0, f32),
+                           jnp.full((1, k), cfg.eta1, f32)], axis=0)
+    if corrected:
+        # staged buffers are read back through 0/1 coefficients;
+        # not-yet-written rows must be zeros, not NaN garbage
+        rows_out_ref[:] = jnp.zeros((t_win * b_cap, k), f32)
+        sums_out_ref[:] = jnp.zeros((t_win * b_cap, 1), f32)
+    for t in range(t_win):
+        gt = g_ref[t]                                      # [B+n, K]
+        if corrected:
+            mc = m_ref[t]                                  # [B+n, 1] i32
+            lin = jax.lax.broadcasted_iota(
+                jnp.int32, (mc.shape[0], t_win * b_cap), 1)
+            m_t = (mc == lin + 1).astype(f32)              # [B+n, T*B]
+            rs = (mc > 0).astype(f32)                      # [B+n, 1]
+            gt = (jnp.dot(m_t, rows_out_ref[:],
+                          preferred_element_type=f32)
+                  + (1.0 - rs) * gt)
+            phis = (jnp.dot(m_t[:b_cap], sums_out_ref[:],
+                            preferred_element_type=f32)
+                    + (1.0 - rs[:b_cap]) * sums_ref[t])
+        else:
+            phis = sums_ref[t]                             # [B, 1]
+        pi_n = gt[:b_cap]                                  # [B, K]
+        pi_nb = gt[b_cap:]                                 # [n, K]
+        yf = yf_ref[t]                                     # [B, n]
+        mf = mf_ref[t]                                     # [B, n]
+        # --- phi stage (factorized shared contraction) ---------------
+        sgn = 2.0 * yf - 1.0
+        e = jnp.where(yf > 0.5, eps, 1.0 - eps)
+        w = pi_n * (beta - eps)
+        q = jnp.dot(w, pi_nb.T, preferred_element_type=f32)  # [B, n]
+        p = sgn * q + e
+        inv_p = 1.0 / p
+        a = sgn * inv_p * mf
+        ce = jnp.sum(e * inv_p * mf, axis=1, keepdims=True)  # [B, 1]
+        n_valid = jnp.sum(mf, axis=1, keepdims=True)
+        contrib = jnp.dot(a, pi_nb, preferred_element_type=f32)
+        s_contrib = (beta - eps) * contrib + ce              # [B, K]
+        inv_phi = 1.0 / phis
+        grads = (s_contrib - n_valid) * inv_phi
+        eps_t = epsphi_ref[t, 0]
+        phi_k = pi_n * phis
+        phi_new = jnp.abs(
+            phi_k
+            + eps_t / 2.0 * (alpha - phi_k + (cfg.N / n_valid) * grads)
+            + jnp.sqrt(eps_t * phi_k) * noise_ref[t])
+        phi_new = jnp.maximum(phi_new, _PHI_FLOOR)
+        sums_new = jnp.sum(phi_new, axis=-1, keepdims=True)  # [B, 1]
+        rows_new = phi_new / sums_new
+        rows_out_ref[t * b_cap:(t + 1) * b_cap, :] = rows_new
+        sums_out_ref[t * b_cap:(t + 1) * b_cap, :] = sums_new
+        # --- beta stage on the staged rows ----------------------------
+        nmask = nmask_ref[t]                                # [B, 1]
+        rows_safe = jnp.where(nmask > 0.5, rows_new, 1.0 / k)
+        pi_u = jnp.dot(ohu_ref[t], rows_safe,
+                       preferred_element_type=f32)          # [E, K]
+        pi_v = jnp.dot(ohv_ref[t], rows_safe,
+                       preferred_element_type=f32)
+        yef = yef_ref[t]                                    # [E, 1]
+        emf = emask_ref[t]                                  # [E, 1]
+        theta_sum = theta[0:1] + theta[1:2]                 # [1, K]
+        pp = pi_u * pi_v
+        pi_sum = jnp.sum(pp, axis=-1, keepdims=True)        # [E, 1]
+        probs = jnp.where(yef > 0.5, beta, 1.0 - beta) * pp
+        prob_0 = jnp.where(yef > 0.5, eps, 1.0 - eps) * (1.0 - pi_sum)
+        probs_sum = jnp.sum(probs, axis=-1, keepdims=True) + prob_0
+        f = probs / probs_sum                               # [E, K]
+        inv_ts = 1.0 / theta_sum
+        g0 = f * ((1.0 - yef) / theta[0:1] - inv_ts)
+        g1 = f * (yef / theta[1:2] - inv_ts)
+        grad0 = jnp.sum(g0 * emf, axis=0, keepdims=True)    # [1, K]
+        grad1 = jnp.sum(g1 * emf, axis=0, keepdims=True)
+        grads_t = jnp.concatenate([grad0, grad1], axis=0)   # [2, K]
+        eps_b = epstheta_ref[t, 0]
+        wt = wts_ref[t, 0]
+        theta = jnp.abs(
+            theta + eps_b / 2.0 * (eta - theta + wt * grads_t)
+            + jnp.sqrt(eps_b * theta) * bnoise_ref[t])
+        theta = jnp.maximum(theta, _THETA_FLOOR)
+        beta = theta[1:2] / (theta[0:1] + theta[1:2])
+    theta_out_ref[:] = theta
+    beta_out_ref[:] = beta
+
+
+def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
+                        m_sel):
+    """ONE pallas_call for the whole T-step window body."""
+    batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, _lu, _lv = xs_t
+    t_win = cfg.window
+    b_cap, k = cfg.max_batch_nodes, cfg.K
+    e_cap = cfg.max_batch_edges
+    f32 = jnp.float32
+    nbrs = nbrs_s[:, 0, :]
+    corrected = m_sel is not None
+    with jax.named_scope("window_prep"):
+        nbr_mask = (nbrs[:, None, :]
+                    != batch.nodes[:, :, None])             # [T, B, n]
+        steps = s.step_count + jnp.arange(t_win, dtype=jnp.int32)
+        counts = s.beta_count + 1 + jnp.arange(t_win, dtype=jnp.int32)
+        eps_phi = cfg.eps_t(steps).astype(f32)[:, None]     # [T, 1]
+        eps_theta = cfg.eps_t(counts).astype(f32)[:, None]
+        args = [
+            g,                                              # [T,B+n,K]
+            sums_g[..., None].astype(f32),                  # [T,B,1]
+            y_w.astype(f32),                                # [T,B,n]
+            nbr_mask.astype(f32),
+            batch.node_mask[..., None].astype(f32),         # [T,B,1]
+            nphi_w.astype(f32),                             # [T,B,K]
+            jnp.swapaxes(nbeta_w, 1, 2).astype(f32),        # [T,2,K]
+            ye_w[..., None].astype(f32),                    # [T,E,1]
+            batch.edge_mask[..., None].astype(f32),         # [T,E,1]
+            oh_u, oh_v,                                     # [T,E,B]
+        ]
+        if corrected:
+            args.append(m_sel)                              # [T,B+n,1] i32
+        args += [
+            batch.weight[:, None].astype(f32),              # [T,1] SMEM
+            eps_phi, eps_theta,                             # [T,1] SMEM
+            jnp.swapaxes(s.theta, 0, 1).astype(f32),        # [2,K]
+            s.beta[None, :].astype(f32),                    # [1,K]
+        ]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_vmem_in = 12 if corrected else 11
+    in_specs = [vmem] * n_vmem_in + [smem] * 3 + [vmem] * 2
+
+    def kernel(*refs):
+        _window_kernel(cfg, t_win, b_cap, e_cap, k, corrected, refs)
+
+    with jax.named_scope("window_kernel"):
+        rows_flat, sums_col, theta_t, beta_row = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((t_win * b_cap, k), f32),
+                jax.ShapeDtypeStruct((t_win * b_cap, 1), f32),
+                jax.ShapeDtypeStruct((2, k), f32),
+                jax.ShapeDtypeStruct((1, k), f32),
+            ),
+            in_specs=in_specs,
+            out_specs=(vmem, vmem, vmem, vmem),
+            interpret=jax.default_backend() != "tpu",
+        )(*args)
+    return (rows_flat, sums_col[:, 0], jnp.swapaxes(theta_t, 0, 1),
+            beta_row[0])

@@ -23,12 +23,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))  # repo root (package not pip-installed)
 
-# rung -> (dataset file stem, K, synthetic fallback (nodes, avg_deg))
+# rung -> (dataset file stem, K,
+#          degree-realistic fallback (nodes, avg_deg, max_deg))
+# The fallback is a degree-corrected power-law surrogate matched to
+# each SNAP graph's published size / average degree / max degree
+# (data.synthetic_powerlaw_edges) — heavy tails exercise the
+# hub-sized NodeLink capacities and the adjacency-budget fallback
+# that a uniform random graph (max degree ~23 at DBLP scale) never
+# does. com-youtube/com-lj shaped max degrees exceed the ADJACENCY
+# AUTO budget (N * max_deg * 4B), forcing the CHD perfect hash —
+# exactly the backend regime those real datasets would select.
 RUNGS = {
-    "ca-HepPh": ("ca-HepPh.txt", 64, (12_008, 19)),
-    "com-dblp": ("com-dblp.ungraph.txt", 256, (317_080, 7)),
-    "com-youtube": ("com-youtube.ungraph.txt", 1024, (1_134_890, 5)),
-    "com-lj": ("com-lj.ungraph.txt", 4096, (3_997_962, 17)),
+    "ca-HepPh": ("ca-HepPh.txt", 64, (12_008, 19.7, 491)),
+    "com-dblp": ("com-dblp.ungraph.txt", 256, (317_080, 6.6, 343)),
+    "com-youtube": ("com-youtube.ungraph.txt", 1024,
+                    (1_134_890, 5.3, 28_754)),
+    "com-lj": ("com-lj.ungraph.txt", 4096, (3_997_962, 17.3, 14_815)),
 }
 
 
@@ -36,17 +46,20 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
              interval: int) -> dict:
     from mcmc_ammsb_tpu.config import Config, EdgeSetBackend
     from mcmc_ammsb_tpu.data import (Graph, generate_sets,
-                                     load_snap_edges, synthetic_edges)
+                                     load_snap_edges,
+                                     synthetic_powerlaw_edges)
     from mcmc_ammsb_tpu.learner import Learner
 
-    stem, k, (syn_n, syn_deg) = RUNGS[name]
+    stem, k, (syn_n, syn_deg, syn_max) = RUNGS[name]
     path = os.path.join(data_dir, stem)
     if os.path.exists(path):
         n, u, v = load_snap_edges(path)
         source = path
     else:
-        n, u, v = synthetic_edges(syn_n, syn_deg, seed=1)
-        source = f"synthetic({syn_n},{syn_deg})"
+        n, u, v = synthetic_powerlaw_edges(
+            syn_n, syn_deg, exponent=2.7, max_degree=syn_max,
+            num_communities=min(k, 256), intra_fraction=0.85, seed=1)
+        source = f"powerlaw({syn_n},{syn_deg},max={syn_max})"
     split = generate_sets(n, u, v, heldout_ratio=0.01, seed=2)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     # production fast path: device sampling + shared draws + fused

@@ -141,3 +141,27 @@ def test_synthetic_sbm_structure():
     # edge count should be dominated by intra-community pairs:
     # expected intra ~ 4 * C(150,2) * 0.2 = 8940, inter ~ 360
     assert 5000 < len(u) < 15000
+
+
+def test_powerlaw_generator_heavy_tail_and_labels():
+    """Degree-corrected power-law surrogate: heavy-tailed degrees
+    (max >> avg, unlike the near-regular uniform generator), planted
+    structure (intra-community edge share ~ intra_fraction), labels
+    aligned with renumbered ids."""
+    from mcmc_ammsb_tpu.data import Graph, synthetic_powerlaw_edges
+
+    n, u, v, labels = synthetic_powerlaw_edges(
+        5000, 8.0, exponent=2.5, max_degree=150, num_communities=8,
+        intra_fraction=0.8, seed=3, return_labels=True)
+    assert len(labels) == n
+    g = Graph.from_edges(n, u, v)
+    deg = np.diff(g.offsets)
+    avg = deg.mean()
+    assert deg.max() > 5 * avg          # heavy tail
+    assert deg.max() <= 260             # cap respected (Poisson slack)
+    intra = (labels[u] == labels[v]).mean()
+    assert intra > 0.6                  # planted structure present
+    # canonical, deduped, no self loops (generator contract)
+    assert (u < v).all()
+    from mcmc_ammsb_tpu.types import pack_edges
+    assert len(np.unique(pack_edges(u, v))) == len(u)
