@@ -215,12 +215,182 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
             pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
             step_count=st.step_count + 1, beta_count=beta_count), None
 
-    state, _ = jax.lax.scan(
-        body, state,
-        (nodes, node_mask, eu, ev, emask, weight, neighbors, y_phi,
-         phi_noise, beta_noise, y_edges, nbr_mask, lanes_u, lanes_v),
-        unroll=cfg.scan_unroll)
+    xs = (nodes, node_mask, eu, ev, emask, weight, neighbors, y_phi,
+          phi_noise, beta_noise, y_edges, nbr_mask, lanes_u, lanes_v)
+    if cfg.window > 1 and cfg.shared_neighbors:
+        return _windowed_chain_scan(cfg, c, state, xs, body)
+    state, _ = jax.lax.scan(body, state, xs, unroll=cfg.scan_unroll)
     return state
+
+
+def _windowed_chain_scan(cfg: Config, num_chains: int,
+                         state: ChainState, xs, body) -> ChainState:
+    """T-step windowed multi-chain scan: T steps x C chains flatten
+    t-major into T*C VIRTUAL steps fed to the shared mega-kernel
+    (ops/window.py — chain c's flat row ids are disjoint from every
+    other chain's, so the window's exact one-hot collision corrections
+    need no chain awareness; per-chain theta/beta ride the kernel as
+    [2C, K]/[C, K] blocks). One bulk gather + one pallas_call + one
+    last-write-wins scatter per window replace T*C scan-body
+    iterations; any non-multiple tail runs through the sequential
+    ``body``. Trajectory semantics are exactly the sequential chain
+    scan's (golden-tested, test_chains_flat.py)."""
+    from mcmc_ammsb_tpu.ops.window import (_correction_codes,
+                                           _last_write_wins,
+                                           window_kernel_call)
+
+    t_win = cfg.window
+    c = num_chains
+    s_len = xs[0].shape[0]
+    n_win = s_len // t_win
+    tail = s_len - n_win * t_win
+    if n_win == 0:
+        state, _ = jax.lax.scan(body, state, xs, unroll=cfg.scan_unroll)
+        return state
+
+    b_cap, e_cap, k = (cfg.max_batch_nodes, cfg.max_batch_edges, cfg.K)
+    n_nbr = cfg.num_node_sample
+    n_rows = cfg.N
+    v_len = t_win * c
+    f32 = jnp.float32
+    xs_w = jax.tree.map(
+        lambda a: a[: n_win * t_win].reshape(n_win, t_win, *a.shape[1:]),
+        xs)
+
+    def wbody(st: ChainState, xw):
+        (nodes, nmask, eu_s, ev_s, emask_s, wts, nbrs, y_n, n_phi,
+         n_beta, y_e, nm, lu, lv) = xw
+        offsets = (jnp.arange(c, dtype=jnp.int32) * n_rows)[None, :,
+                                                            None]
+        flat_nodes = jnp.where(nodes < n_rows, nodes + offsets,
+                               c * n_rows).reshape(v_len, b_cap)
+        vmask = nmask.reshape(v_len, b_cap)
+        flat_nbrs = (nbrs + offsets).reshape(v_len, n_nbr)
+        with jax.named_scope("window_gather"):
+            read_idx = jnp.concatenate([flat_nodes, flat_nbrs], axis=1)
+            g = st.pi[read_idx.reshape(-1)].reshape(
+                v_len, b_cap + n_nbr, k)
+            sums_g = st.phi_sum[flat_nodes.reshape(-1)].reshape(
+                v_len, b_cap)
+        with jax.named_scope("window_correct"):
+            mcode = _correction_codes(cfg, flat_nodes, vmask,
+                                      flat_nbrs)
+        with jax.named_scope("window_prep"):
+            lane_eye = jnp.arange(b_cap, dtype=jnp.int32)
+            oh_u = (lu.reshape(v_len, e_cap)[..., None]
+                    == lane_eye).astype(f32)
+            oh_v = (lv.reshape(v_len, e_cap)[..., None]
+                    == lane_eye).astype(f32)
+            steps = st.step_count + jnp.arange(t_win, dtype=jnp.int32)
+            counts = (st.beta_count + 1
+                      + jnp.arange(t_win, dtype=jnp.int32))
+            eps_phi = jnp.repeat(cfg.eps_t(steps).astype(f32),
+                                 c)[:, None]                # [V, 1]
+            eps_theta = jnp.repeat(cfg.eps_t(counts).astype(f32),
+                                   c)[:, None]
+            theta_cb = jnp.swapaxes(st.theta, 1, 2).reshape(2 * c, k)
+            beta_cb = st.beta                                # [C, K]
+            args = dict(
+                g=g,
+                sums=sums_g[..., None].astype(f32),
+                yf=y_n.reshape(v_len, b_cap, n_nbr).astype(f32),
+                mf=nm.reshape(v_len, b_cap, n_nbr).astype(f32),
+                nmask=vmask[..., None].astype(f32),
+                noise=n_phi.reshape(t_win, c, b_cap, k).reshape(
+                    v_len, b_cap, k).astype(f32),
+                bnoise=jnp.swapaxes(
+                    n_beta.reshape(v_len, k, 2), 1, 2).astype(f32),
+                yef=y_e.reshape(v_len, e_cap)[..., None].astype(f32),
+                emf=emask_s.reshape(v_len, e_cap)[..., None].astype(
+                    f32),
+                oh_u=oh_u, oh_v=oh_v, mcode=mcode,
+                wts=wts.reshape(v_len, 1).astype(f32),
+                eps_phi=eps_phi, eps_theta=eps_theta,
+                theta_cb=theta_cb, beta_cb=beta_cb,
+            )
+        if cfg.window_impl == "jnp":
+            rows, sums_col, theta_cb2, beta_cb2 = _windowed_chain_jnp(
+                cfg, c, st, **args)
+        else:
+            with jax.named_scope("window_kernel"):
+                rows, sums_col, theta_cb2, beta_cb2 = (
+                    window_kernel_call(cfg, c, **args))
+        with jax.named_scope("window_scatter"):
+            keep = _last_write_wins(flat_nodes, vmask, v_len)
+            safe = jnp.where(keep.reshape(-1),
+                             flat_nodes.reshape(-1), c * n_rows)
+            pi = st.pi.at[safe].set(rows.astype(st.pi.dtype),
+                                    mode="drop")
+            phi_sum = st.phi_sum.at[safe].set(sums_col[:, 0],
+                                              mode="drop")
+        theta_new = jnp.swapaxes(theta_cb2.reshape(c, 2, k), 1, 2)
+        return st._replace(
+            pi=pi, phi_sum=phi_sum, theta=theta_new, beta=beta_cb2,
+            step_count=st.step_count + t_win,
+            beta_count=st.beta_count + t_win), None
+
+    state, _ = jax.lax.scan(wbody, state, xs_w)
+    if tail:
+        xs_tail = jax.tree.map(lambda a: a[n_win * t_win:], xs)
+        state, _ = jax.lax.scan(body, state, xs_tail,
+                                unroll=cfg.scan_unroll)
+    return state
+
+
+def _windowed_chain_jnp(cfg: Config, num_chains: int, st: ChainState,
+                        g, sums, yf, mf, nmask, noise, bnoise, yef,
+                        emf, oh_u, oh_v, mcode, wts, eps_phi,
+                        eps_theta, theta_cb, beta_cb):
+    """jnp twin of the chain mega-kernel (golden cross-check schedule):
+    the same virtual-step sequence through the stock cores."""
+    v_len, b_total, k = g.shape
+    b_cap = sums.shape[1]
+    c = num_chains
+    t_win = v_len // c
+    lin = jnp.arange(v_len * b_cap, dtype=jnp.int32)
+    thetas = [jnp.swapaxes(theta_cb[2 * ci:2 * ci + 2], 0, 1)
+              for ci in range(c)]                           # [K, 2]
+    betas = [beta_cb[ci] for ci in range(c)]                # [K]
+    rows_buf = jnp.zeros((v_len * b_cap, k), jnp.float32)
+    sums_buf = jnp.zeros((v_len * b_cap,), jnp.float32)
+    for v in range(v_len):
+        ci = v % c
+        t = v // c
+        if mcode is None:
+            gv = g[v]
+            phis = sums[v, :, 0]
+        else:
+            m_v = (mcode[v] == lin[None, :] + 1).astype(jnp.float32)
+            rs = (mcode[v] > 0).astype(jnp.float32)
+            gv = (jnp.dot(m_v, rows_buf,
+                          preferred_element_type=jnp.float32)
+                  + (1.0 - rs) * g[v])
+            phis = (jnp.dot(m_v[:b_cap], sums_buf,
+                            preferred_element_type=jnp.float32)
+                    + (1.0 - rs[:b_cap, 0]) * sums[v, :, 0])
+        rows, sums_new = phi_ops.phi_update_core(
+            cfg, gv[:b_cap], phis, gv[b_cap:][None],
+            yf[v] > 0.5, betas[ci], st.step_count + t, noise[v],
+            mf[v] > 0.5)
+        rows_buf = jax.lax.dynamic_update_slice(rows_buf, rows,
+                                                (v * b_cap, 0))
+        sums_buf = jax.lax.dynamic_update_slice(sums_buf, sums_new,
+                                                (v * b_cap,))
+        rows_safe = jnp.where(nmask[v] > 0.5, rows, 1.0 / k)
+        pi_u = jnp.dot(oh_u[v], rows_safe,
+                       preferred_element_type=jnp.float32)
+        pi_v = jnp.dot(oh_v[v], rows_safe,
+                       preferred_element_type=jnp.float32)
+        grads = beta_ops.beta_gradients_core(
+            cfg, thetas[ci], betas[ci], pi_u, pi_v, yef[v, :, 0] > 0.5,
+            emf[v, :, 0] > 0.5)
+        thetas[ci], betas[ci] = beta_ops.theta_step(
+            cfg, thetas[ci], grads, wts[v, 0],
+            st.beta_count + 1 + t, jnp.swapaxes(bnoise[v], 0, 1))
+    theta_cb2 = jnp.concatenate(
+        [jnp.swapaxes(t_, 0, 1) for t_ in thetas], axis=0)
+    beta_cb2 = jnp.stack(betas, axis=0)
+    return rows_buf, sums_buf[:, None], theta_cb2, beta_cb2
 
 
 def _chunk_ppx(cfg: Config, num_chains: int, edge_set: EdgeSet,
@@ -280,6 +450,10 @@ class FlatChainLearner:
         if cfg.pi_dtype != "float32":
             raise ValueError("chain engines keep pi in fp32; "
                              "pi_dtype=bfloat16 is single-chip only")
+        if cfg.window > 1 and not cfg.shared_neighbors:
+            raise ValueError("window > 1 on the chain engine requires "
+                             "shared_neighbors (the mega-kernel "
+                             "operates on the shared-draw layout)")
         if len(split.heldout_edges_u) == 0:
             raise ValueError("no held-out edges: heldout_ratio too small "
                              "for this graph")

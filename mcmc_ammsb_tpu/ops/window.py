@@ -269,15 +269,23 @@ def _window_core_jnp(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
 # Window core, Pallas mega-kernel
 # ---------------------------------------------------------------------------
 
-def _window_kernel(cfg: Config, t_win: int, b_cap: int, e_cap: int,
-                   k: int, corrected: bool, refs):
-    """T sequential SGRLD steps in VMEM (one pallas_call): the phi
-    factorized contraction (ops/phi.py:89-149), the staged-row beta
-    gradient fan-in (ops/beta.py:56-84 with one-hot lane selects) and
-    the theta SGRLD step (beta.cc:51-82), python-unrolled over t.
-    theta/beta flow through loop variables; staged rows land in the
-    output refs, which the ``corrected`` variant also reads back
-    through the exact one-hot redirect."""
+def _window_kernel(cfg: Config, n_vstep: int, n_chains: int,
+                   b_cap: int, e_cap: int, k: int, corrected: bool,
+                   refs):
+    """``n_vstep`` sequential SGRLD virtual steps in VMEM (one
+    pallas_call): the phi factorized contraction (ops/phi.py:89-149),
+    the staged-row beta gradient fan-in (ops/beta.py:56-84 with
+    one-hot lane selects) and the theta SGRLD step (beta.cc:51-82),
+    python-unrolled.
+
+    Multi-chain: virtual step v belongs to chain v % n_chains —
+    T steps x C chains flatten t-major into T*C virtual steps. Each
+    chain's theta [2, K] / beta [1, K] flows through its own loop
+    variable (chains are independent; the flat row ids of different
+    chains are disjoint, so the correction machinery needs no chain
+    awareness). Staged rows land in the output refs, which the
+    ``corrected`` variant also reads back through the exact one-hot
+    redirect."""
     if corrected:
         (g_ref, sums_ref, yf_ref, mf_ref, nmask_ref, noise_ref,
          bnoise_ref, yef_ref, emask_ref, ohu_ref, ohv_ref, m_ref,
@@ -292,22 +300,27 @@ def _window_kernel(cfg: Config, t_win: int, b_cap: int, e_cap: int,
     eps = cfg.epsilon
     alpha = cfg.alpha_value
     f32 = jnp.float32
-    theta = theta_ref[:]                                   # [2, K]
-    beta = beta_ref[:]                                     # [1, K]
+    theta_full = theta_ref[:]                              # [2C, K]
+    beta_full = beta_ref[:]                                # [C, K]
+    thetas = [theta_full[2 * c:2 * c + 2] for c in range(n_chains)]
+    betas = [beta_full[c:c + 1] for c in range(n_chains)]
     eta = jnp.concatenate([jnp.full((1, k), cfg.eta0, f32),
                            jnp.full((1, k), cfg.eta1, f32)], axis=0)
     if corrected:
         # staged buffers are read back through 0/1 coefficients;
         # not-yet-written rows must be zeros, not NaN garbage
-        rows_out_ref[:] = jnp.zeros((t_win * b_cap, k), f32)
-        sums_out_ref[:] = jnp.zeros((t_win * b_cap, 1), f32)
-    for t in range(t_win):
+        rows_out_ref[:] = jnp.zeros((n_vstep * b_cap, k), f32)
+        sums_out_ref[:] = jnp.zeros((n_vstep * b_cap, 1), f32)
+    for t in range(n_vstep):
+        chain = t % n_chains
+        theta = thetas[chain]                              # [2, K]
+        beta = betas[chain]                                # [1, K]
         gt = g_ref[t]                                      # [B+n, K]
         if corrected:
             mc = m_ref[t]                                  # [B+n, 1] i32
             lin = jax.lax.broadcasted_iota(
-                jnp.int32, (mc.shape[0], t_win * b_cap), 1)
-            m_t = (mc == lin + 1).astype(f32)              # [B+n, T*B]
+                jnp.int32, (mc.shape[0], n_vstep * b_cap), 1)
+            m_t = (mc == lin + 1).astype(f32)              # [B+n, V*B]
             rs = (mc > 0).astype(f32)                      # [B+n, 1]
             gt = (jnp.dot(m_t, rows_out_ref[:],
                           preferred_element_type=f32)
@@ -374,9 +387,55 @@ def _window_kernel(cfg: Config, t_win: int, b_cap: int, e_cap: int,
             theta + eps_b / 2.0 * (eta - theta + wt * grads_t)
             + jnp.sqrt(eps_b * theta) * bnoise_ref[t])
         theta = jnp.maximum(theta, _THETA_FLOOR)
-        beta = theta[1:2] / (theta[0:1] + theta[1:2])
-    theta_out_ref[:] = theta
-    beta_out_ref[:] = beta
+        thetas[chain] = theta
+        betas[chain] = theta[1:2] / (theta[0:1] + theta[1:2])
+    theta_out_ref[:] = jnp.concatenate(thetas, axis=0)
+    beta_out_ref[:] = jnp.concatenate(betas, axis=0)
+
+
+def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
+                       nmask, noise, bnoise, yef, emf, oh_u, oh_v,
+                       mcode, wts, eps_phi, eps_theta, theta_cb,
+                       beta_cb):
+    """Invoke the mega-kernel on prepared virtual-step operands.
+
+    Leading axis V = (windowed steps) x n_chains, t-major. Shapes:
+    g [V,B+n,K], sums [V,B,1], yf/mf [V,B,n], nmask [V,B,1],
+    noise [V,B,K], bnoise [V,2,K], yef/emf [V,E,1], oh_* [V,E,B],
+    mcode [V,B+n,1] i32 or None, wts/eps_* [V,1] (SMEM),
+    theta_cb [2C,K], beta_cb [C,K].
+    Returns (rows [V*B,K], sums [V*B,1], theta_cb', beta_cb')."""
+    n_vstep, _, k = g.shape
+    b_cap = sums.shape[1]
+    e_cap = yef.shape[1]
+    f32 = jnp.float32
+    corrected = mcode is not None
+    args = [g, sums, yf, mf, nmask, noise, bnoise, yef, emf, oh_u,
+            oh_v]
+    if corrected:
+        args.append(mcode)
+    args += [wts, eps_phi, eps_theta, theta_cb, beta_cb]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_vmem_in = 12 if corrected else 11
+    in_specs = [vmem] * n_vmem_in + [smem] * 3 + [vmem] * 2
+
+    def kernel(*refs):
+        _window_kernel(cfg, n_vstep, n_chains, b_cap, e_cap, k,
+                       corrected, refs)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vstep * b_cap, k), f32),
+            jax.ShapeDtypeStruct((n_vstep * b_cap, 1), f32),
+            jax.ShapeDtypeStruct(theta_cb.shape, f32),
+            jax.ShapeDtypeStruct(beta_cb.shape, f32),
+        ),
+        in_specs=in_specs,
+        out_specs=(vmem, vmem, vmem, vmem),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
 
 
 def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
@@ -385,10 +444,8 @@ def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
     batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, _lu, _lv = xs_t
     t_win = cfg.window
     b_cap, k = cfg.max_batch_nodes, cfg.K
-    e_cap = cfg.max_batch_edges
     f32 = jnp.float32
     nbrs = nbrs_s[:, 0, :]
-    corrected = m_sel is not None
     with jax.named_scope("window_prep"):
         nbr_mask = (nbrs[:, None, :]
                     != batch.nodes[:, :, None])             # [T, B, n]
@@ -396,46 +453,21 @@ def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
         counts = s.beta_count + 1 + jnp.arange(t_win, dtype=jnp.int32)
         eps_phi = cfg.eps_t(steps).astype(f32)[:, None]     # [T, 1]
         eps_theta = cfg.eps_t(counts).astype(f32)[:, None]
-        args = [
-            g,                                              # [T,B+n,K]
-            sums_g[..., None].astype(f32),                  # [T,B,1]
-            y_w.astype(f32),                                # [T,B,n]
-            nbr_mask.astype(f32),
-            batch.node_mask[..., None].astype(f32),         # [T,B,1]
-            nphi_w.astype(f32),                             # [T,B,K]
-            jnp.swapaxes(nbeta_w, 1, 2).astype(f32),        # [T,2,K]
-            ye_w[..., None].astype(f32),                    # [T,E,1]
-            batch.edge_mask[..., None].astype(f32),         # [T,E,1]
-            oh_u, oh_v,                                     # [T,E,B]
-        ]
-        if corrected:
-            args.append(m_sel)                              # [T,B+n,1] i32
-        args += [
-            batch.weight[:, None].astype(f32),              # [T,1] SMEM
-            eps_phi, eps_theta,                             # [T,1] SMEM
-            jnp.swapaxes(s.theta, 0, 1).astype(f32),        # [2,K]
-            s.beta[None, :].astype(f32),                    # [1,K]
-        ]
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_vmem_in = 12 if corrected else 11
-    in_specs = [vmem] * n_vmem_in + [smem] * 3 + [vmem] * 2
-
-    def kernel(*refs):
-        _window_kernel(cfg, t_win, b_cap, e_cap, k, corrected, refs)
-
     with jax.named_scope("window_kernel"):
-        rows_flat, sums_col, theta_t, beta_row = pl.pallas_call(
-            kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((t_win * b_cap, k), f32),
-                jax.ShapeDtypeStruct((t_win * b_cap, 1), f32),
-                jax.ShapeDtypeStruct((2, k), f32),
-                jax.ShapeDtypeStruct((1, k), f32),
-            ),
-            in_specs=in_specs,
-            out_specs=(vmem, vmem, vmem, vmem),
-            interpret=jax.default_backend() != "tpu",
-        )(*args)
+        rows_flat, sums_col, theta_t, beta_row = window_kernel_call(
+            cfg, 1, g,
+            sums_g[..., None].astype(f32),
+            y_w.astype(f32),
+            nbr_mask.astype(f32),
+            batch.node_mask[..., None].astype(f32),
+            nphi_w.astype(f32),
+            jnp.swapaxes(nbeta_w, 1, 2).astype(f32),
+            ye_w[..., None].astype(f32),
+            batch.edge_mask[..., None].astype(f32),
+            oh_u, oh_v, m_sel,
+            batch.weight[:, None].astype(f32),
+            eps_phi, eps_theta,
+            jnp.swapaxes(s.theta, 0, 1).astype(f32),
+            s.beta[None, :].astype(f32))
     return (rows_flat, sums_col[:, 0], jnp.swapaxes(theta_t, 0, 1),
             beta_row[0])

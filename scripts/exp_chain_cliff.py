@@ -33,7 +33,7 @@ def main():
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"# dataset ready in {time.time()-t0:.1f}s", flush=True)
 
-    for c in (8, 16):
+    for c in (4, 32):
         lrn = FlatChainLearner(cfg, graph, split, num_chains=c)
         t0 = time.time()
         lrn.run(cfg.steps_per_call)           # compile + warm

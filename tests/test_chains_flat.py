@@ -148,3 +148,65 @@ def test_vmap_chains_shared_neighbors_smoke():
     l.run(200)
     p1 = l.heldout_perplexity()
     assert np.isfinite(p1).all() and (p1 < p0).all()
+
+
+def _windowed_pair(window, impl, num_chains=3, n_nodes=300):
+    """Sequential vs windowed chain engines on a collision-heavy graph
+    (small N makes intra-window collisions frequent, stressing the
+    exact one-hot corrections)."""
+    from mcmc_ammsb_tpu.data import synthetic_edges
+
+    n, u, v = synthetic_edges(n_nodes, 8, seed=21)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=22)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=24, device_sampling=True,
+                 shared_neighbors=True)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    seq = FlatChainLearner(cfg, graph, split, num_chains)
+    win = FlatChainLearner(cfg.replace(window=window, window_impl=impl),
+                           graph, split, num_chains)
+    return seq, win
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_windowed_chains_match_sequential(impl):
+    """The windowed multi-chain engine reproduces the sequential chain
+    scan's trajectory — all chains, collision corrections included."""
+    seq, win = _windowed_pair(window=4, impl=impl)
+    seq.run(24)
+    win.run(24)
+    assert int(win.state.step_count) == int(seq.state.step_count)
+    np.testing.assert_allclose(np.asarray(win.state.pi),
+                               np.asarray(seq.state.pi),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(win.state.theta),
+                               np.asarray(seq.state.theta),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(win.heldout_perplexity(),
+                               seq.heldout_perplexity(), rtol=1e-5)
+
+
+def test_windowed_chains_tail_and_ppx_series():
+    """Non-multiple tails run sequentially; the fused per-chain eval
+    series matches the sequential engine's."""
+    seq, win = _windowed_pair(window=5, impl="jnp")
+    s1 = seq.run_with_ppx(23, 6)
+    s2 = win.run_with_ppx(23, 6)
+    assert [e["step"] for e in s1] == [e["step"] for e in s2]
+    for e1, e2 in zip(s1, s2):
+        np.testing.assert_allclose(e2["ppx"], e1["ppx"], rtol=1e-5)
+    assert int(win.state.step_count) == int(seq.state.step_count)
+
+
+def test_windowed_chains_require_shared_draws():
+    from mcmc_ammsb_tpu.data import synthetic_edges
+
+    n, u, v = synthetic_edges(300, 8, seed=21)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=22)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 window=4).finalize(n, split.total_edges,
+                                    graph.max_fan_out)
+    with pytest.raises(ValueError, match="shared_neighbors"):
+        FlatChainLearner(cfg, graph, split, 2)
