@@ -72,8 +72,10 @@ class MultiChainLearner:
             raise ValueError("no held-out edges: heldout_ratio too small "
                              "for this graph")
         if cfg.pi_dtype != "float32":
-            raise ValueError("chain engines keep pi in fp32; "
-                             "pi_dtype=bfloat16 is single-chip only")
+            raise ValueError(
+                "the vmap chain engine keeps pi in fp32 (it is the slow "
+                "golden cross-check); use the flat/sharded chain engines "
+                "for pi_dtype=bfloat16")
         if not cfg.device_sampling:
             cfg = cfg.replace(device_sampling=True)
         self.cfg = cfg

@@ -159,14 +159,18 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
                                c * n_rows).reshape(-1)       # [C*B]
         flat_mask = nmask_s.reshape(-1)
         with jax.named_scope("pi_gather"):
-            pi_n = st.pi[flat_nodes]                         # [C*B, K]
+            # bf16 pi storage: gathered rows upcast, compute stays fp32
+            # (the single-chip discipline, learner.py pi_storage_dtype)
+            pi_n = st.pi[flat_nodes].astype(jnp.float32)     # [C*B, K]
             phis = st.phi_sum[flat_nodes]
             if cfg.shared_neighbors:
-                pi_nb = st.pi[nbrs_s + offsets]              # [C, n, K]
+                pi_nb = st.pi[nbrs_s + offsets].astype(
+                    jnp.float32)                             # [C, n, K]
             else:
                 flat_nbrs = (nbrs_s.reshape(c, b_cap, -1)
                              + offsets[:, :, None]).reshape(c * b_cap, -1)
-                pi_nb = st.pi[flat_nbrs]                     # [C*B, n, K]
+                pi_nb = st.pi[flat_nbrs].astype(
+                    jnp.float32)                             # [C*B, n, K]
         with jax.named_scope("phi_update"):
             if cfg.shared_neighbors:
                 rows_c, sums_c = jax.vmap(
@@ -184,7 +188,8 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
                     beta_rows, st.step_count, n_phi)
         with jax.named_scope("pi_scatter"):
             safe = jnp.where(flat_mask, flat_nodes, c * n_rows)
-            pi = st.pi.at[safe].set(rows, mode="drop")
+            pi = st.pi.at[safe].set(rows.astype(st.pi.dtype),
+                                    mode="drop")
             phi_sum = st.phi_sum.at[safe].set(sums, mode="drop")
         # ---- beta stage per chain ------------------------------------
         with jax.named_scope("beta_grads"):
@@ -202,8 +207,10 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
             else:
                 flat_eu = (eu_s + offsets).reshape(-1)
                 flat_ev = (ev_s + offsets).reshape(-1)
-                pi_u = pi[flat_eu].reshape(c, e_cap, k)
-                pi_v = pi[flat_ev].reshape(c, e_cap, k)
+                pi_u = pi[flat_eu].astype(jnp.float32).reshape(
+                    c, e_cap, k)
+                pi_v = pi[flat_ev].astype(jnp.float32).reshape(
+                    c, e_cap, k)
             grads = _beta_gradients_chains(
                 cfg, st.theta, st.beta, pi_u, pi_v, y_e, emask_s)
         beta_count = st.beta_count + 1
@@ -225,14 +232,19 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
 
 def _windowed_chain_scan(cfg: Config, num_chains: int,
                          state: ChainState, xs, body) -> ChainState:
-    """T-step windowed multi-chain scan: T steps x C chains flatten
-    t-major into T*C VIRTUAL steps fed to the shared mega-kernel
-    (ops/window.py — chain c's flat row ids are disjoint from every
-    other chain's, so the window's exact one-hot collision corrections
-    need no chain awareness; per-chain theta/beta ride the kernel as
-    [2C, K]/[C, K] blocks). One bulk gather + one pallas_call + one
-    last-write-wins scatter per window replace T*C scan-body
-    iterations; any non-multiple tail runs through the sequential
+    """T-step windowed multi-chain scan: each window runs ONE bulk
+    gather + ONE mega-kernel call (ops/window.py) + ONE last-write-wins
+    scatter in place of T*C scan-body iterations. Chains are BLOCKED
+    inside each kernel step — all C chains' minibatches stack into
+    [C*B, K] row blocks with block-diagonal pair masks and
+    chain-offset edge one-hots, so per-step matmuls are MXU-sized
+    instead of C serialized small ones (the serialized virtual-step
+    formulation measured 0.7x the UNwindowed engine; docs/design.md
+    round 3). Chain c's flat row ids are disjoint from every other
+    chain's, so intra-window collision corrections stay per-chain
+    ([B+n, T*B] one-hots against chain-major staged blocks, linear in
+    C). Per-chain theta/beta ride the kernel component-major as
+    [2C, K]/[C, K]. Any non-multiple tail runs through the sequential
     ``body``. Trajectory semantics are exactly the sequential chain
     scan's (golden-tested, test_chains_flat.py)."""
     from mcmc_ammsb_tpu.ops.window import (_correction_codes,
@@ -251,62 +263,78 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
     b_cap, e_cap, k = (cfg.max_batch_nodes, cfg.max_batch_edges, cfg.K)
     n_nbr = cfg.num_node_sample
     n_rows = cfg.N
-    v_len = t_win * c
     f32 = jnp.float32
+    eye_c = jnp.eye(c, dtype=f32)
     xs_w = jax.tree.map(
         lambda a: a[: n_win * t_win].reshape(n_win, t_win, *a.shape[1:]),
         xs)
+
+    def blockdiag(x4):
+        # [T, C, R, S] -> [T, C*R, C*S] with chain blocks on the
+        # diagonal and exact zeros elsewhere
+        t_, _, r_, s_ = x4.shape
+        blk = (x4.astype(f32)[:, :, :, None, :]
+               * eye_c[None, :, None, :, None])
+        return blk.reshape(t_, c * r_, c * s_)
 
     def wbody(st: ChainState, xw):
         (nodes, nmask, eu_s, ev_s, emask_s, wts, nbrs, y_n, n_phi,
          n_beta, y_e, nm, lu, lv) = xw
         offsets = (jnp.arange(c, dtype=jnp.int32) * n_rows)[None, :,
                                                             None]
-        flat_nodes = jnp.where(nodes < n_rows, nodes + offsets,
-                               c * n_rows).reshape(v_len, b_cap)
-        vmask = nmask.reshape(v_len, b_cap)
-        flat_nbrs = (nbrs + offsets).reshape(v_len, n_nbr)
+        nodes_f = jnp.where(nodes < n_rows, nodes + offsets,
+                            c * n_rows)                   # [T, C, B]
+        flat_nodes = nodes_f.reshape(t_win, c * b_cap)
+        vmask = nmask.reshape(t_win, c * b_cap)
+        nbrs_f = nbrs + offsets                           # [T, C, n]
+        flat_nbrs = nbrs_f.reshape(t_win, c * n_nbr)
         with jax.named_scope("window_gather"):
             read_idx = jnp.concatenate([flat_nodes, flat_nbrs], axis=1)
-            g = st.pi[read_idx.reshape(-1)].reshape(
-                v_len, b_cap + n_nbr, k)
+            g = st.pi[read_idx.reshape(-1)].astype(f32).reshape(
+                t_win, c * (b_cap + n_nbr), k)
             sums_g = st.phi_sum[flat_nodes.reshape(-1)].reshape(
-                v_len, b_cap)
+                t_win, c * b_cap)
         with jax.named_scope("window_correct"):
-            mcode = _correction_codes(cfg, flat_nodes, vmask,
-                                      flat_nbrs)
+            # per-chain staged-slot codes (chains never cross-collide):
+            # [C, T, B+n, 1] with slots local to the chain's [T*B] block
+            mcode_c = jax.vmap(
+                partial(_correction_codes, cfg),
+                in_axes=(1, 1, 1))(nodes_f, nmask, nbrs_f)
+            mc_n = jnp.swapaxes(mcode_c[:, :, :b_cap], 0, 1).reshape(
+                t_win, c * b_cap, 1)
+            mc_b = jnp.swapaxes(mcode_c[:, :, b_cap:], 0, 1).reshape(
+                t_win, c * n_nbr, 1)
+            mcode = jnp.concatenate([mc_n, mc_b], axis=1)
         with jax.named_scope("window_prep"):
-            lane_eye = jnp.arange(b_cap, dtype=jnp.int32)
-            oh_u = (lu.reshape(v_len, e_cap)[..., None]
-                    == lane_eye).astype(f32)
-            oh_v = (lv.reshape(v_len, e_cap)[..., None]
-                    == lane_eye).astype(f32)
+            lane_off = (jnp.arange(c, dtype=jnp.int32)
+                        * b_cap)[None, :, None]
+            lane_eye = jnp.arange(c * b_cap, dtype=jnp.int32)
+            lu_f = (lu + lane_off).reshape(t_win, c * e_cap)
+            lv_f = (lv + lane_off).reshape(t_win, c * e_cap)
+            oh_u = (lu_f[..., None] == lane_eye).astype(f32)
+            oh_v = (lv_f[..., None] == lane_eye).astype(f32)
             steps = st.step_count + jnp.arange(t_win, dtype=jnp.int32)
             counts = (st.beta_count + 1
                       + jnp.arange(t_win, dtype=jnp.int32))
-            eps_phi = jnp.repeat(cfg.eps_t(steps).astype(f32),
-                                 c)[:, None]                # [V, 1]
-            eps_theta = jnp.repeat(cfg.eps_t(counts).astype(f32),
-                                   c)[:, None]
-            theta_cb = jnp.swapaxes(st.theta, 1, 2).reshape(2 * c, k)
-            beta_cb = st.beta                                # [C, K]
+            theta_cb = jnp.moveaxis(st.theta, 2, 0).reshape(2 * c, k)
             args = dict(
                 g=g,
                 sums=sums_g[..., None].astype(f32),
-                yf=y_n.reshape(v_len, b_cap, n_nbr).astype(f32),
-                mf=nm.reshape(v_len, b_cap, n_nbr).astype(f32),
+                yf=blockdiag(y_n),                 # [T, C*B, C*n]
+                mf=blockdiag(nm),
                 nmask=vmask[..., None].astype(f32),
-                noise=n_phi.reshape(t_win, c, b_cap, k).reshape(
-                    v_len, b_cap, k).astype(f32),
-                bnoise=jnp.swapaxes(
-                    n_beta.reshape(v_len, k, 2), 1, 2).astype(f32),
-                yef=y_e.reshape(v_len, e_cap)[..., None].astype(f32),
-                emf=emask_s.reshape(v_len, e_cap)[..., None].astype(
+                noise=n_phi.astype(f32),           # [T, C*B, K]
+                bnoise=jnp.moveaxis(n_beta, 3, 1).reshape(
+                    t_win, 2 * c, k).astype(f32),
+                yef=y_e.reshape(t_win, c * e_cap)[..., None].astype(
                     f32),
+                emf=emask_s.reshape(t_win, c * e_cap)[..., None]
+                .astype(f32),
                 oh_u=oh_u, oh_v=oh_v, mcode=mcode,
-                wts=wts.reshape(v_len, 1).astype(f32),
-                eps_phi=eps_phi, eps_theta=eps_theta,
-                theta_cb=theta_cb, beta_cb=beta_cb,
+                wts=wts[..., None].astype(f32),    # [T, C, 1]
+                eps_phi=cfg.eps_t(steps).astype(f32)[:, None],
+                eps_theta=cfg.eps_t(counts).astype(f32)[:, None],
+                theta_cb=theta_cb, beta_cb=st.beta,
             )
         if cfg.window_impl == "jnp":
             rows, sums_col, theta_cb2, beta_cb2 = _windowed_chain_jnp(
@@ -316,14 +344,17 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
                 rows, sums_col, theta_cb2, beta_cb2 = (
                     window_kernel_call(cfg, c, **args))
         with jax.named_scope("window_scatter"):
-            keep = _last_write_wins(flat_nodes, vmask, v_len)
+            # staged rows are CHAIN-major [C, T, B]; match the indices
+            nodes_cm = jnp.swapaxes(nodes_f, 0, 1)        # [C, T, B]
+            keep = jax.vmap(_last_write_wins, in_axes=(0, 1, None))(
+                nodes_cm, nmask, t_win)                   # [C, T, B]
             safe = jnp.where(keep.reshape(-1),
-                             flat_nodes.reshape(-1), c * n_rows)
+                             nodes_cm.reshape(-1), c * n_rows)
             pi = st.pi.at[safe].set(rows.astype(st.pi.dtype),
                                     mode="drop")
             phi_sum = st.phi_sum.at[safe].set(sums_col[:, 0],
                                               mode="drop")
-        theta_new = jnp.swapaxes(theta_cb2.reshape(c, 2, k), 1, 2)
+        theta_new = jnp.moveaxis(theta_cb2.reshape(2, c, k), 0, 2)
         return st._replace(
             pi=pi, phi_sum=phi_sum, theta=theta_new, beta=beta_cb2,
             step_count=st.step_count + t_win,
@@ -341,54 +372,67 @@ def _windowed_chain_jnp(cfg: Config, num_chains: int, st: ChainState,
                         g, sums, yf, mf, nmask, noise, bnoise, yef,
                         emf, oh_u, oh_v, mcode, wts, eps_phi,
                         eps_theta, theta_cb, beta_cb):
-    """jnp twin of the chain mega-kernel (golden cross-check schedule):
-    the same virtual-step sequence through the stock cores."""
-    v_len, b_total, k = g.shape
-    b_cap = sums.shape[1]
+    """jnp twin of the blocked chain mega-kernel (golden cross-check
+    schedule): the same T-step window through the stock cores, chain
+    by chain, against chain-major staged buffers."""
+    t_win, _, k = g.shape
     c = num_chains
-    t_win = v_len // c
-    lin = jnp.arange(v_len * b_cap, dtype=jnp.int32)
-    thetas = [jnp.swapaxes(theta_cb[2 * ci:2 * ci + 2], 0, 1)
-              for ci in range(c)]                           # [K, 2]
+    b_cap = sums.shape[1] // c
+    e_cap = yef.shape[1] // c
+    cb = c * b_cap
+    n_nbr = (g.shape[1] - cb) // c
+    lin = jnp.arange(t_win * b_cap, dtype=jnp.int32)
+    thetas = [jnp.moveaxis(
+        theta_cb.reshape(2, c, k)[:, ci], 0, 1) for ci in range(c)]
     betas = [beta_cb[ci] for ci in range(c)]                # [K]
-    rows_buf = jnp.zeros((v_len * b_cap, k), jnp.float32)
-    sums_buf = jnp.zeros((v_len * b_cap,), jnp.float32)
-    for v in range(v_len):
-        ci = v % c
-        t = v // c
-        if mcode is None:
-            gv = g[v]
-            phis = sums[v, :, 0]
-        else:
-            m_v = (mcode[v] == lin[None, :] + 1).astype(jnp.float32)
-            rs = (mcode[v] > 0).astype(jnp.float32)
-            gv = (jnp.dot(m_v, rows_buf,
-                          preferred_element_type=jnp.float32)
-                  + (1.0 - rs) * g[v])
-            phis = (jnp.dot(m_v[:b_cap], sums_buf,
-                            preferred_element_type=jnp.float32)
-                    + (1.0 - rs[:b_cap, 0]) * sums[v, :, 0])
-        rows, sums_new = phi_ops.phi_update_core(
-            cfg, gv[:b_cap], phis, gv[b_cap:][None],
-            yf[v] > 0.5, betas[ci], st.step_count + t, noise[v],
-            mf[v] > 0.5)
-        rows_buf = jax.lax.dynamic_update_slice(rows_buf, rows,
-                                                (v * b_cap, 0))
-        sums_buf = jax.lax.dynamic_update_slice(sums_buf, sums_new,
-                                                (v * b_cap,))
-        rows_safe = jnp.where(nmask[v] > 0.5, rows, 1.0 / k)
-        pi_u = jnp.dot(oh_u[v], rows_safe,
-                       preferred_element_type=jnp.float32)
-        pi_v = jnp.dot(oh_v[v], rows_safe,
-                       preferred_element_type=jnp.float32)
-        grads = beta_ops.beta_gradients_core(
-            cfg, thetas[ci], betas[ci], pi_u, pi_v, yef[v, :, 0] > 0.5,
-            emf[v, :, 0] > 0.5)
-        thetas[ci], betas[ci] = beta_ops.theta_step(
-            cfg, thetas[ci], grads, wts[v, 0],
-            st.beta_count + 1 + t, jnp.swapaxes(bnoise[v], 0, 1))
+    rows_buf = jnp.zeros((c * t_win * b_cap, k), jnp.float32)
+    sums_buf = jnp.zeros((c * t_win * b_cap,), jnp.float32)
+    for t in range(t_win):
+        for ci in range(c):
+            sl_n = slice(ci * b_cap, (ci + 1) * b_cap)
+            sl_b = slice(cb + ci * n_nbr, cb + (ci + 1) * n_nbr)
+            sl_s = slice(ci * t_win * b_cap, (ci + 1) * t_win * b_cap)
+            g_c = jnp.concatenate([g[t, sl_n], g[t, sl_b]], axis=0)
+            if mcode is None:
+                phis = sums[t, sl_n, 0]
+            else:
+                mc_c = jnp.concatenate([mcode[t, sl_n],
+                                        mcode[t, sl_b]], axis=0)
+                m_v = (mc_c == lin[None, :] + 1).astype(jnp.float32)
+                rs = (mc_c > 0).astype(jnp.float32)
+                g_c = (jnp.dot(m_v, rows_buf[sl_s],
+                               preferred_element_type=jnp.float32)
+                       + (1.0 - rs) * g_c)
+                phis = (jnp.dot(m_v[:b_cap], sums_buf[sl_s],
+                                preferred_element_type=jnp.float32)
+                        + (1.0 - rs[:b_cap, 0]) * sums[t, sl_n, 0])
+            # the block-diagonal yf/mf carry chain ci's [B, n] block
+            yf_c = yf[t, sl_n, ci * n_nbr:(ci + 1) * n_nbr]
+            mf_c = mf[t, sl_n, ci * n_nbr:(ci + 1) * n_nbr]
+            rows, sums_new = phi_ops.phi_update_core(
+                cfg, g_c[:b_cap], phis, g_c[b_cap:][None],
+                yf_c > 0.5, betas[ci], st.step_count + t, noise[t, sl_n],
+                mf_c > 0.5)
+            rows_buf = jax.lax.dynamic_update_slice(
+                rows_buf, rows, (ci * t_win * b_cap + t * b_cap, 0))
+            sums_buf = jax.lax.dynamic_update_slice(
+                sums_buf, sums_new, (ci * t_win * b_cap + t * b_cap,))
+            rows_safe = jnp.where(nmask[t, sl_n] > 0.5, rows, 1.0 / k)
+            sl_e = slice(ci * e_cap, (ci + 1) * e_cap)
+            pi_u = jnp.dot(oh_u[t, sl_e, sl_n], rows_safe,
+                           preferred_element_type=jnp.float32)
+            pi_v = jnp.dot(oh_v[t, sl_e, sl_n], rows_safe,
+                           preferred_element_type=jnp.float32)
+            grads = beta_ops.beta_gradients_core(
+                cfg, thetas[ci], betas[ci], pi_u, pi_v,
+                yef[t, sl_e, 0] > 0.5, emf[t, sl_e, 0] > 0.5)
+            thetas[ci], betas[ci] = beta_ops.theta_step(
+                cfg, thetas[ci], grads, wts[t, ci, 0],
+                st.beta_count + 1 + t,
+                jnp.stack([bnoise[t, ci], bnoise[t, c + ci]], axis=1))
     theta_cb2 = jnp.concatenate(
-        [jnp.swapaxes(t_, 0, 1) for t_ in thetas], axis=0)
+        [jnp.stack([th[:, 0] for th in thetas], axis=0),
+         jnp.stack([th[:, 1] for th in thetas], axis=0)], axis=0)
     beta_cb2 = jnp.stack(betas, axis=0)
     return rows_buf, sums_buf[:, None], theta_cb2, beta_cb2
 
@@ -418,8 +462,10 @@ def _ppx(cfg: Config, num_chains: int, heldout_set: EdgeSet,
     count = state.ppx_count + 1
     y = heldout_set.has_edges(eu, ev)                        # [H]
     offsets = (jnp.arange(c, dtype=jnp.int32) * cfg.N)[:, None]
-    pi_u = state.pi[(eu[None, :] + offsets).reshape(-1)].reshape(c, h, k)
-    pi_v = state.pi[(ev[None, :] + offsets).reshape(-1)].reshape(c, h, k)
+    pi_u = state.pi[(eu[None, :] + offsets).reshape(-1)].astype(
+        jnp.float32).reshape(c, h, k)
+    pi_v = state.pi[(ev[None, :] + offsets).reshape(-1)].astype(
+        jnp.float32).reshape(c, h, k)
     eps = cfg.epsilon
     pp = pi_u * pi_v
     pi_sum = jnp.sum(pp, axis=-1)
@@ -447,9 +493,8 @@ class FlatChainLearner:
                              "are single-chain semantics)")
         if cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("FlatChainLearner supports phi_impl=jnp only")
-        if cfg.pi_dtype != "float32":
-            raise ValueError("chain engines keep pi in fp32; "
-                             "pi_dtype=bfloat16 is single-chip only")
+        if cfg.pi_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown pi_dtype {cfg.pi_dtype!r}")
         if cfg.window > 1 and not cfg.shared_neighbors:
             raise ValueError("window > 1 on the chain engine requires "
                              "shared_neighbors (the mega-kernel "

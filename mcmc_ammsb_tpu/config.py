@@ -211,9 +211,24 @@ class Config:
     @property
     def max_batch_nodes(self) -> int:
         """Node-buffer capacity: max(2m, max_fan_out + 1)
-        (/root/reference/mcmc/sample.cc:130-131)."""
+        (/root/reference/mcmc/sample.cc:130-131).
+
+        Device-sampled Node-family batches are tighter: every edge of
+        a NodeLink draw shares its pivot (nodes <= max_fan_out + 1)
+        and a NodeNonLink draw is one pivot + m partners (nodes <=
+        m + 1), so the dedup prefix never exceeds
+        max(m, max_fan_out) + 1. The general 2m bound would spend
+        ~half the per-step scatter/gather rows on sentinel padding at
+        the reference shape (m=32, fan_out~24: 64 lanes for <=33
+        valid) — and scatter cost is per-ROW-marginal (~88 ns/row on
+        multi-GB arrays, docs/design.md), so padded lanes cost full
+        price."""
         if self.batch_nodes_cap:
             return self.batch_nodes_cap
+        if self.device_sampling and self.strategy in (
+                SampleStrategy.NODE, SampleStrategy.NODE_LINK,
+                SampleStrategy.NODE_NON_LINK):
+            return max(self.mini_batch_size, self.max_fan_out) + 1
         return max(2 * self.mini_batch_size, self.max_fan_out + 1)
 
     def finalize(self, N: int, E: int, max_fan_out: int) -> "Config":
@@ -222,7 +237,14 @@ class Config:
             raise ValueError(
                 f"num_node_sample={self.num_node_sample} must be < N={N} "
                 "(cannot draw that many distinct neighbors)")
-        derived_nodes = max(2 * self.mini_batch_size, int(max_fan_out) + 1)
+        if self.device_sampling and self.strategy in (
+                SampleStrategy.NODE, SampleStrategy.NODE_LINK,
+                SampleStrategy.NODE_NON_LINK):
+            derived_nodes = max(self.mini_batch_size,
+                                int(max_fan_out)) + 1
+        else:
+            derived_nodes = max(2 * self.mini_batch_size,
+                                int(max_fan_out) + 1)
         if self.batch_nodes_cap and self.batch_nodes_cap < derived_nodes:
             # The fused loop's edge-lane maps assume every unmasked
             # edge endpoint appears in the deduped node list; a cap

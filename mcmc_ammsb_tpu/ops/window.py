@@ -269,23 +269,35 @@ def _window_core_jnp(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
 # Window core, Pallas mega-kernel
 # ---------------------------------------------------------------------------
 
-def _window_kernel(cfg: Config, n_vstep: int, n_chains: int,
+def _window_kernel(cfg: Config, t_win: int, n_chains: int,
                    b_cap: int, e_cap: int, k: int, corrected: bool,
                    refs):
-    """``n_vstep`` sequential SGRLD virtual steps in VMEM (one
-    pallas_call): the phi factorized contraction (ops/phi.py:89-149),
-    the staged-row beta gradient fan-in (ops/beta.py:56-84 with
-    one-hot lane selects) and the theta SGRLD step (beta.cc:51-82),
-    python-unrolled.
+    """``t_win`` sequential SGRLD steps in VMEM (one pallas_call): the
+    phi factorized contraction (ops/phi.py:89-149), the staged-row
+    beta gradient fan-in (ops/beta.py:56-84 with one-hot lane selects)
+    and the theta SGRLD step (beta.cc:51-82), python-unrolled over t.
 
-    Multi-chain: virtual step v belongs to chain v % n_chains —
-    T steps x C chains flatten t-major into T*C virtual steps. Each
-    chain's theta [2, K] / beta [1, K] flows through its own loop
-    variable (chains are independent; the flat row ids of different
-    chains are disjoint, so the correction machinery needs no chain
-    awareness). Staged rows land in the output refs, which the
-    ``corrected`` variant also reads back through the exact one-hot
-    redirect."""
+    Multi-chain (BLOCKED, not serialized): every step processes ALL
+    ``n_chains`` chains at once as stacked row blocks — pi rows
+    [C*B, K], neighbor rows [C*n, K], pair tensors [C*B, C*n]
+    (block-diagonal: the mask input is zero off-block), edge one-hots
+    [C*E, C*B] (block-diagonal by construction: lane ids carry chain
+    offsets). Chains are independent, so batching them inside a step
+    turns C small latency-bound matmuls into one MXU-sized matmul —
+    the serialized T*C-virtual-step variant measured 0.7x the
+    UNwindowed chain engine (docs/design.md round 3).
+
+    theta rides component-major as [2C, K] (rows [:C] = theta_0 of
+    every chain, rows [C:] = theta_1) so the per-chain theta SGRLD
+    step is one [2C, K] vector op; beta is [C, K]. ``b_cap``/``e_cap``
+    are PER-CHAIN capacities.
+
+    The staged-row buffer is CHAIN-major ([C, T, B] flattened) so that
+    each chain's intra-window read-after-write corrections — chains
+    can never collide with each other — contract a [B+n, T*B] one-hot
+    against that chain's contiguous [T*B, K] block: correction cost is
+    C x the single-chain cost, not (T*C)^2. With n_chains=1 this is
+    exactly the single-chain kernel."""
     if corrected:
         (g_ref, sums_ref, yf_ref, mf_ref, nmask_ref, noise_ref,
          bnoise_ref, yef_ref, emask_ref, ohu_ref, ohv_ref, m_ref,
@@ -300,52 +312,82 @@ def _window_kernel(cfg: Config, n_vstep: int, n_chains: int,
     eps = cfg.epsilon
     alpha = cfg.alpha_value
     f32 = jnp.float32
+    nc = n_chains
+    cb = nc * b_cap                                        # C*B rows
     theta_full = theta_ref[:]                              # [2C, K]
     beta_full = beta_ref[:]                                # [C, K]
-    thetas = [theta_full[2 * c:2 * c + 2] for c in range(n_chains)]
-    betas = [beta_full[c:c + 1] for c in range(n_chains)]
-    eta = jnp.concatenate([jnp.full((1, k), cfg.eta0, f32),
-                           jnp.full((1, k), cfg.eta1, f32)], axis=0)
+    eta = jnp.concatenate([jnp.full((nc, k), cfg.eta0, f32),
+                           jnp.full((nc, k), cfg.eta1, f32)], axis=0)
+
+    def per_row(x, rows):
+        # [C, K] -> [C*rows, K] chain-block broadcast
+        return jnp.broadcast_to(x[:, None, :],
+                                (nc, rows, k)).reshape(nc * rows, k)
+
     if corrected:
         # staged buffers are read back through 0/1 coefficients;
         # not-yet-written rows must be zeros, not NaN garbage
-        rows_out_ref[:] = jnp.zeros((n_vstep * b_cap, k), f32)
-        sums_out_ref[:] = jnp.zeros((n_vstep * b_cap, 1), f32)
-    for t in range(n_vstep):
-        chain = t % n_chains
-        theta = thetas[chain]                              # [2, K]
-        beta = betas[chain]                                # [1, K]
-        gt = g_ref[t]                                      # [B+n, K]
+        rows_out_ref[:] = jnp.zeros((nc * t_win * b_cap, k), f32)
+        sums_out_ref[:] = jnp.zeros((nc * t_win * b_cap, 1), f32)
+    for t in range(t_win):
+        gt = g_ref[t]                                      # [C*(B+n), K]
+        n_cap = (gt.shape[0] - cb) // nc                   # n per chain
         if corrected:
-            mc = m_ref[t]                                  # [B+n, 1] i32
-            lin = jax.lax.broadcasted_iota(
-                jnp.int32, (mc.shape[0], n_vstep * b_cap), 1)
-            m_t = (mc == lin + 1).astype(f32)              # [B+n, V*B]
-            rs = (mc > 0).astype(f32)                      # [B+n, 1]
-            gt = (jnp.dot(m_t, rows_out_ref[:],
-                          preferred_element_type=f32)
-                  + (1.0 - rs) * gt)
-            phis = (jnp.dot(m_t[:b_cap], sums_out_ref[:],
-                            preferred_element_type=f32)
-                    + (1.0 - rs[:b_cap]) * sums_ref[t])
+            mc = m_ref[t]                                  # [C*(B+n), 1]
+            pn_parts, pb_parts, ph_parts = [], [], []
+            for c in range(nc):
+                # chain c's read lanes: its node block + its nbr block
+                mc_c = jnp.concatenate(
+                    [mc[c * b_cap:(c + 1) * b_cap],
+                     mc[cb + c * n_cap:cb + (c + 1) * n_cap]],
+                    axis=0)                                # [B+n, 1]
+                g_c = jnp.concatenate(
+                    [gt[c * b_cap:(c + 1) * b_cap],
+                     gt[cb + c * n_cap:cb + (c + 1) * n_cap]],
+                    axis=0)                                # [B+n, K]
+                lin = jax.lax.broadcasted_iota(
+                    jnp.int32, (g_c.shape[0], t_win * b_cap), 1)
+                m_t = (mc_c == lin + 1).astype(f32)        # [B+n, T*B]
+                rs = (mc_c > 0).astype(f32)                # [B+n, 1]
+                staged = rows_out_ref[c * t_win * b_cap:
+                                      (c + 1) * t_win * b_cap, :]
+                g_c = (jnp.dot(m_t, staged,
+                               preferred_element_type=f32)
+                       + (1.0 - rs) * g_c)
+                ssums = sums_out_ref[c * t_win * b_cap:
+                                     (c + 1) * t_win * b_cap, :]
+                ph_c = (jnp.dot(m_t[:b_cap], ssums,
+                                preferred_element_type=f32)
+                        + (1.0 - rs[:b_cap])
+                        * sums_ref[t, c * b_cap:(c + 1) * b_cap])
+                pn_parts.append(g_c[:b_cap])
+                pb_parts.append(g_c[b_cap:])
+                ph_parts.append(ph_c)
+            pi_n = jnp.concatenate(pn_parts, axis=0)       # [C*B, K]
+            pi_nb = jnp.concatenate(pb_parts, axis=0)      # [C*n, K]
+            phis = jnp.concatenate(ph_parts, axis=0)       # [C*B, 1]
         else:
-            phis = sums_ref[t]                             # [B, 1]
-        pi_n = gt[:b_cap]                                  # [B, K]
-        pi_nb = gt[b_cap:]                                 # [n, K]
-        yf = yf_ref[t]                                     # [B, n]
-        mf = mf_ref[t]                                     # [B, n]
-        # --- phi stage (factorized shared contraction) ---------------
+            pi_n = gt[:cb]                                 # [C*B, K]
+            pi_nb = gt[cb:]                                # [C*n, K]
+            phis = sums_ref[t]                             # [C*B, 1]
+        yf = yf_ref[t]                                     # [C*B, C*n]
+        mf = mf_ref[t]                                     # [C*B, C*n]
+        beta_rows = per_row(beta_full, b_cap)              # [C*B, K]
+        # --- phi stage (factorized shared contraction, blocked) ------
         sgn = 2.0 * yf - 1.0
         e = jnp.where(yf > 0.5, eps, 1.0 - eps)
-        w = pi_n * (beta - eps)
-        q = jnp.dot(w, pi_nb.T, preferred_element_type=f32)  # [B, n]
+        w = pi_n * (beta_rows - eps)
+        q = jnp.dot(w, pi_nb.T, preferred_element_type=f32)  # [CB, Cn]
         p = sgn * q + e
+        # off-block lanes (mf==0) hold cross-chain products; clamp so
+        # a pathological p<=0 can't turn 0-masked lanes into NaN
+        p = jnp.where(mf > 0.5, p, 1.0)
         inv_p = 1.0 / p
         a = sgn * inv_p * mf
-        ce = jnp.sum(e * inv_p * mf, axis=1, keepdims=True)  # [B, 1]
+        ce = jnp.sum(e * inv_p * mf, axis=1, keepdims=True)  # [CB, 1]
         n_valid = jnp.sum(mf, axis=1, keepdims=True)
         contrib = jnp.dot(a, pi_nb, preferred_element_type=f32)
-        s_contrib = (beta - eps) * contrib + ce              # [B, K]
+        s_contrib = (beta_rows - eps) * contrib + ce         # [CB, K]
         inv_phi = 1.0 / phis
         grads = (s_contrib - n_valid) * inv_phi
         eps_t = epsphi_ref[t, 0]
@@ -355,59 +397,72 @@ def _window_kernel(cfg: Config, n_vstep: int, n_chains: int,
             + eps_t / 2.0 * (alpha - phi_k + (cfg.N / n_valid) * grads)
             + jnp.sqrt(eps_t * phi_k) * noise_ref[t])
         phi_new = jnp.maximum(phi_new, _PHI_FLOOR)
-        sums_new = jnp.sum(phi_new, axis=-1, keepdims=True)  # [B, 1]
+        sums_new = jnp.sum(phi_new, axis=-1, keepdims=True)  # [CB, 1]
         rows_new = phi_new / sums_new
-        rows_out_ref[t * b_cap:(t + 1) * b_cap, :] = rows_new
-        sums_out_ref[t * b_cap:(t + 1) * b_cap, :] = sums_new
+        for c in range(nc):
+            dst = c * t_win * b_cap + t * b_cap
+            rows_out_ref[dst:dst + b_cap, :] = (
+                rows_new[c * b_cap:(c + 1) * b_cap])
+            sums_out_ref[dst:dst + b_cap, :] = (
+                sums_new[c * b_cap:(c + 1) * b_cap])
         # --- beta stage on the staged rows ----------------------------
-        nmask = nmask_ref[t]                                # [B, 1]
+        nmask = nmask_ref[t]                                # [C*B, 1]
         rows_safe = jnp.where(nmask > 0.5, rows_new, 1.0 / k)
         pi_u = jnp.dot(ohu_ref[t], rows_safe,
-                       preferred_element_type=f32)          # [E, K]
+                       preferred_element_type=f32)          # [C*E, K]
         pi_v = jnp.dot(ohv_ref[t], rows_safe,
                        preferred_element_type=f32)
-        yef = yef_ref[t]                                    # [E, 1]
-        emf = emask_ref[t]                                  # [E, 1]
-        theta_sum = theta[0:1] + theta[1:2]                 # [1, K]
+        yef = yef_ref[t]                                    # [C*E, 1]
+        emf = emask_ref[t]                                  # [C*E, 1]
+        theta0 = per_row(theta_full[:nc], e_cap)            # [C*E, K]
+        theta1 = per_row(theta_full[nc:], e_cap)
+        beta_e = per_row(beta_full, e_cap)
         pp = pi_u * pi_v
-        pi_sum = jnp.sum(pp, axis=-1, keepdims=True)        # [E, 1]
-        probs = jnp.where(yef > 0.5, beta, 1.0 - beta) * pp
+        pi_sum = jnp.sum(pp, axis=-1, keepdims=True)        # [C*E, 1]
+        probs = jnp.where(yef > 0.5, beta_e, 1.0 - beta_e) * pp
         prob_0 = jnp.where(yef > 0.5, eps, 1.0 - eps) * (1.0 - pi_sum)
         probs_sum = jnp.sum(probs, axis=-1, keepdims=True) + prob_0
-        f = probs / probs_sum                               # [E, K]
-        inv_ts = 1.0 / theta_sum
-        g0 = f * ((1.0 - yef) / theta[0:1] - inv_ts)
-        g1 = f * (yef / theta[1:2] - inv_ts)
-        grad0 = jnp.sum(g0 * emf, axis=0, keepdims=True)    # [1, K]
-        grad1 = jnp.sum(g1 * emf, axis=0, keepdims=True)
-        grads_t = jnp.concatenate([grad0, grad1], axis=0)   # [2, K]
+        f = probs / probs_sum                               # [C*E, K]
+        inv_ts = 1.0 / (theta0 + theta1)
+        g0 = (f * ((1.0 - yef) / theta0 - inv_ts)) * emf
+        g1 = (f * (yef / theta1 - inv_ts)) * emf
+        grad0 = jnp.sum(g0.reshape(nc, e_cap, k), axis=1)   # [C, K]
+        grad1 = jnp.sum(g1.reshape(nc, e_cap, k), axis=1)
+        grads_t = jnp.concatenate([grad0, grad1], axis=0)   # [2C, K]
         eps_b = epstheta_ref[t, 0]
-        wt = wts_ref[t, 0]
-        theta = jnp.abs(
-            theta + eps_b / 2.0 * (eta - theta + wt * grads_t)
-            + jnp.sqrt(eps_b * theta) * bnoise_ref[t])
-        theta = jnp.maximum(theta, _THETA_FLOOR)
-        thetas[chain] = theta
-        betas[chain] = theta[1:2] / (theta[0:1] + theta[1:2])
-    theta_out_ref[:] = jnp.concatenate(thetas, axis=0)
-    beta_out_ref[:] = jnp.concatenate(betas, axis=0)
+        wt = wts_ref[t]                                     # [C, 1]
+        wt2 = jnp.concatenate([wt, wt], axis=0)             # [2C, 1]
+        theta_full = jnp.abs(
+            theta_full
+            + eps_b / 2.0 * (eta - theta_full + wt2 * grads_t)
+            + jnp.sqrt(eps_b * theta_full) * bnoise_ref[t])
+        theta_full = jnp.maximum(theta_full, _THETA_FLOOR)
+        beta_full = (theta_full[nc:]
+                     / (theta_full[:nc] + theta_full[nc:]))
+    theta_out_ref[:] = theta_full
+    beta_out_ref[:] = beta_full
 
 
 def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
                        nmask, noise, bnoise, yef, emf, oh_u, oh_v,
                        mcode, wts, eps_phi, eps_theta, theta_cb,
                        beta_cb):
-    """Invoke the mega-kernel on prepared virtual-step operands.
+    """Invoke the mega-kernel on prepared blocked-step operands.
 
-    Leading axis V = (windowed steps) x n_chains, t-major. Shapes:
-    g [V,B+n,K], sums [V,B,1], yf/mf [V,B,n], nmask [V,B,1],
-    noise [V,B,K], bnoise [V,2,K], yef/emf [V,E,1], oh_* [V,E,B],
-    mcode [V,B+n,1] i32 or None, wts/eps_* [V,1] (SMEM),
-    theta_cb [2C,K], beta_cb [C,K].
-    Returns (rows [V*B,K], sums [V*B,1], theta_cb', beta_cb')."""
-    n_vstep, _, k = g.shape
-    b_cap = sums.shape[1]
-    e_cap = yef.shape[1]
+    Leading axis T = windowed steps; chains are stacked as row blocks
+    inside each step. Shapes (B/n/E per chain, C = n_chains):
+    g [T,C*(B+n),K] (all node blocks then all nbr blocks),
+    sums [T,C*B,1], yf/mf [T,C*B,C*n] (block-diagonal; mf zero
+    off-block), nmask [T,C*B,1], noise [T,C*B,K], bnoise [T,2C,K]
+    component-major, yef/emf [T,C*E,1], oh_* [T,C*E,C*B]
+    (block-diagonal), mcode [T,C*(B+n),1] i32 PER-CHAIN-local staged
+    slot codes or None, wts [T,C,1], eps_* [T,1] (SMEM),
+    theta_cb [2C,K] component-major, beta_cb [C,K].
+    Returns (rows [C*T*B,K] CHAIN-major, sums [C*T*B,1],
+    theta_cb', beta_cb')."""
+    t_win, _, k = g.shape
+    b_cap = sums.shape[1] // n_chains
+    e_cap = yef.shape[1] // n_chains
     f32 = jnp.float32
     corrected = mcode is not None
     args = [g, sums, yf, mf, nmask, noise, bnoise, yef, emf, oh_u,
@@ -417,18 +472,18 @@ def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
     args += [wts, eps_phi, eps_theta, theta_cb, beta_cb]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_vmem_in = 12 if corrected else 11
-    in_specs = [vmem] * n_vmem_in + [smem] * 3 + [vmem] * 2
+    n_vmem_in = 13 if corrected else 12                    # incl. wts
+    in_specs = [vmem] * n_vmem_in + [smem] * 2 + [vmem] * 2
 
     def kernel(*refs):
-        _window_kernel(cfg, n_vstep, n_chains, b_cap, e_cap, k,
+        _window_kernel(cfg, t_win, n_chains, b_cap, e_cap, k,
                        corrected, refs)
 
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_vstep * b_cap, k), f32),
-            jax.ShapeDtypeStruct((n_vstep * b_cap, 1), f32),
+            jax.ShapeDtypeStruct((n_chains * t_win * b_cap, k), f32),
+            jax.ShapeDtypeStruct((n_chains * t_win * b_cap, 1), f32),
             jax.ShapeDtypeStruct(theta_cb.shape, f32),
             jax.ShapeDtypeStruct(beta_cb.shape, f32),
         ),
@@ -465,7 +520,7 @@ def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
             ye_w[..., None].astype(f32),
             batch.edge_mask[..., None].astype(f32),
             oh_u, oh_v, m_sel,
-            batch.weight[:, None].astype(f32),
+            batch.weight[:, None, None].astype(f32),
             eps_phi, eps_theta,
             jnp.swapaxes(s.theta, 0, 1).astype(f32),
             s.beta[None, :].astype(f32))

@@ -81,9 +81,8 @@ class ShardedChainLearner:
                              "backend only")
         if cfg.phi_impl != PhiImpl.JNP:
             raise ValueError("chain engines support phi_impl=jnp only")
-        if cfg.pi_dtype != "float32":
-            raise ValueError("chain engines keep pi in fp32; "
-                             "pi_dtype=bfloat16 is single-chip only")
+        if cfg.pi_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown pi_dtype {cfg.pi_dtype!r}")
         if len(split.heldout_edges_u) == 0:
             raise ValueError("no held-out edges: heldout_ratio too "
                              "small for this graph")

@@ -43,6 +43,15 @@ STAGE_NAMES = (
     "beta_grads",
     "theta_update",
     "ppx",
+    # windowed-engine scopes (ops/window.py, chains_flat.py)
+    "window_gather",
+    "window_correct",
+    "window_prep",
+    "window_lanes",
+    "window_dirty",
+    "window_kernel",
+    "window_body",
+    "window_scatter",
 )
 
 _HLO_META_RE = re.compile(

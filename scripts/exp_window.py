@@ -52,12 +52,18 @@ def main():
     cfg = Config(K=256, mini_batch_size=32, num_node_sample=32,
                  steps_per_call=1000, device_sampling=True,
                  shared_neighbors=True,
+                 batch_nodes_cap=int(os.environ.get("EW_BCAP", "0")),
                  edgeset_backend=EdgeSetBackend.AUTO)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"# dataset ready in {time.time()-t0:.1f}s", flush=True)
 
-    base = measure(cfg, graph, split, "sequential")
-    for t_win in (4, 8, 16):
+    t_wins = ([int(a) for a in sys.argv[1:]] if len(sys.argv) > 1
+              else [4, 8, 16])
+    if os.environ.get("EW_SKIP_SEQ"):
+        base = float(os.environ.get("EW_BASE", "58235"))
+    else:
+        base = measure(cfg, graph, split, "sequential")
+    for t_win in t_wins:
         r = measure(cfg.replace(window=t_win), graph, split,
                     f"window-T{t_win}-pallas")
         print(f"# window T={t_win}: {r/base:.2f}x vs sequential",

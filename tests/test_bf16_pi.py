@@ -85,9 +85,68 @@ def test_bf16_unsupported_engines_raise():
         Learner(cfg.replace(rng_backend=RngBackend.REFERENCE,
                             device_sampling=False), graph, split,
                 prefetch=False)
-    from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
+    from mcmc_ammsb_tpu.chains import MultiChainLearner
     with pytest.raises(ValueError, match="fp32"):
-        FlatChainLearner(cfg, graph, split, 2)
+        MultiChainLearner(cfg, graph, split, 2)
+
+
+def test_bf16_flat_chains_state_and_tracks_fp32():
+    """bf16 pi on the flat multi-chain engine (round 3): storage
+    quantized at the scatter, fp32 compute — per-chain ppx tracks the
+    fp32 chains. The capacity knee this exists for: fp32 pi at C=16 x
+    N=317k x K=256 is 5.2 GB (the measured scatter per-row-cost
+    doubling, docs/design.md); bf16 halves it."""
+    from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
+
+    cfg, graph, split = _setup(pi_dtype="bfloat16")
+    a = FlatChainLearner(cfg, graph, split, 3)
+    assert a.state.pi.dtype == jnp.bfloat16
+    assert a.state.phi_sum.dtype == jnp.float32
+    b = FlatChainLearner(cfg.replace(pi_dtype="float32"), graph,
+                         split, 3)
+    a.run(300); b.run(300)
+    pa, pb = a.heldout_perplexity(), b.heldout_perplexity()
+    assert np.all(np.isfinite(pa))
+    np.testing.assert_allclose(pa, pb, rtol=0.05)
+
+
+def test_bf16_flat_chains_windowed_tracks_fp32():
+    """The windowed mega-kernel path under bf16 pi: gather upcasts,
+    staged compute is fp32, the window scatter quantizes."""
+    from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
+
+    cfg, graph, split = _setup(pi_dtype="bfloat16",
+                               shared_neighbors=True)
+    cfg = cfg.replace(window=5)
+    a = FlatChainLearner(cfg, graph, split, 2)
+    b = FlatChainLearner(cfg.replace(pi_dtype="float32"), graph,
+                         split, 2)
+    a.run(300); b.run(300)
+    pa, pb = a.heldout_perplexity(), b.heldout_perplexity()
+    assert np.all(np.isfinite(pa))
+    np.testing.assert_allclose(pa, pb, rtol=0.05)
+
+
+def test_bf16_sharded_chains_state_and_convergence():
+    """bf16 pi on the ('chains',) whole-chain mesh
+    (parallel/chains_sharded.py): the same _chunk path, per-group
+    blocks stored bf16."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mcmc_ammsb_tpu.parallel.chains_sharded import (
+        CHAIN_AXIS, ShardedChainLearner)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.array(jax.devices()[:2]), (CHAIN_AXIS,))
+    cfg, graph, split = _setup(pi_dtype="bfloat16")
+    lrn = ShardedChainLearner(cfg, graph, split, 4, mesh)
+    assert lrn.state.pi.dtype == jnp.bfloat16
+    p0 = lrn.heldout_perplexity()
+    lrn.run(300)
+    p1 = lrn.heldout_perplexity()
+    assert np.all(np.isfinite(p1)) and np.all(p1 < p0)
 
 
 def test_bf16_sharded_state_and_convergence():

@@ -28,7 +28,7 @@ def test_dryrun_multichip_fresh_interpreter():
     """Exactly the driver's call: no env, fresh process."""
     r = _run("import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "step ok" in r.stdout, (r.stdout, r.stderr[-500:])
+    assert "bf16 mesh ok" in r.stdout, (r.stdout, r.stderr[-500:])
 
 
 def test_dryrun_multichip_after_backend_init():
@@ -42,4 +42,4 @@ def test_dryrun_multichip_after_backend_init():
         "__graft_entry__.dryrun_multichip(8)\n"
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "step ok" in r.stdout, (r.stdout, r.stderr[-500:])
+    assert "bf16 mesh ok" in r.stdout, (r.stdout, r.stderr[-500:])
