@@ -51,10 +51,50 @@ class DeviceSamples(NamedTuple):
     weight: jnp.ndarray     # [S] f32
 
 
+def _structural_nodes(cfg: Config, eu, ev, mask, pivot):
+    """Deduped node list of a Node-family device draw WITHOUT sorting.
+
+    Every minibatch the device samplers produce is structurally one
+    PIVOT node plus distinct partners (NodeLink: the pivot's CSR row,
+    distinct by construction; NodeNonLink: the dup/self-hit lanes are
+    already masked out of ``mask``), so the dedup the host path does
+    with a double sort (_extract_nodes) collapses to lane 0 = pivot,
+    lane 1+i = edge lane i's non-pivot endpoint. The two [S, 2E]
+    sorts were ~40% of DEVICE_SAMPLING at C=16 (docs/design.md round
+    3). Set-equal to _extract_nodes per batch (golden-tested); lane
+    ORDER differs, which is semantically invisible (the scatter is
+    per-row, the edge-lane maps search the list, neighbor draws are
+    per-stream).
+    """
+    sentinel = jnp.int32(cfg.N)
+    partners = eu + ev - pivot[..., None]          # the other endpoint
+    nodes = jnp.concatenate([pivot[..., None], partners], axis=-1)
+    nmask = jnp.concatenate(
+        [jnp.ones((*mask.shape[:-1], 1), jnp.bool_), mask], axis=-1)
+    nodes = jnp.where(nmask, nodes, sentinel)
+    b_cap = cfg.max_batch_nodes
+    if nodes.shape[-1] < b_cap:
+        pad = b_cap - nodes.shape[-1]
+        widths = [(0, 0)] * (nodes.ndim - 1) + [(0, pad)]
+        nodes = jnp.pad(nodes, widths, constant_values=sentinel)
+        nmask = jnp.pad(nmask, widths)
+    else:
+        # valid partners always sit in the first b_cap-1 lanes
+        # (NodeLink <= max_fan_out of them, NodeNonLink <= m, and
+        # finalize() guarantees b_cap >= max(m, fan_out)+1)
+        nodes = nodes[..., :b_cap]
+        nmask = nmask[..., :b_cap]
+    return nodes, nmask
+
+
 def _extract_nodes(cfg: Config, eu, ev, mask):
     """Batched endpoint dedup (ExtractNodesFromMiniBatch,
     learner.cc:162-173) without jnp.unique: sort, blank repeats to the
-    sentinel N, sort again so unique ids form a clean prefix."""
+    sentinel N, sort again so unique ids form a clean prefix.
+
+    Kept as the strategy-agnostic golden reference for
+    _structural_nodes (which exploits the pivot+partners structure of
+    device draws to skip both sorts)."""
     sentinel = jnp.int32(cfg.N)
     ids = jnp.concatenate([
         jnp.where(mask, eu, sentinel),
@@ -98,7 +138,7 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
     eu = jnp.minimum(u[:, None], v)
     ev = jnp.maximum(u[:, None], v)
     weight = jnp.full((s_len,), cfg.N, jnp.float32)
-    return eu, ev, valid, weight
+    return eu, ev, valid, weight, u
 
 
 def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
@@ -144,7 +184,7 @@ def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
     # (tested in test_device_sampling.py).
     m_eff = jnp.sum(ok, axis=-1).astype(jnp.float32)
     weight = 2.0 * cfg.E / jnp.maximum(m_eff, 1.0)
-    return eu, ev, ok, weight
+    return eu, ev, ok, weight, u
 
 
 def sample_minibatches_device(
@@ -182,29 +222,35 @@ def sample_minibatches_device(
     k_coin, k_link, k_non = jax.random.split(key, 3)
 
     if cfg.strategy == SampleStrategy.NODE_LINK:
-        eu, ev, mask, weight = _sample_node_link_batch(
-            cfg, offsets, cols, k_link, s_len)
+        with jax.named_scope("ds_link"):
+            eu, ev, mask, weight, pivot = _sample_node_link_batch(
+                cfg, offsets, cols, k_link, s_len)
     elif cfg.strategy == SampleStrategy.NODE_NON_LINK:
-        eu, ev, mask, weight = _sample_node_non_link_batch(
-            cfg, training_set, heldout_set, k_non, s_len)
+        with jax.named_scope("ds_nonlink"):
+            eu, ev, mask, weight, pivot = _sample_node_non_link_batch(
+                cfg, training_set, heldout_set, k_non, s_len)
     elif cfg.strategy == SampleStrategy.NODE:
         # per-step fair coin: compute both vectorized draws, select rows
         # (each half is cheap; data-dependent branching would force a
         # step-serial cond)
-        l = _sample_node_link_batch(cfg, offsets, cols, k_link, s_len)
-        n = _sample_node_non_link_batch(
-            cfg, training_set, heldout_set, k_non, s_len)
+        with jax.named_scope("ds_link"):
+            l = _sample_node_link_batch(cfg, offsets, cols, k_link, s_len)
+        with jax.named_scope("ds_nonlink"):
+            n = _sample_node_non_link_batch(
+                cfg, training_set, heldout_set, k_non, s_len)
         coin = jax.random.bernoulli(k_coin, shape=(s_len,))
         eu = jnp.where(coin[:, None], l[0], n[0])
         ev = jnp.where(coin[:, None], l[1], n[1])
         mask = jnp.where(coin[:, None], l[2], n[2])
         weight = jnp.where(coin, l[3], n[3])
+        pivot = jnp.where(coin, l[4], n[4])
     else:
         raise ValueError(
             f"strategy {cfg.strategy} is host-only (breadth-first "
             "sampling is queue-driven); disable device_sampling")
 
-    nodes, node_mask = _extract_nodes(cfg, eu, ev, mask)
+    with jax.named_scope("ds_extract_nodes"):
+        nodes, node_mask = _structural_nodes(cfg, eu, ev, mask, pivot)
     return DeviceSamples(eu, ev, mask, nodes, node_mask, weight)
 
 

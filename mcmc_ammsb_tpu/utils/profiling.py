@@ -43,6 +43,10 @@ STAGE_NAMES = (
     "beta_grads",
     "theta_update",
     "ppx",
+    # device-sampling sub-scopes (ops/device_sampling.py)
+    "ds_link",
+    "ds_nonlink",
+    "ds_extract_nodes",
     # windowed-engine scopes (ops/window.py, chains_flat.py)
     "window_gather",
     "window_correct",

@@ -25,8 +25,11 @@ from mcmc_ammsb_tpu.learner import Learner
 # backend-identical (oracle-tested), but a different membership subgraph
 # changes XLA's fusion and thus float reduction order, which a chaotic
 # MCMC trajectory amplifies — so the pin is per-backend by nature.
-PINNED_TRAJECTORY = [3.898526, 3.539039, 3.494275, 3.471903,
-                     3.427119, 3.395225, 3.359776]
+# Regenerated round 3: _structural_nodes orders the node list pivot-
+# first instead of sorted, which reassigns per-lane RNG streams — a
+# different (statistically equivalent) trajectory.
+PINNED_TRAJECTORY = [3.898526, 3.511903, 3.443108, 3.420263,
+                     3.394908, 3.361047, 3.327672]
 
 
 def build_learner():

@@ -51,10 +51,13 @@ def test_device_node_link(setup):
         assert counts.max() == ne
         assert ne == len(graph.neighbors_of(int(pivot)))
         assert float(ds.weight) == cfg.N
-        # node extraction: deduped endpoints, sentinel-padded
-        nn = int(np.asarray(ds.node_mask).sum())
-        got = set(np.asarray(ds.nodes)[:nn].tolist())
-        assert got == set(eu.tolist()) | set(ev.tolist())
+        # node extraction: deduped endpoints (structural order: pivot
+        # then partners; masked lanes hold the sentinel)
+        nmask = np.asarray(ds.node_mask)
+        nodes = np.asarray(ds.nodes)[nmask]
+        assert len(set(nodes.tolist())) == len(nodes)
+        assert set(nodes.tolist()) == set(eu.tolist()) | set(ev.tolist())
+        assert (np.asarray(ds.nodes)[~nmask] == cfg.N).all()
 
 
 def test_device_node_non_link(setup):
@@ -112,6 +115,33 @@ def test_device_non_link_weight_unbiased_under_collisions():
     # rounds leave the mean effective batch within 5% of m
     assert m_eff.mean() >= 0.95 * cfg.mini_batch_size, m_eff.mean()
     assert (m_eff > 0).all()
+
+
+def test_structural_nodes_match_sorted_dedup(setup):
+    """_structural_nodes (lane 0 = pivot, lane 1+i = edge lane i's
+    partner; no sorts) is set-equal per batch to the sort-based
+    _extract_nodes golden for every Node-family strategy."""
+    from mcmc_ammsb_tpu.ops.device_sampling import (
+        _extract_nodes, sample_minibatches_device)
+
+    n, split, graph, tr, ho = setup
+    for strategy in (SampleStrategy.NODE, SampleStrategy.NODE_LINK,
+                     SampleStrategy.NODE_NON_LINK):
+        cfg = _cfg(setup, strategy)
+        adj = (jnp.asarray(graph.offsets, jnp.int32),
+               jnp.asarray(graph.cols, jnp.int32))
+        ds = jax.jit(lambda k: sample_minibatches_device(
+            cfg, tr, ho, k, 64, adj))(jax.random.PRNGKey(9))
+        ref_nodes, ref_mask = jax.jit(
+            lambda e, f, m: _extract_nodes(cfg, e, f, m))(
+            ds.edges_u, ds.edges_v, ds.edge_mask)
+        got_n, got_m = np.asarray(ds.nodes), np.asarray(ds.node_mask)
+        ref_n, ref_m = np.asarray(ref_nodes), np.asarray(ref_mask)
+        for s in range(64):
+            got = got_n[s][got_m[s]]
+            assert len(set(got.tolist())) == len(got), strategy
+            assert set(got.tolist()) == set(
+                ref_n[s][ref_m[s]].tolist()), strategy
 
 
 def test_fused_loop_trains(setup):
