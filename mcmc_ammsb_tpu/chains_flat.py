@@ -264,18 +264,9 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
     n_nbr = cfg.num_node_sample
     n_rows = cfg.N
     f32 = jnp.float32
-    eye_c = jnp.eye(c, dtype=f32)
     xs_w = jax.tree.map(
         lambda a: a[: n_win * t_win].reshape(n_win, t_win, *a.shape[1:]),
         xs)
-
-    def blockdiag(x4):
-        # [T, C, R, S] -> [T, C*R, C*S] with chain blocks on the
-        # diagonal and exact zeros elsewhere
-        t_, _, r_, s_ = x4.shape
-        blk = (x4.astype(f32)[:, :, :, None, :]
-               * eye_c[None, :, None, :, None])
-        return blk.reshape(t_, c * r_, c * s_)
 
     def wbody(st: ChainState, xw):
         (nodes, nmask, eu_s, ev_s, emask_s, wts, nbrs, y_n, n_phi,
@@ -308,11 +299,8 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
         with jax.named_scope("window_prep"):
             lane_off = (jnp.arange(c, dtype=jnp.int32)
                         * b_cap)[None, :, None]
-            lane_eye = jnp.arange(c * b_cap, dtype=jnp.int32)
             lu_f = (lu + lane_off).reshape(t_win, c * e_cap)
             lv_f = (lv + lane_off).reshape(t_win, c * e_cap)
-            oh_u = (lu_f[..., None] == lane_eye).astype(f32)
-            oh_v = (lv_f[..., None] == lane_eye).astype(f32)
             steps = st.step_count + jnp.arange(t_win, dtype=jnp.int32)
             counts = (st.beta_count + 1
                       + jnp.arange(t_win, dtype=jnp.int32))
@@ -320,8 +308,10 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
             args = dict(
                 g=g,
                 sums=sums_g[..., None].astype(f32),
-                yf=blockdiag(y_n),                 # [T, C*B, C*n]
-                mf=blockdiag(nm),
+                # compact per-chain pair tensors; the kernel expands
+                # them block-diagonally in VMEM
+                yf=y_n.reshape(t_win, c * b_cap, n_nbr).astype(f32),
+                mf=nm.reshape(t_win, c * b_cap, n_nbr).astype(f32),
                 nmask=vmask[..., None].astype(f32),
                 noise=n_phi.astype(f32),           # [T, C*B, K]
                 bnoise=jnp.moveaxis(n_beta, 3, 1).reshape(
@@ -330,7 +320,8 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
                     f32),
                 emf=emask_s.reshape(t_win, c * e_cap)[..., None]
                 .astype(f32),
-                oh_u=oh_u, oh_v=oh_v, mcode=mcode,
+                lanes_u=lu_f[..., None], lanes_v=lv_f[..., None],
+                mcode=mcode,
                 wts=wts[..., None].astype(f32),    # [T, C, 1]
                 eps_phi=cfg.eps_t(steps).astype(f32)[:, None],
                 eps_theta=cfg.eps_t(counts).astype(f32)[:, None],
@@ -370,7 +361,7 @@ def _windowed_chain_scan(cfg: Config, num_chains: int,
 
 def _windowed_chain_jnp(cfg: Config, num_chains: int, st: ChainState,
                         g, sums, yf, mf, nmask, noise, bnoise, yef,
-                        emf, oh_u, oh_v, mcode, wts, eps_phi,
+                        emf, lanes_u, lanes_v, mcode, wts, eps_phi,
                         eps_theta, theta_cb, beta_cb):
     """jnp twin of the blocked chain mega-kernel (golden cross-check
     schedule): the same T-step window through the stock cores, chain
@@ -406,9 +397,9 @@ def _windowed_chain_jnp(cfg: Config, num_chains: int, st: ChainState,
                 phis = (jnp.dot(m_v[:b_cap], sums_buf[sl_s],
                                 preferred_element_type=jnp.float32)
                         + (1.0 - rs[:b_cap, 0]) * sums[t, sl_n, 0])
-            # the block-diagonal yf/mf carry chain ci's [B, n] block
-            yf_c = yf[t, sl_n, ci * n_nbr:(ci + 1) * n_nbr]
-            mf_c = mf[t, sl_n, ci * n_nbr:(ci + 1) * n_nbr]
+            # compact yf/mf: chain ci's rows hold its [B, n] block
+            yf_c = yf[t, sl_n]
+            mf_c = mf[t, sl_n]
             rows, sums_new = phi_ops.phi_update_core(
                 cfg, g_c[:b_cap], phis, g_c[b_cap:][None],
                 yf_c > 0.5, betas[ci], st.step_count + t, noise[t, sl_n],
@@ -419,9 +410,14 @@ def _windowed_chain_jnp(cfg: Config, num_chains: int, st: ChainState,
                 sums_buf, sums_new, (ci * t_win * b_cap + t * b_cap,))
             rows_safe = jnp.where(nmask[t, sl_n] > 0.5, rows, 1.0 / k)
             sl_e = slice(ci * e_cap, (ci + 1) * e_cap)
-            pi_u = jnp.dot(oh_u[t, sl_e, sl_n], rows_safe,
+            lane_eye = jnp.arange(b_cap, dtype=jnp.int32)
+            oh_u = ((lanes_u[t, sl_e] - ci * b_cap) == lane_eye
+                    ).astype(jnp.float32)                  # [E, B]
+            oh_v = ((lanes_v[t, sl_e] - ci * b_cap) == lane_eye
+                    ).astype(jnp.float32)
+            pi_u = jnp.dot(oh_u, rows_safe,
                            preferred_element_type=jnp.float32)
-            pi_v = jnp.dot(oh_v[t, sl_e, sl_n], rows_safe,
+            pi_v = jnp.dot(oh_v, rows_safe,
                            preferred_element_type=jnp.float32)
             grads = beta_ops.beta_gradients_core(
                 cfg, thetas[ci], betas[ci], pi_u, pi_v,

@@ -86,16 +86,12 @@ def windowed_scan(cfg: Config, state, xs, body):
             dirty = _dirty_windows(batches_w.nodes,
                                    batches_w.node_mask,
                                    xs_w[1][:, :, 0, :], t_win)
-    with jax.named_scope("window_lanes"):
-        lane_eye = jnp.arange(b_cap, dtype=jnp.int32)
-        oh_u = (xs_w[6][..., None] == lane_eye).astype(jnp.float32)
-        oh_v = (xs_w[7][..., None] == lane_eye).astype(jnp.float32)
 
     core = (_window_core_jnp if cfg.window_impl == "jnp"
             else _window_core_pallas)
 
     def wbody(s, xw):
-        xs_t, ohu, ohv, dirty_w = xw
+        xs_t, dirty_w = xw
         batch = xs_t[0]
         nbrs = xs_t[1][:, 0, :]                             # [T, n]
         with jax.named_scope("window_gather"):
@@ -106,11 +102,11 @@ def windowed_scan(cfg: Config, state, xs, body):
             with jax.named_scope("window_correct"):
                 mcode = _correction_codes(cfg, batch.nodes,
                                           batch.node_mask, nbrs)
-            return core(cfg, s, xs_t, ohu, ohv, gg, ss, mcode)
+            return core(cfg, s, xs_t, gg, ss, mcode)
 
         def plain(op):
             gg, ss = op
-            return core(cfg, s, xs_t, ohu, ohv, gg, ss, None)
+            return core(cfg, s, xs_t, gg, ss, None)
 
         if cfg.window_correction == "always":
             # single branch: every window pays the (exact, cheap)
@@ -135,7 +131,7 @@ def windowed_scan(cfg: Config, state, xs, body):
                        beta_count=s.beta_count + t_win)
         return s, None
 
-    state, _ = jax.lax.scan(wbody, state, (xs_w, oh_u, oh_v, dirty))
+    state, _ = jax.lax.scan(wbody, state, (xs_w, dirty))
     if tail:
         xs_tail = jax.tree.map(lambda a: a[n_win * t_win:], xs)
         state, _ = jax.lax.scan(body, state, xs_tail,
@@ -211,15 +207,17 @@ def _window_gather(cfg, s, batch, nbrs):
 # Window core, jnp schedule (golden twin of the kernel)
 # ---------------------------------------------------------------------------
 
-def _window_core_jnp(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
-                     mcode):
+def _window_core_jnp(cfg: Config, s, xs_t, g, sums_g, mcode):
     """T sequential steps on the bulk-gathered rows with the stock jnp
     cores; ``mcode`` (when not None, [T, B+n, 1]) redirects
     intra-window stale reads to the staged rows via an exact one-hot
     select. Returns (rows_flat, sums_flat, theta, beta)."""
-    batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, _lu, _lv = xs_t
+    batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, lu, lv = xs_t
     t_win = cfg.window
     b_cap, k = cfg.max_batch_nodes, cfg.K
+    lane_eye = jnp.arange(b_cap, dtype=jnp.int32)
+    oh_u = (lu[..., None] == lane_eye).astype(jnp.float32)  # [T, E, B]
+    oh_v = (lv[..., None] == lane_eye).astype(jnp.float32)
     nbrs = nbrs_s[:, 0, :]
     lin = jnp.arange(t_win * b_cap, dtype=jnp.int32)
     theta, beta = s.theta, s.beta
@@ -280,12 +278,20 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
     Multi-chain (BLOCKED, not serialized): every step processes ALL
     ``n_chains`` chains at once as stacked row blocks — pi rows
     [C*B, K], neighbor rows [C*n, K], pair tensors [C*B, C*n]
-    (block-diagonal: the mask input is zero off-block), edge one-hots
+    (block-diagonal: the mask is zero off-block), edge one-hots
     [C*E, C*B] (block-diagonal by construction: lane ids carry chain
     offsets). Chains are independent, so batching them inside a step
     turns C small latency-bound matmuls into one MXU-sized matmul —
     the serialized T*C-virtual-step variant measured 0.7x the
     UNwindowed chain engine (docs/design.md round 3).
+
+    The block-diagonal pair tensors and the edge one-hots are BUILT
+    IN-KERNEL (VMEM iota compares) from compact operands — yf/mf ride
+    in as per-chain [C*B, n] and the edge endpoints as int32 lane ids
+    [C*E, 1] — so the kernel's HBM operand traffic stays linear in C
+    while only the in-VMEM working set is quadratic (the round-3
+    window_prep stage that materialized them in HBM was ~7% of the
+    C=16 step and scaled C^2).
 
     theta rides component-major as [2C, K] (rows [:C] = theta_0 of
     every chain, rows [C:] = theta_1) so the per-chain theta SGRLD
@@ -300,12 +306,12 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
     exactly the single-chain kernel."""
     if corrected:
         (g_ref, sums_ref, yf_ref, mf_ref, nmask_ref, noise_ref,
-         bnoise_ref, yef_ref, emask_ref, ohu_ref, ohv_ref, m_ref,
+         bnoise_ref, yef_ref, emask_ref, lu_ref, lv_ref, m_ref,
          wts_ref, epsphi_ref, epstheta_ref, theta_ref, beta_ref,
          rows_out_ref, sums_out_ref, theta_out_ref, beta_out_ref) = refs
     else:
         (g_ref, sums_ref, yf_ref, mf_ref, nmask_ref, noise_ref,
-         bnoise_ref, yef_ref, emask_ref, ohu_ref, ohv_ref,
+         bnoise_ref, yef_ref, emask_ref, lu_ref, lv_ref,
          wts_ref, epsphi_ref, epstheta_ref, theta_ref, beta_ref,
          rows_out_ref, sums_out_ref, theta_out_ref, beta_out_ref) = refs
         m_ref = None
@@ -314,6 +320,7 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
     f32 = jnp.float32
     nc = n_chains
     cb = nc * b_cap                                        # C*B rows
+    n_cap = yf_ref.shape[2]                                # n per chain
     theta_full = theta_ref[:]                              # [2C, K]
     beta_full = beta_ref[:]                                # [C, K]
     eta = jnp.concatenate([jnp.full((nc, k), cfg.eta0, f32),
@@ -323,6 +330,22 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
         # [C, K] -> [C*rows, K] chain-block broadcast
         return jnp.broadcast_to(x[:, None, :],
                                 (nc, rows, k)).reshape(nc * rows, k)
+
+    def block_expand(compact):
+        # [C*B, n] per-chain pairs -> [C*B, C*n] with chain blocks on
+        # the diagonal; off-block entries are tile garbage — callers
+        # must gate them through ``same_chain`` / the mf mask
+        return jnp.concatenate([compact] * nc, axis=1)
+
+    if nc > 1:
+        # [C*B, C*n] bool: row's chain == column's chain block
+        same_chain = (
+            jax.lax.broadcasted_iota(jnp.int32, (cb, nc * n_cap), 0)
+            // b_cap
+            == jax.lax.broadcasted_iota(jnp.int32, (cb, nc * n_cap), 1)
+            // n_cap)
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (nc * e_cap, cb), 1)
 
     if corrected:
         # staged buffers are read back through 0/1 coefficients;
@@ -370,8 +393,12 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
             pi_n = gt[:cb]                                 # [C*B, K]
             pi_nb = gt[cb:]                                # [C*n, K]
             phis = sums_ref[t]                             # [C*B, 1]
-        yf = yf_ref[t]                                     # [C*B, C*n]
-        mf = mf_ref[t]                                     # [C*B, C*n]
+        if nc > 1:
+            yf = block_expand(yf_ref[t])                   # [C*B, C*n]
+            mf = jnp.where(same_chain, block_expand(mf_ref[t]), 0.0)
+        else:
+            yf = yf_ref[t]                                 # [B, n]
+            mf = mf_ref[t]
         beta_rows = per_row(beta_full, b_cap)              # [C*B, K]
         # --- phi stage (factorized shared contraction, blocked) ------
         sgn = 2.0 * yf - 1.0
@@ -408,9 +435,12 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
         # --- beta stage on the staged rows ----------------------------
         nmask = nmask_ref[t]                                # [C*B, 1]
         rows_safe = jnp.where(nmask > 0.5, rows_new, 1.0 / k)
-        pi_u = jnp.dot(ohu_ref[t], rows_safe,
+        # exact one-hots built in-VMEM from the chain-offset lane ids
+        oh_u = (lu_ref[t] == lane_iota).astype(f32)         # [C*E, C*B]
+        oh_v = (lv_ref[t] == lane_iota).astype(f32)
+        pi_u = jnp.dot(oh_u, rows_safe,
                        preferred_element_type=f32)          # [C*E, K]
-        pi_v = jnp.dot(ohv_ref[t], rows_safe,
+        pi_v = jnp.dot(oh_v, rows_safe,
                        preferred_element_type=f32)
         yef = yef_ref[t]                                    # [C*E, 1]
         emf = emask_ref[t]                                  # [C*E, 1]
@@ -444,20 +474,22 @@ def _window_kernel(cfg: Config, t_win: int, n_chains: int,
 
 
 def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
-                       nmask, noise, bnoise, yef, emf, oh_u, oh_v,
-                       mcode, wts, eps_phi, eps_theta, theta_cb,
-                       beta_cb):
+                       nmask, noise, bnoise, yef, emf, lanes_u,
+                       lanes_v, mcode, wts, eps_phi, eps_theta,
+                       theta_cb, beta_cb):
     """Invoke the mega-kernel on prepared blocked-step operands.
 
     Leading axis T = windowed steps; chains are stacked as row blocks
     inside each step. Shapes (B/n/E per chain, C = n_chains):
     g [T,C*(B+n),K] (all node blocks then all nbr blocks),
-    sums [T,C*B,1], yf/mf [T,C*B,C*n] (block-diagonal; mf zero
-    off-block), nmask [T,C*B,1], noise [T,C*B,K], bnoise [T,2C,K]
-    component-major, yef/emf [T,C*E,1], oh_* [T,C*E,C*B]
-    (block-diagonal), mcode [T,C*(B+n),1] i32 PER-CHAIN-local staged
-    slot codes or None, wts [T,C,1], eps_* [T,1] (SMEM),
-    theta_cb [2C,K] component-major, beta_cb [C,K].
+    sums [T,C*B,1], yf/mf [T,C*B,n] COMPACT per-chain pair tensors
+    (the kernel expands them block-diagonally in VMEM), nmask
+    [T,C*B,1], noise [T,C*B,K], bnoise [T,2C,K] component-major,
+    yef/emf [T,C*E,1], lanes_u/lanes_v [T,C*E,1] int32 node-lane ids
+    WITH chain offsets (the kernel expands them to exact one-hots in
+    VMEM), mcode [T,C*(B+n),1] i32 PER-CHAIN-local staged slot codes
+    or None, wts [T,C,1], eps_* [T,1] (SMEM), theta_cb [2C,K]
+    component-major, beta_cb [C,K].
     Returns (rows [C*T*B,K] CHAIN-major, sums [C*T*B,1],
     theta_cb', beta_cb')."""
     t_win, _, k = g.shape
@@ -465,8 +497,8 @@ def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
     e_cap = yef.shape[1] // n_chains
     f32 = jnp.float32
     corrected = mcode is not None
-    args = [g, sums, yf, mf, nmask, noise, bnoise, yef, emf, oh_u,
-            oh_v]
+    args = [g, sums, yf, mf, nmask, noise, bnoise, yef, emf,
+            lanes_u, lanes_v]
     if corrected:
         args.append(mcode)
     args += [wts, eps_phi, eps_theta, theta_cb, beta_cb]
@@ -493,10 +525,9 @@ def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
     )(*args)
 
 
-def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
-                        m_sel):
+def _window_core_pallas(cfg: Config, s, xs_t, g, sums_g, m_sel):
     """ONE pallas_call for the whole T-step window body."""
-    batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, _lu, _lv = xs_t
+    batch, nbrs_s, y_w, nphi_w, nbeta_w, ye_w, lu, lv = xs_t
     t_win = cfg.window
     b_cap, k = cfg.max_batch_nodes, cfg.K
     f32 = jnp.float32
@@ -519,7 +550,7 @@ def _window_core_pallas(cfg: Config, s, xs_t, oh_u, oh_v, g, sums_g,
             jnp.swapaxes(nbeta_w, 1, 2).astype(f32),
             ye_w[..., None].astype(f32),
             batch.edge_mask[..., None].astype(f32),
-            oh_u, oh_v, m_sel,
+            lu[..., None], lv[..., None], m_sel,
             batch.weight[:, None, None].astype(f32),
             eps_phi, eps_theta,
             jnp.swapaxes(s.theta, 0, 1).astype(f32),
