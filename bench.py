@@ -94,28 +94,29 @@ def main():
         "reference-semantics")
     dt = 10_000 / ups
 
-    # multi-chain aggregate (beyond-reference capability): C=4
-    # independent chains in one fused program, shared per-chain draws —
-    # the measured one-chip peak of the chain scaling curve
-    # (docs/design.md: C=1 41.3k, C=4 75.3k, C=8 72.2k, C=16 52.2k).
+    # multi-chain aggregate (beyond-reference capability): C=16
+    # independent chains blocked inside one windowed fused program —
+    # the measured one-chip peak of the round-3 windowed chain curve
+    # (docs/design.md: C=4/T=12 76.3k, C=8/T=12 90.6k, C=16/T=6 97.9k;
+    # T=6 because the kernel's scoped-VMEM ceiling binds C*T).
     # Best-effort: a failure must not lose the headline metric.
     chains_aggregate = None
-    n_chains = 4
+    n_chains = 16
     try:
         from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
 
-        ccfg = cfg.replace(steps_per_call=500)
+        ccfg = cfg.replace(steps_per_call=504, window=6)
         cl = FlatChainLearner(ccfg, graph, split, num_chains=n_chains)
         t0 = time.time()
-        cl.run(500)  # warmup: compile + first chunk
+        cl.run(504)  # warmup: compile + first chunk
         print(f"# [chains-c{n_chains}] warmup (incl. compile): "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
         s0 = int(cl.state.step_count)
         t0 = time.time()
-        cl.run(4000)
+        cl.run(4032)
         steps = int(cl.state.step_count) - s0   # fenced readback
         cdt = time.time() - t0
-        assert steps == 4000, steps
+        assert steps == 4032, steps
         chains_aggregate = n_chains * steps / cdt
         print(f"# [chains-c{n_chains}] {steps} steps in {cdt:.2f}s -> "
               f"{chains_aggregate:.0f} aggregate updates/s",

@@ -212,15 +212,25 @@ def resolve_fast_defaults(args) -> None:
             args.steps_per_call = max(1, min(200, args.ppx_interval))
         log.info("steps_per_call auto-set to %d", args.steps_per_call)
     if (args.window == 0 and args.device_sampling
-            and args.shared_neighbors and args.pi_dtype == "float32"
-            and args.num_chains == 1 and not args.mesh
-            and args.model == "ammsb"):
+            and args.shared_neighbors and not args.mesh
+            and args.model == "ammsb"
+            and not (args.num_chains > 1
+                     and (args.chain_engine != "flat"
+                          or args.chain_devices > 1))):
         # the T-step fused window engine (ops/window.py): measured
-        # ~1.25x over the sequential scan at reference shapes, with
-        # exactly the sequential trajectory semantics
-        args.window = 12
-        log.info("window auto-set to 12 (T-step fused windows; "
-                 "--window -1 disables)")
+        # 1.25-1.4x over the sequential scan single-chain and up to
+        # 2x on the C=16 chain curve (docs/design.md round 3). The
+        # kernel's scoped-VMEM ceiling binds C*T (C=16 T=12 fails to
+        # compile), so the auto size shrinks with the chain count;
+        # C > 16 stays sequential until measured.
+        c = max(1, args.num_chains)
+        if c <= 8:
+            args.window = 12
+        elif c <= 16:
+            args.window = 96 // c
+        if args.window:
+            log.info("window auto-set to %d (T-step fused windows; "
+                     "--window -1 disables)", args.window)
     if args.window < 0:
         args.window = 0
 

@@ -705,12 +705,11 @@ class Learner(HostSamplingPipeline):
         if cfg.window > 1 and (
                 not cfg.shared_neighbors
                 or cfg.rng_backend != RngBackend.NATIVE
-                or cfg.phi_impl != PhiImpl.JNP
-                or pi_storage_dtype(cfg) != jnp.float32):
+                or cfg.phi_impl != PhiImpl.JNP):
             raise ValueError(
                 "window > 1 (the T-step fused window engine, "
                 "ops/window.py) requires shared_neighbors, "
-                "rng_backend=native, phi_impl=jnp and fp32 pi")
+                "rng_backend=native and phi_impl=jnp")
         if cfg.window > 1 and cfg.window_impl not in ("pallas", "jnp"):
             raise ValueError(
                 f"unknown window_impl {cfg.window_impl!r} "

@@ -90,6 +90,23 @@ def test_bf16_unsupported_engines_raise():
         MultiChainLearner(cfg, graph, split, 2)
 
 
+def test_bf16_windowed_single_chip_tracks_fp32():
+    """bf16 pi through the single-chip T-step window engine: the bulk
+    gather upcasts, staged VMEM compute is fp32, the window scatter
+    quantizes (round 3 lifted the fp32-only window restriction)."""
+    cfg, graph, split = _setup(pi_dtype="bfloat16",
+                               shared_neighbors=True)
+    cfg = cfg.replace(window=5)
+    a = Learner(cfg, graph, split, prefetch=False)
+    b = Learner(cfg.replace(pi_dtype="float32"), graph, split,
+                prefetch=False)
+    a.run(300); b.run(300)
+    pa, pb = a.heldout_perplexity(), b.heldout_perplexity()
+    assert np.isfinite(pa)
+    np.testing.assert_allclose(pa, pb, rtol=0.05)
+    a.close(); b.close()
+
+
 def test_bf16_flat_chains_state_and_tracks_fp32():
     """bf16 pi on the flat multi-chain engine (round 3): storage
     quantized at the scatter, fp32 compute — per-chain ppx tracks the
