@@ -84,7 +84,8 @@ def _chunk(cfg: Config, num_chains: int, edge_set: EdgeSet,
     chunk_key = jax.random.fold_in(state.sample_key, state.step_count)
     with jax.named_scope("device_sampling"):
         ds = sample_minibatches_device(cfg, edge_set, heldout_set,
-                                       chunk_key, s_len * c, adjacency)
+                                       chunk_key, s_len * c, adjacency,
+                                       alt_period=c)
 
     def r(x, cap):
         return x.reshape(s_len, c, cap, *x.shape[2:])

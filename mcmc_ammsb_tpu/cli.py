@@ -103,6 +103,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "trajectory is exactly the sequential scan's "
                         "(requires the fast-path defaults; 0 = auto "
                         "[12 on the single-chip fast path], -1 = off)")
+    p.add_argument("--node-coin", choices=["random", "alternate"],
+                   default="random",
+                   help="Node-strategy link/non-link choice per step: "
+                        "'random' = the reference's RNG coin (device "
+                        "sampling computes BOTH draws and selects); "
+                        "'alternate' = strict alternation — each "
+                        "device sampler runs at half volume, the "
+                        "marginal stays exactly 1/2 (stratified coin; "
+                        "device sampling only)")
     p.add_argument("--window-impl", choices=["pallas", "jnp"],
                    default="pallas",
                    help="window fast-branch schedule (jnp = golden "
@@ -262,6 +271,7 @@ def config_from_args(args) -> Config:
         steps_per_call=args.steps_per_call,
         window=args.window,
         window_impl=args.window_impl,
+        node_coin=args.node_coin,
         mmsb_prior_diag=(tuple(args.mmsb_prior_diag)
                          if args.mmsb_prior_diag else None),
         mmsb_noise_scale=args.mmsb_noise_scale,

@@ -139,6 +139,17 @@ class Config:
     # whole beta gradient, sample.cc:253-268). Self-collisions
     # (neighbor == node, prob ~n/N) are masked with the per-node
     # count-aware scale. Requires rng_backend=native, phi_impl=jnp.
+    node_coin: str = "random"        # random | alternate
+    # How the Node strategy picks link vs non-link each step
+    # (sample.cc:295-302 flips an RNG coin). 'random' reproduces the
+    # reference exactly — but the static-shape device sampler must
+    # then compute BOTH candidate draws for every step and select
+    # (ops/device_sampling.py), so sampling costs 2x. 'alternate'
+    # strictly alternates link/non-link per step: each sampler runs at
+    # HALF volume, the link/non-link marginal is exactly 1/2 (a
+    # stratified — strictly lower-variance — version of the coin),
+    # and the gradient estimator stays unbiased because each step's
+    # draw is still independent of the state. Device sampling only.
     node_tile: int = 8               # Pallas: minibatch nodes per block
     # T-step WINDOWED fused loop (ops/window.py): the scan advances T
     # steps per iteration — ONE bulk pi-row gather, ONE Pallas
@@ -237,6 +248,14 @@ class Config:
             raise ValueError(
                 f"num_node_sample={self.num_node_sample} must be < N={N} "
                 "(cannot draw that many distinct neighbors)")
+        if self.node_coin not in ("random", "alternate"):
+            raise ValueError(f"unknown node_coin {self.node_coin!r} "
+                             "(random | alternate)")
+        if self.node_coin == "alternate" and not self.device_sampling:
+            raise ValueError(
+                "node_coin='alternate' is a device-sampling lever (the "
+                "host samplers draw the reference's RNG coin); enable "
+                "device_sampling or use node_coin='random'")
         if self.device_sampling and self.strategy in (
                 SampleStrategy.NODE, SampleStrategy.NODE_LINK,
                 SampleStrategy.NODE_NON_LINK):

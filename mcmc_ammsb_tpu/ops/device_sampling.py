@@ -187,6 +187,25 @@ def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
     return eu, ev, ok, weight, u
 
 
+def _interleave_steps(link, non, n_link: int, n_non: int, period: int):
+    """Merge two per-step draw blocks so steps 0,2,4,... take the
+    ``link`` rows and 1,3,5,... the ``non`` rows (``period`` draws per
+    step, e.g. one per chain). Static shapes throughout."""
+    def mix(a, b):
+        tail_shape = a.shape[1:]
+        a2 = a.reshape(n_link, period, *tail_shape)
+        b2 = b.reshape(n_non, period, *tail_shape)
+        out = jnp.concatenate([a2[:n_non, None], b2[:, None]],
+                              axis=1).reshape(2 * n_non * period,
+                                              *tail_shape)
+        if n_link > n_non:     # odd step count: trailing link step
+            out = jnp.concatenate(
+                [out, a2[n_non:].reshape(period, *tail_shape)], axis=0)
+        return out
+
+    return tuple(mix(a, b) for a, b in zip(link, non))
+
+
 def sample_minibatches_device(
     cfg: Config,
     training_set: EdgeSet,
@@ -194,11 +213,15 @@ def sample_minibatches_device(
     key: jax.Array,
     s_len: int,
     adjacency=None,
+    alt_period: int = 1,
 ) -> DeviceSamples:
     """Draw ``s_len`` minibatches (one per scan step) in one block.
 
     ``adjacency`` is the training graph's CSR pair (offsets [N+1],
-    cols [2E]); defaults to the CSR edge set's own arrays."""
+    cols [2E]); defaults to the CSR edge set's own arrays.
+    ``alt_period`` is the draws-per-step factor (the chain count for
+    the flat multi-chain engine) used by ``node_coin='alternate'`` to
+    alternate by STEP, not by flattened draw index."""
     if (cfg.strategy != SampleStrategy.NODE_NON_LINK
             and cfg.max_batch_edges < cfg.max_fan_out):
         # the host paths fail loudly on overflow (pad_batch / native
@@ -229,6 +252,30 @@ def sample_minibatches_device(
         with jax.named_scope("ds_nonlink"):
             eu, ev, mask, weight, pivot = _sample_node_non_link_batch(
                 cfg, training_set, heldout_set, k_non, s_len)
+    elif (cfg.strategy == SampleStrategy.NODE
+          and cfg.node_coin == "alternate"):
+        # stratified coin: steps strictly alternate link / non-link,
+        # so each sampler runs at HALF volume instead of both running
+        # full-volume for a select (config.py node_coin rationale)
+        if s_len % alt_period:
+            raise ValueError(
+                f"s_len={s_len} must be a multiple of "
+                f"alt_period={alt_period}")
+        n_steps = s_len // alt_period
+        n_link = (n_steps + 1) // 2
+        n_non = n_steps // 2
+        with jax.named_scope("ds_link"):
+            l = _sample_node_link_batch(cfg, offsets, cols, k_link,
+                                        n_link * alt_period)
+        if n_non == 0:
+            eu, ev, mask, weight, pivot = l
+        else:
+            with jax.named_scope("ds_nonlink"):
+                nl = _sample_node_non_link_batch(
+                    cfg, training_set, heldout_set, k_non,
+                    n_non * alt_period)
+            eu, ev, mask, weight, pivot = _interleave_steps(
+                l, nl, n_link, n_non, alt_period)
     elif cfg.strategy == SampleStrategy.NODE:
         # per-step fair coin: compute both vectorized draws, select rows
         # (each half is cheap; data-dependent branching would force a

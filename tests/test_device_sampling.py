@@ -117,6 +117,74 @@ def test_device_non_link_weight_unbiased_under_collisions():
     assert (m_eff > 0).all()
 
 
+def test_alternate_coin_strict_stratification(setup):
+    """node_coin='alternate': steps strictly alternate link (weight N,
+    all edges share the pivot) and non-link (weight 2E/m_eff) draws,
+    and each draw individually satisfies its strategy's invariants."""
+    from mcmc_ammsb_tpu.ops.device_sampling import \
+        sample_minibatches_device
+
+    n, split, graph, tr, ho = setup
+    cfg = _cfg(setup, SampleStrategy.NODE).replace(node_coin="alternate")
+    adj = (jnp.asarray(graph.offsets, jnp.int32),
+           jnp.asarray(graph.cols, jnp.int32))
+    s_len = 33                                   # odd: trailing link
+    ds = jax.jit(lambda k: sample_minibatches_device(
+        cfg, tr, ho, k, s_len, adj))(jax.random.PRNGKey(11))
+    training = set(pack_edges(graph.edges_u, graph.edges_v).tolist())
+    w = np.asarray(ds.weight)
+    masks = np.asarray(ds.edge_mask)
+    for s in range(s_len):
+        eu = np.asarray(ds.edges_u[s])[masks[s]]
+        ev = np.asarray(ds.edges_v[s])[masks[s]]
+        keys = pack_edges(eu, ev)
+        if s % 2 == 0:                           # link step
+            assert w[s] == cfg.N, s
+            assert all(int(x) in training for x in keys), s
+        else:                                    # non-link step
+            m_eff = masks[s].sum()
+            assert np.isclose(w[s] * m_eff, 2.0 * cfg.E), s
+            assert not any(int(x) in training for x in keys), s
+
+
+def test_alternate_coin_chain_period(setup):
+    """alt_period=C alternates by STEP: every chain of a step draws
+    the same kind (no chain is pinned to one strategy)."""
+    from mcmc_ammsb_tpu.ops.device_sampling import \
+        sample_minibatches_device
+
+    n, split, graph, tr, ho = setup
+    cfg = _cfg(setup, SampleStrategy.NODE).replace(node_coin="alternate")
+    adj = (jnp.asarray(graph.offsets, jnp.int32),
+           jnp.asarray(graph.cols, jnp.int32))
+    c, steps = 3, 8
+    ds = jax.jit(lambda k: sample_minibatches_device(
+        cfg, tr, ho, k, steps * c, adj, alt_period=c))(
+        jax.random.PRNGKey(12))
+    w = np.asarray(ds.weight).reshape(steps, c)
+    link_like = w == cfg.N
+    for s in range(steps):
+        assert (link_like[s] == (s % 2 == 0)).all(), (s, w[s])
+
+
+def test_alternate_coin_trains_and_rejects_host_sampling(setup):
+    n, split, graph, tr, ho = setup
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 device_sampling=True, steps_per_call=25,
+                 node_coin="alternate")
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    lrn = Learner(cfg, graph, split, prefetch=False)
+    p0 = lrn.heldout_perplexity()
+    lrn.run(200)
+    p1 = lrn.heldout_perplexity()
+    assert np.isfinite([p0, p1]).all() and p1 < p0
+    lrn.close()
+    with pytest.raises(ValueError, match="alternate"):
+        Config(K=8, device_sampling=False,
+               node_coin="alternate").finalize(
+            n, split.total_edges, graph.max_fan_out)
+
+
 def test_structural_nodes_match_sorted_dedup(setup):
     """_structural_nodes (lane 0 = pivot, lane 1+i = edge lane i's
     partner; no sorts) is set-equal per batch to the sort-based
