@@ -92,20 +92,36 @@ def main():
     ref_ups, ref_ppx = measure(
         cfg.replace(shared_neighbors=False, window=0),
         "reference-semantics")
+    # stratified link/non-link coin (node_coin='alternate'): exactly-
+    # 1/2 marginal, lower variance than the reference's RNG coin, and
+    # each device sampler runs at half volume (config.py rationale) —
+    # the fastest single-chain configuration. Best-effort.
+    alt_ups = None
+    try:
+        alt_ups, _ = measure(cfg.replace(node_coin="alternate",
+                                         steps_per_call=996),
+                             "stratified-coin")
+    except Exception as e:  # pragma: no cover
+        print(f"# stratified-coin phase skipped: {e}", file=sys.stderr)
     dt = 10_000 / ups
 
     # multi-chain aggregate (beyond-reference capability): C=16
     # independent chains blocked inside one windowed fused program —
     # the measured one-chip peak of the round-3 windowed chain curve
-    # (docs/design.md: C=4/T=12 76.3k, C=8/T=12 90.6k, C=16/T=6 97.9k;
-    # T=6 because the kernel's scoped-VMEM ceiling binds C*T).
+    # (T=6 because the kernel's scoped-VMEM ceiling binds C*T), with
+    # the stratified link/non-link coin (node_coin='alternate':
+    # exactly-1/2 marginal, strictly lower variance than the
+    # reference's RNG coin, each device sampler at half volume —
+    # config.py rationale; measured 137.3k vs 105.4k with the random
+    # coin after the round-3 cuts, docs/design.md).
     # Best-effort: a failure must not lose the headline metric.
     chains_aggregate = None
     n_chains = 16
     try:
         from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
 
-        ccfg = cfg.replace(steps_per_call=504, window=6)
+        ccfg = cfg.replace(steps_per_call=504, window=6,
+                           node_coin="alternate")
         cl = FlatChainLearner(ccfg, graph, split, num_chains=n_chains)
         t0 = time.time()
         cl.run(504)  # warmup: compile + first chunk
@@ -230,9 +246,12 @@ def main():
             "window": cfg.window,
             "reference_semantics_rate": round(ref_ups, 2),
             "reference_semantics_ppx": round(ref_ppx, 4),
+            "stratified_coin_rate": (round(alt_ups, 2)
+                                     if alt_ups else None),
             "chains_aggregate_rate": (round(chains_aggregate, 2)
                                       if chains_aggregate else None),
             "chains_aggregate_num_chains": n_chains,
+            "chains_aggregate_node_coin": "alternate",
             "sbm_ppx_start": (round(float(ppx_start), 4)
                               if ppx_start is not None else None),
             "sbm_ppx_end": (round(float(ppx_end), 4)

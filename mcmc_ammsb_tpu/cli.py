@@ -112,6 +112,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "device sampler runs at half volume, the "
                         "marginal stays exactly 1/2 (stratified coin; "
                         "device sampling only)")
+    p.add_argument("--ds-link-rounds", type=int, default=2,
+                   help="device NodeLink pivot redraw rounds (the "
+                        "host sampler retries unboundedly; residual "
+                        "isolated pivots after the rounds yield an "
+                        "all-masked, zero-gradient batch)")
+    p.add_argument("--ds-nonlink-rounds", type=int, default=1,
+                   help="device NodeNonLink candidate redraw rounds; "
+                        "residual bad lanes are masked and the "
+                        "2E/m_eff reweight keeps the estimator "
+                        "unbiased at any rate, so 1 round suffices "
+                        "except on very dense graphs (each round "
+                        "re-runs the full candidate check — most of "
+                        "the device-sampling cost)")
     p.add_argument("--window-impl", choices=["pallas", "jnp"],
                    default="pallas",
                    help="window fast-branch schedule (jnp = golden "
@@ -228,10 +241,13 @@ def resolve_fast_defaults(args) -> None:
                           or args.chain_devices > 1))):
         # the T-step fused window engine (ops/window.py): measured
         # 1.25-1.4x over the sequential scan single-chain and up to
-        # 2x on the C=16 chain curve (docs/design.md round 3). The
-        # kernel's scoped-VMEM ceiling binds C*T (C=16 T=12 fails to
-        # compile), so the auto size shrinks with the chain count;
-        # C > 16 stays sequential until measured.
+        # 2x on the C=16 chain curve (docs/design.md round 3). T=12
+        # is the measured single-chain/small-C optimum and T=6 the
+        # C=16 one; bigger T compiles since the scoped-VMEM lift but
+        # LOSES (the collision-correction one-hots grow ~T^2 — C=16
+        # T=12 measured 118.2k vs T=6's 137.3k). C > 16 regresses on
+        # one chip (scatter/gather knee on 5+ GB pi, docs/design.md
+        # round 3 late) and stays sequential here.
         c = max(1, args.num_chains)
         if c <= 8:
             args.window = 12
@@ -272,6 +288,8 @@ def config_from_args(args) -> Config:
         window=args.window,
         window_impl=args.window_impl,
         node_coin=args.node_coin,
+        ds_link_rounds=args.ds_link_rounds,
+        ds_nonlink_rounds=args.ds_nonlink_rounds,
         mmsb_prior_diag=(tuple(args.mmsb_prior_diag)
                          if args.mmsb_prior_diag else None),
         mmsb_noise_scale=args.mmsb_noise_scale,

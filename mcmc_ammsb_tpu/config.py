@@ -150,6 +150,23 @@ class Config:
     # stratified — strictly lower-variance — version of the coin),
     # and the gradient estimator stays unbiased because each step's
     # draw is still independent of the state. Device sampling only.
+    ds_link_rounds: int = 2          # device NodeLink pivot redraw rounds
+    ds_nonlink_rounds: int = 1       # device NodeNonLink lane redraw rounds
+    # The host/reference samplers retry until the draw is clean
+    # (sample.cc:253-293, unbounded); the static-shape device samplers
+    # replace that with a fixed number of masked redraw rounds and an
+    # unbiased count-aware reweight of any residual bad lanes
+    # (ops/device_sampling.py). Each NodeNonLink round re-runs the
+    # full candidate check (2 edge-set membership passes + the [m,m]
+    # dup test) — at reference shapes that check IS most of the
+    # device-sampling cost (DS_NONLINK, docs/design.md round 3), while
+    # the per-lane bad probability is ~(deg_avg + m/2)/N ~ 1e-4, so
+    # one round already drives the residual mask rate below 1e-8.
+    # Defaults (2 link / 1 non-link) are statistically indistinguishable
+    # from the reference's exhaustive retry; raise them to reproduce
+    # earlier-round trajectories (6/4) or for pathologically dense
+    # graphs (the masked-lane reweight keeps the estimator unbiased at
+    # ANY residual rate either way: weight * m_eff == 2E exactly).
     node_tile: int = 8               # Pallas: minibatch nodes per block
     # T-step WINDOWED fused loop (ops/window.py): the scan advances T
     # steps per iteration — ONE bulk pi-row gather, ONE Pallas
@@ -248,6 +265,9 @@ class Config:
             raise ValueError(
                 f"num_node_sample={self.num_node_sample} must be < N={N} "
                 "(cannot draw that many distinct neighbors)")
+        if self.ds_link_rounds < 0 or self.ds_nonlink_rounds < 0:
+            raise ValueError("ds_link_rounds/ds_nonlink_rounds must be "
+                             ">= 0 (0 = single draw, residuals masked)")
         if self.node_coin not in ("random", "alternate"):
             raise ValueError(f"unknown node_coin {self.node_coin!r} "
                              "(random | alternate)")

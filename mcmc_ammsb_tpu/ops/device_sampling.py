@@ -116,9 +116,15 @@ def _extract_nodes(cfg: Config, eu, ev, mask):
 
 
 def _sample_node_link_batch(cfg: Config, offsets, cols, key,
-                            s_len: int, rounds: int = 6):
+                            s_len: int, rounds: int | None = None):
     """[S] NodeLink draws: random non-isolated pivots (masked redraw
-    rounds instead of the host's unbounded retry) + their CSR rows."""
+    rounds instead of the host's unbounded retry) + their CSR rows.
+
+    ``rounds`` defaults to ``cfg.ds_link_rounds``; a residual isolated
+    pivot after all rounds yields an all-masked edge buffer (zero beta
+    gradient) — probability p_iso^(rounds+1) per step."""
+    if rounds is None:
+        rounds = cfg.ds_link_rounds
     e_cap = cfg.max_batch_edges
     keys = jax.random.split(key, 2)
     u = jax.random.randint(keys[0], (s_len,), 0, cfg.N, jnp.int32)
@@ -142,7 +148,15 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
 
 
 def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
-                                key, s_len: int, rounds: int = 4):
+                                key, s_len: int, rounds: int | None = None):
+    """[S] NodeNonLink draws. ``rounds`` defaults to
+    ``cfg.ds_nonlink_rounds``: each round re-runs ``bad_lanes`` (two
+    edge-set membership passes + the [m, m] dup test) at full volume —
+    the dominant sampling cost at reference shapes — while the final
+    mask + 2E/m_eff reweight below keeps the estimator unbiased for
+    ANY residual bad-lane rate, so few rounds lose nothing."""
+    if rounds is None:
+        rounds = cfg.ds_nonlink_rounds
     m = cfg.mini_batch_size
     e_cap = cfg.max_batch_edges
     keys = jax.random.split(key, 3)

@@ -521,6 +521,16 @@ def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
         ),
         in_specs=in_specs,
         out_specs=(vmem, vmem, vmem, vmem),
+        # the kernel is single-invocation (no grid) so XLA's default
+        # 16 MB scoped-vmem budget — sized to leave room for pipeline
+        # double-buffering that this kernel doesn't do — is the
+        # binding constraint on C*T (the blocked working set: pair
+        # tensors [C*B, C*n], edge one-hots [C*E, C*B], staged rows
+        # [C*T*B, K]). v5e has 128 MiB VMEM; granting 100 MiB lifts
+        # the ceiling from C*T<=96 to C=32/T=6-class shapes
+        # (docs/design.md round 3 late).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(*args)
 

@@ -94,7 +94,11 @@ def test_device_non_link_weight_unbiased_under_collisions():
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     cfg = Config(K=4, mini_batch_size=16, num_node_sample=4,
                  strategy=SampleStrategy.NODE_NON_LINK,
-                 device_sampling=True)
+                 device_sampling=True,
+                 # explicit: at 20% density the default single round
+                 # leaves ~10% of lanes masked (unbiased but below this
+                 # test's deficit bound, which checks the ROUNDS work)
+                 ds_nonlink_rounds=4)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     tr = build_edge_set(EdgeSetBackend.CSR, n, graph.edges_u,
                         graph.edges_v)

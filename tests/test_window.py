@@ -141,6 +141,41 @@ def test_windowed_fused_ppx_series_matches():
     seq.close(); win.close()
 
 
+@pytest.mark.parametrize("m,n_smpl,k,window", [
+    (5, 7, 12, 3),      # everything odd / non-power-of-two
+    (13, 3, 24, 5),     # wide-ish batch, tiny neighbor set, K%8!=0
+    (2, 2, 2, 2),       # degenerate minimum (wg-sum-test.cc wg=2)
+])
+def test_windowed_odd_shapes(m, n_smpl, k, window):
+    """Non-power-of-two / ragged shape sweep (the reference tests its
+    kernels at wg sizes {2,4,16,32,64,96,113} and ragged lengths,
+    wg-sum-test.cc:22-130): the three schedules — sequential scan,
+    windowed jnp, windowed pallas (interpret) — must coincide at
+    shapes that exercise padding and masking off the friendly tiles."""
+    cfg, seq, win = make_pair(window=window, impl="jnp",
+                              K=k, mini_batch_size=m,
+                              num_node_sample=n_smpl,
+                              steps_per_call=4 * window)
+    _, _, win_p = make_pair(window=window, impl="pallas",
+                            K=k, mini_batch_size=m,
+                            num_node_sample=n_smpl,
+                            steps_per_call=4 * window)
+    steps = 4 * window
+    seq.run(steps)
+    win.run(steps)
+    win_p.run(steps)
+    np.testing.assert_allclose(np.asarray(win.state.pi),
+                               np.asarray(seq.state.pi),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(win_p.state.pi),
+                               np.asarray(win.state.pi),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(win_p.state.theta),
+                               np.asarray(win.state.theta),
+                               rtol=1e-5, atol=1e-8)
+    seq.close(); win.close(); win_p.close()
+
+
 def test_window_requires_fast_path():
     n, u, v = synthetic_edges(300, 8, seed=9)
     split = generate_sets(n, u, v, heldout_ratio=0.1, seed=10)
