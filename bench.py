@@ -162,9 +162,14 @@ def main():
         split3 = generate_sets(n3, u3, v3, heldout_ratio=0.01, seed=6)
         graph3 = Graph.from_edges(n3, split3.training_u,
                                   split3.training_v)
+        # window=0: the hub degree (~304) pads every batch to B_cap=305
+        # lanes and the window engine's correction contraction scales
+        # with T*B_cap — the sequential scan measured FASTER here
+        # (scripts/exp_powerlaw_window.py: w0 15.1k vs w12 13.8k; the
+        # CLI auto-window applies the same b_cap>64 fallback)
         cfg3 = Config(K=256, mini_batch_size=32, num_node_sample=32,
                       steps_per_call=1000, device_sampling=True,
-                      shared_neighbors=True, window=12,
+                      shared_neighbors=True, window=0,
                       edgeset_backend=EdgeSetBackend.AUTO)
         cfg3 = cfg3.finalize(n3, split3.total_edges, graph3.max_fan_out)
         print(f"# powerlaw dataset ready in {time.time()-t0:.1f}s: "
@@ -172,7 +177,15 @@ def main():
               file=sys.stderr)
         l3 = Learner(cfg3, graph3, split3)
         ppx0 = l3.heldout_perplexity()
-        l3.run(1000)   # warmup: compile the fused program
+        # warm up BOTH device programs (plain run + fused-eval) before
+        # the timer: the first run_with_ppx call compiles a separate
+        # program whose ~40-60s compile otherwise lands inside the
+        # timed region and dominates seconds_to_ppx_target (the
+        # round-3 bench measured 360 "updates/s" that were 97% compile)
+        l3.run(1000)
+        int(l3.state.step_count)              # fence the compile
+        list(l3.run_with_ppx(1000, 1000))
+        warm_steps = int(l3.state.step_count)
         series = []    # (seconds, ppx) with fenced per-dispatch walls
         t0 = time.time()
         for _ in range(20):
@@ -181,7 +194,8 @@ def main():
         floor = min(p for _, p in series)
         target = ppx0 - 0.9 * (ppx0 - floor)
         secs = next(s for s, p in series if p <= target)
-        rate3 = int(l3.state.step_count) / (time.time() - t0)
+        rate3 = ((int(l3.state.step_count) - warm_steps)
+                 / (time.time() - t0))
         l3.close()
         ttp = {
             "powerlaw_N": cfg3.N, "powerlaw_E": cfg3.E,

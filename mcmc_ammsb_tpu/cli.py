@@ -254,6 +254,7 @@ def resolve_fast_defaults(args) -> None:
         elif c <= 16:
             args.window = 96 // c
         if args.window:
+            args.window_auto = True
             log.info("window auto-set to %d (T-step fused windows; "
                      "--window -1 disables)", args.window)
     if args.window < 0:
@@ -340,6 +341,18 @@ def main(argv=None) -> int:
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     cfg = config_from_args(args).finalize(n, split.total_edges,
                                           graph.max_fan_out)
+    if getattr(args, "window_auto", False) and cfg.max_batch_nodes > 64:
+        # heavy-tailed graph: the node buffer pads every batch to the
+        # HUB degree, and the window engine's collision-correction
+        # contraction scales with T*B_cap — at b_cap=305 (com-DBLP-
+        # shaped surrogate) the sequential scan measured FASTER than
+        # any window size (scripts/exp_powerlaw_window.py: w0 15.1k
+        # vs w12 13.8k). Auto mode falls back; --window N forces.
+        log.info("window auto-disabled: max_batch_nodes=%d > 64 "
+                 "(hub-degree-padded batches; the windowed correction "
+                 "scales with T*B_cap — docs/design.md round 3 late)",
+                 cfg.max_batch_nodes)
+        cfg = cfg.replace(window=0)
     log.info("Loaded %s (N=%d, E=%d, training max fan out = %d)",
              args.load_file or args.file or args.synthetic,
              cfg.N, cfg.E, cfg.max_fan_out)

@@ -142,3 +142,45 @@ def test_cli_periodic_checkpointing(tmp_path, caplog):
     assert "[async]" in out
     import os
     assert os.path.isdir(path)  # exit save (sync) finalized everything
+
+
+def test_cli_auto_window_heavy_tail_fallback(tmp_path, caplog):
+    """Auto-window falls back to the sequential scan when the node
+    buffer is hub-degree-padded (max_batch_nodes > 64): the windowed
+    correction contraction scales with T*B_cap and measured SLOWER
+    than sequential at com-DBLP-shaped tails (docs/design.md round 3
+    late, scripts/exp_powerlaw_window.py). --window N still forces."""
+    # star graph: one hub of degree 80 plus a ring so every node has
+    # an edge after the heldout split
+    lines = ["# star + ring"]
+    n = 81
+    lines += [f"0\t{i}" for i in range(1, n)]
+    lines += [f"{i}\t{i + 1}" for i in range(1, n - 1)]
+    f = tmp_path / "star.txt"
+    f.write_text("\n".join(lines) + "\n")
+    rc, out = run_cli(["--file", str(f), "-k", "8", "-m", "8", "-n",
+                       "4", "--heldout-ratio", "0.05", "-x", "20",
+                       "-i", "10", "--steps-per-call", "10"], caplog)
+    assert rc == 0
+    assert "window auto-set" in out          # auto engaged first...
+    assert "window auto-disabled" in out     # ...then the fallback
+    assert "ppx[20]" in out
+
+    caplog.clear()
+    # explicit --window is respected (no fallback)
+    rc, out = run_cli(["--file", str(f), "-k", "8", "-m", "8", "-n",
+                       "4", "--heldout-ratio", "0.05", "-x", "20",
+                       "-i", "10", "--steps-per-call", "10",
+                       "--window", "4"], caplog)
+    assert rc == 0
+    assert "window auto-disabled" not in out
+    assert "ppx[20]" in out
+
+
+def test_cli_auto_window_regular_graph(caplog):
+    """On a regular-degree graph the auto window stays on."""
+    rc, out = run_cli(BASE + ["-x", "24", "-i", "12",
+                              "--steps-per-call", "12"], caplog)
+    assert rc == 0
+    assert "window auto-set to 12" in out
+    assert "window auto-disabled" not in out
