@@ -125,6 +125,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "except on very dense graphs (each round "
                         "re-runs the full candidate check — most of "
                         "the device-sampling cost)")
+    p.add_argument("--ds-link-cap", type=int, default=0,
+                   help="degree cap for device NodeLink draws (0 = "
+                        "off). On heavy-tailed graphs buffers shrink "
+                        "from max(m, max_degree) to max(m, cap) edges; "
+                        "hub rows are uniformly subsampled with the "
+                        "Horvitz-Thompson reweight N/(1-(1-1/d)^cap) "
+                        "so the beta gradient stays unbiased")
     p.add_argument("--window-impl", choices=["pallas", "jnp"],
                    default="pallas",
                    help="window fast-branch schedule (jnp = golden "
@@ -291,6 +298,7 @@ def config_from_args(args) -> Config:
         node_coin=args.node_coin,
         ds_link_rounds=args.ds_link_rounds,
         ds_nonlink_rounds=args.ds_nonlink_rounds,
+        ds_link_cap=args.ds_link_cap,
         mmsb_prior_diag=(tuple(args.mmsb_prior_diag)
                          if args.mmsb_prior_diag else None),
         mmsb_noise_scale=args.mmsb_noise_scale,

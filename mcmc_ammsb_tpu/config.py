@@ -167,6 +167,24 @@ class Config:
     # earlier-round trajectories (6/4) or for pathologically dense
     # graphs (the masked-lane reweight keeps the estimator unbiased at
     # ANY residual rate either way: weight * m_eff == 2E exactly).
+    ds_link_cap: int = 0             # device NodeLink degree cap (0 = off)
+    # Degree-capped NodeLink draws for HEAVY-TAILED graphs (device
+    # sampling only). The reference's NodeLink returns EVERY edge of
+    # the pivot (sample.cc:253-268), so static device buffers must be
+    # sized by the graph's max degree — on LiveJournal-shaped data
+    # (max degree ~14.8k) every step would gather/scatter ~14.8k rows
+    # to process an average-degree (~17) pivot. With ds_link_cap=c:
+    # pivots whose full edge list fits the buffer keep the exact
+    # reference batch (weight N); hubs instead contribute
+    # max_batch_edges uniform with-replacement draws from their row,
+    # deduped keep-first, with the Horvitz-Thompson reweight
+    # N / (1 - (1 - 1/d)^draws) so the beta gradient estimator stays
+    # exactly unbiased (each distinct edge is included with
+    # probability p = 1-(1-1/d)^draws and contributes f(e) * N/p).
+    # Statistical deviation: hub-neighbor phi updates happen at rate
+    # p < 1 per pivot draw (same class as the masked non-link
+    # residuals); beta is unbiased at any cap. Buffers shrink from
+    # max(m, max_fan_out) to max(m, min(max_fan_out, c)) edges.
     node_tile: int = 8               # Pallas: minibatch nodes per block
     # T-step WINDOWED fused loop (ops/window.py): the scan advances T
     # steps per iteration — ONE bulk pi-row gather, ONE Pallas
@@ -226,15 +244,25 @@ class Config:
         return self.alpha if self.alpha != 0.0 else 1.0 / self.K
 
     @property
+    def effective_fan_out(self) -> int:
+        """Max edges a device NodeLink batch can hold: the graph's max
+        degree, or ``ds_link_cap`` when the degree-capped sampler is on
+        (hub rows are subsampled + HT-reweighted instead of stored)."""
+        if self.ds_link_cap and self.device_sampling:
+            return min(max(self.max_fan_out, 1), self.ds_link_cap)
+        return self.max_fan_out
+
+    @property
     def max_batch_edges(self) -> int:
         """Device edge-buffer capacity.
 
         NodeLink returns every edge of one node, so the buffer must hold
-        max(m, max_fan_out) edges (/root/reference/mcmc/sample.cc:129).
+        max(m, max_fan_out) edges (/root/reference/mcmc/sample.cc:129) —
+        max(m, ds_link_cap) under the degree-capped device sampler.
         """
         if self.batch_edges_cap:
             return self.batch_edges_cap
-        return max(self.mini_batch_size, max(self.max_fan_out, 1))
+        return max(self.mini_batch_size, max(self.effective_fan_out, 1))
 
     @property
     def max_batch_nodes(self) -> int:
@@ -256,7 +284,7 @@ class Config:
         if self.device_sampling and self.strategy in (
                 SampleStrategy.NODE, SampleStrategy.NODE_LINK,
                 SampleStrategy.NODE_NON_LINK):
-            return max(self.mini_batch_size, self.max_fan_out) + 1
+            return max(self.mini_batch_size, self.effective_fan_out) + 1
         return max(2 * self.mini_batch_size, self.max_fan_out + 1)
 
     def finalize(self, N: int, E: int, max_fan_out: int) -> "Config":
@@ -276,11 +304,20 @@ class Config:
                 "node_coin='alternate' is a device-sampling lever (the "
                 "host samplers draw the reference's RNG coin); enable "
                 "device_sampling or use node_coin='random'")
+        if self.ds_link_cap < 0:
+            raise ValueError("ds_link_cap must be >= 0 (0 = off)")
+        if self.ds_link_cap and not self.device_sampling:
+            raise ValueError(
+                "ds_link_cap is a device-sampling lever (the host "
+                "samplers return full CSR rows); enable device_sampling "
+                "or drop the cap")
         if self.device_sampling and self.strategy in (
                 SampleStrategy.NODE, SampleStrategy.NODE_LINK,
                 SampleStrategy.NODE_NON_LINK):
-            derived_nodes = max(self.mini_batch_size,
-                                int(max_fan_out)) + 1
+            eff = int(max_fan_out)
+            if self.ds_link_cap:
+                eff = min(max(eff, 1), self.ds_link_cap)
+            derived_nodes = max(self.mini_batch_size, eff) + 1
         else:
             derived_nodes = max(2 * self.mini_batch_size,
                                 int(max_fan_out) + 1)

@@ -122,11 +122,22 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
 
     ``rounds`` defaults to ``cfg.ds_link_rounds``; a residual isolated
     pivot after all rounds yields an all-masked edge buffer (zero beta
-    gradient) — probability p_iso^(rounds+1) per step."""
+    gradient) — probability p_iso^(rounds+1) per step.
+
+    With ``cfg.ds_link_cap`` set (heavy-tail graphs), pivots whose
+    degree exceeds the edge buffer contribute e_cap uniform
+    with-replacement draws from their CSR row (keep-first dedup) and
+    the per-step weight becomes the Horvitz-Thompson
+    ``N / (1 - (1 - 1/d)^e_cap)`` — each distinct edge of the pivot is
+    included with probability p = 1-(1-1/d)^e_cap, so
+    E[weight * sum over kept lanes] = N * d exactly, the invariant the
+    take-all path satisfies by construction (tested in
+    test_device_sampling.py). Small-degree pivots keep the exact
+    reference batch."""
     if rounds is None:
         rounds = cfg.ds_link_rounds
     e_cap = cfg.max_batch_edges
-    keys = jax.random.split(key, 2)
+    keys = jax.random.split(key, 3)
     u = jax.random.randint(keys[0], (s_len,), 0, cfg.N, jnp.int32)
 
     def fixup(i, u):
@@ -140,10 +151,31 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
     deg = offsets[u + 1] - start
     idx = start[:, None] + jnp.arange(e_cap, dtype=jnp.int32)
     valid = jnp.arange(e_cap) < deg[:, None]
+    weight = jnp.full((s_len,), cfg.N, jnp.float32)
+    if cfg.ds_link_cap and cfg.max_fan_out > e_cap:
+        # degree-capped path: rows that overflow the buffer are
+        # subsampled with replacement + HT-reweighted; fitting rows
+        # keep the exact sequential slice above
+        take_all = deg <= e_cap                              # [S]
+        degf = jnp.maximum(deg.astype(jnp.float32), 1.0)
+        off = jnp.floor(
+            jax.random.uniform(keys[2], (s_len, e_cap)) * degf[:, None]
+        ).astype(jnp.int32)
+        off = jnp.minimum(off, deg[:, None] - 1)             # uniform(1.0) guard
+        dup = jnp.any(
+            (off[:, :, None] == off[:, None, :])
+            & jnp.tril(jnp.ones((e_cap, e_cap), jnp.bool_), -1)[None],
+            axis=-1,
+        )
+        idx = jnp.where(take_all[:, None], idx, start[:, None] + off)
+        valid = jnp.where(take_all[:, None], valid,
+                          (deg[:, None] > 0) & ~dup)
+        p_inc = 1.0 - (1.0 - 1.0 / degf) ** e_cap
+        weight = jnp.where(take_all, weight,
+                           cfg.N / jnp.maximum(p_inc, 1e-30))
     v = cols[jnp.clip(idx, 0, cols.shape[0] - 1)]
     eu = jnp.minimum(u[:, None], v)
     ev = jnp.maximum(u[:, None], v)
-    weight = jnp.full((s_len,), cfg.N, jnp.float32)
     return eu, ev, valid, weight, u
 
 
@@ -237,6 +269,7 @@ def sample_minibatches_device(
     the flat multi-chain engine) used by ``node_coin='alternate'`` to
     alternate by STEP, not by flattened draw index."""
     if (cfg.strategy != SampleStrategy.NODE_NON_LINK
+            and not cfg.ds_link_cap
             and cfg.max_batch_edges < cfg.max_fan_out):
         # the host paths fail loudly on overflow (pad_batch / native
         # rc=-2); the device path must not silently truncate a pivot's

@@ -254,3 +254,138 @@ def test_device_sampling_perfect_backend_with_adjacency(setup):
     assert bool(ds.edge_mask.any())
     with pytest.raises(ValueError, match="adjacency"):
         sample_minibatch_device(cfg, tr, ho, jax.random.PRNGKey(0))
+
+
+# ---------------------------------------------------------------------------
+# degree-capped NodeLink (ds_link_cap): heavy-tail graphs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hub_setup():
+    """A star hub (degree 50) plus a ring so every node is non-isolated."""
+    d = 50
+    u = np.concatenate([np.zeros(d, np.int32),
+                        np.arange(1, d + 1, dtype=np.int32)])
+    v = np.concatenate([np.arange(1, d + 1, dtype=np.int32),
+                        np.arange(1, d + 1, dtype=np.int32) % d + 1])
+    graph = Graph.from_edges(d + 1, u, v)
+    tr = build_edge_set(EdgeSetBackend.CSR, d + 1, graph.edges_u,
+                        graph.edges_v)
+    # empty-ish held-out set (one self-pair never queried as an edge)
+    ho = build_edge_set(EdgeSetBackend.CSR, d + 1,
+                        np.array([0], np.int32), np.array([0], np.int32))
+    return d, graph, tr, ho
+
+
+def test_link_cap_shrinks_buffers_and_validates():
+    cfg = Config(mini_batch_size=8, strategy=SampleStrategy.NODE_LINK,
+                 device_sampling=True, ds_link_cap=16)
+    cfg = cfg.finalize(1000, 5000, 300)
+    assert cfg.max_batch_edges == 16
+    assert cfg.max_batch_nodes == 17
+    with pytest.raises(ValueError, match="device-sampling lever"):
+        Config(ds_link_cap=16).finalize(1000, 5000, 300)
+    with pytest.raises(ValueError, match=">= 0"):
+        Config(ds_link_cap=-1, device_sampling=True).finalize(100, 50, 3)
+
+
+def test_link_cap_hub_batches_valid_and_reweighted(hub_setup):
+    """Capped hub draws: distinct training edges through the pivot,
+    HT weight N/p; small-degree pivots keep the exact reference batch."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+    d, graph, tr, ho = hub_setup
+    cap = 8
+    cfg = Config(K=4, mini_batch_size=cap, num_node_sample=4,
+                 strategy=SampleStrategy.NODE_LINK, device_sampling=True,
+                 ds_link_cap=cap).finalize(d + 1, len(graph.edges_u),
+                                           graph.max_fan_out)
+    assert cfg.max_batch_edges == cap
+    training = set(pack_edges(graph.edges_u, graph.edges_v).tolist())
+    S = 512
+    ds = jax.jit(lambda k: sample_minibatches_device(cfg, tr, ho, k, S))(
+        jax.random.PRNGKey(3))
+    piv = np.asarray(ds.nodes[:, 0])
+    cnt = np.asarray(ds.edge_mask.sum(-1))
+    w = np.asarray(ds.weight)
+    eu, ev = np.asarray(ds.edges_u), np.asarray(ds.edges_v)
+    mask = np.asarray(ds.edge_mask)
+    p_inc = 1.0 - (1.0 - 1.0 / d) ** cap
+    hub = piv == 0
+    assert hub.any() and (~hub).any()
+    np.testing.assert_allclose(w[hub], cfg.N / p_inc, rtol=1e-6)
+    assert (w[~hub] == cfg.N).all()
+    assert (cnt[~hub] == 3).all()          # ring degree, take-all path
+    for i in np.flatnonzero(hub)[:50]:
+        pairs = list(zip(eu[i][mask[i]].tolist(), ev[i][mask[i]].tolist()))
+        assert len(set(pairs)) == len(pairs)            # keep-first dedup
+        assert all(pack_edges(np.array([a], np.int32),
+                              np.array([b], np.int32))[0] in training
+                   for a, b in pairs)
+        assert all(0 in p for p in pairs)               # all through pivot
+
+
+def test_link_cap_weight_unbiased(hub_setup):
+    """E[weight * kept-edge count | pivot] == N * degree(pivot) — the
+    invariant the take-all path satisfies exactly, recovered in
+    expectation by the Horvitz-Thompson reweight on capped hubs."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+    d, graph, tr, ho = hub_setup
+    cfg = Config(K=4, mini_batch_size=8, num_node_sample=4,
+                 strategy=SampleStrategy.NODE_LINK, device_sampling=True,
+                 ds_link_cap=8).finalize(d + 1, len(graph.edges_u),
+                                         graph.max_fan_out)
+    S = 20000
+    ds = jax.jit(lambda k: sample_minibatches_device(cfg, tr, ho, k, S))(
+        jax.random.PRNGKey(0))
+    piv = np.asarray(ds.nodes[:, 0])
+    est = (np.asarray(ds.weight) * np.asarray(ds.edge_mask.sum(-1)))
+    hub = piv == 0
+    assert hub.sum() > 200
+    np.testing.assert_allclose(est[hub].mean() / cfg.N, d, rtol=0.05)
+
+
+def test_link_cap_off_is_bit_exact():
+    """cap >= max_fan_out (or cap unset) leaves the draw stream
+    untouched — pinned trajectories stay pinned."""
+    from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
+    n, u, v = synthetic_edges(300, 8, seed=4)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=5)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    tr = build_edge_set(EdgeSetBackend.CSR, n, graph.edges_u, graph.edges_v)
+    ho = build_edge_set(EdgeSetBackend.CSR, n, split.heldout_u,
+                        split.heldout_v)
+    base = Config(K=4, mini_batch_size=8, num_node_sample=4,
+                  strategy=SampleStrategy.NODE, device_sampling=True)
+    cfg0 = base.finalize(n, split.total_edges, graph.max_fan_out)
+    cfg1 = base.replace(ds_link_cap=graph.max_fan_out + 5).finalize(
+        n, split.total_edges, graph.max_fan_out)
+    assert cfg1.max_batch_edges == cfg0.max_batch_edges
+    k = jax.random.PRNGKey(11)
+    a = jax.jit(lambda k: sample_minibatches_device(cfg0, tr, ho, k, 32))(k)
+    b = jax.jit(lambda k: sample_minibatches_device(cfg1, tr, ho, k, 32))(k)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_link_cap_fused_loop_trains_on_powerlaw():
+    """End-to-end: the fused device-sampled loop trains on a
+    heavy-tailed graph with buffers sized by the cap, not the hub."""
+    from mcmc_ammsb_tpu.data import synthetic_powerlaw_edges
+    n, u, v = synthetic_powerlaw_edges(600, avg_degree=8, exponent=2.2,
+                                       seed=7)
+    split = generate_sets(n, u, v, heldout_ratio=0.05, seed=8)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cap = 16
+    assert graph.max_fan_out > cap, "fixture must actually have a hub"
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 device_sampling=True, steps_per_call=25,
+                 ds_link_cap=cap)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    assert cfg.max_batch_edges == cap
+    lrn = Learner(cfg, graph, split, prefetch=False)
+    p0 = lrn.heldout_perplexity()
+    lrn.run(150)
+    p1 = lrn.heldout_perplexity()
+    assert int(lrn.state.step_count) == 151
+    assert np.isfinite([p0, p1]).all() and p1 < p0
+    lrn.close()
