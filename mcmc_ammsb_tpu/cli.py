@@ -38,6 +38,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=str, default=None,
                    metavar="N,AVG_DEG",
                    help="use a synthetic random graph instead of --file")
+    p.add_argument("--synthetic-powerlaw", type=str, default=None,
+                   metavar="N,AVG_DEG[,MAX_DEG[,COMMUNITIES]]",
+                   help="use a heavy-tailed (Chung-Lu degree-corrected "
+                        "planted-partition) synthetic graph — the "
+                        "degree-realistic surrogate for SNAP graphs "
+                        "(com-DBLP ~ 317080,6.6,343,256; "
+                        "com-LiveJournal ~ 3997962,17.35,14815,5000). "
+                        "Pair with --ds-link-cap on hubby graphs")
     p.add_argument("--heldout-ratio", "-r", type=float, default=0.01)
     p.add_argument("--calc-train-ppx", action="store_true")
     p.add_argument("--train-ppx-ratio", type=float, default=0.01)
@@ -331,10 +339,19 @@ def main(argv=None) -> int:
     elif args.synthetic:
         nn, deg = (int(x) for x in args.synthetic.split(","))
         n, u, v = synthetic_edges(nn, deg, seed=1)
+    elif args.synthetic_powerlaw:
+        from mcmc_ammsb_tpu.data import synthetic_powerlaw_edges
+        parts = args.synthetic_powerlaw.split(",")
+        nn, deg = int(parts[0]), float(parts[1])
+        max_deg = int(parts[2]) if len(parts) > 2 else None
+        comms = int(parts[3]) if len(parts) > 3 else 0
+        n, u, v = synthetic_powerlaw_edges(
+            nn, deg, max_degree=max_deg, num_communities=comms, seed=1)
     elif args.file:
         n, u, v = load_snap_edges(args.file)
     else:
-        log.fatal("one of --file / --synthetic / --load-data is required")
+        log.fatal("one of --file / --synthetic / --synthetic-powerlaw / "
+                  "--load-data is required")
         return 1
 
     if args.dump_data:
@@ -362,7 +379,8 @@ def main(argv=None) -> int:
                  cfg.max_batch_nodes)
         cfg = cfg.replace(window=0)
     log.info("Loaded %s (N=%d, E=%d, training max fan out = %d)",
-             args.load_file or args.file or args.synthetic,
+             args.load_file or args.file or args.synthetic
+             or args.synthetic_powerlaw,
              cfg.N, cfg.E, cfg.max_fan_out)
     log.info("config: %s", cfg)
 

@@ -253,17 +253,28 @@ def synthetic_powerlaw_edges(
         b = rng.choice(num_nodes, size=total, p=p_global)
         intra = rng.rand(total) < intra_fraction
         # redirect intra edges' second endpoint into a's community,
-        # endpoint ∝ theta within the community
-        for c in range(num_communities):
-            members = np.where(labels == c)[0]
-            if len(members) < 2:
-                continue
-            idx = np.where(intra & (labels[a] == c))[0]
-            if len(idx) == 0:
-                continue
-            pc = theta[members] / theta[members].sum()
-            b[idx] = members[rng.choice(len(members), size=len(idx),
-                                        p=pc)]
+        # endpoint ∝ theta within the community. Vectorized group-by:
+        # nodes sorted by label form contiguous segments; a uniform
+        # draw in a segment's cumulative-theta mass + searchsorted is
+        # the ∝-theta member draw (the per-community python loop this
+        # replaces was O(num_communities * N) — ~25 min at
+        # LiveJournal scale, seconds now)
+        order = np.argsort(labels, kind="stable")
+        lab_sorted = labels[order]
+        cum = np.cumsum(theta[order])
+        cum0 = np.concatenate([[0.0], cum])
+        seg_lo = np.searchsorted(lab_sorted, np.arange(num_communities))
+        seg_hi = np.searchsorted(lab_sorted,
+                                 np.arange(num_communities) + 1)
+        c_edge = labels[a]
+        lo, hi = seg_lo[c_edge], seg_hi[c_edge]
+        redir = intra & (hi - lo >= 2)     # singleton communities keep
+        #                                    the global draw (old skip)
+        r = rng.rand(int(redir.sum()))
+        mass = cum0[lo[redir]] + r * (cum0[hi[redir]] - cum0[lo[redir]])
+        pos = np.searchsorted(cum, mass, side="left")
+        pos = np.clip(pos, lo[redir], hi[redir] - 1)
+        b[redir] = order[pos]
     else:
         labels = np.zeros(num_nodes, np.int64)
         b = rng.choice(num_nodes, size=total, p=p_global)

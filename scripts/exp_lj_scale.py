@@ -16,8 +16,20 @@ Phases (LJ-shaped power-law surrogate, K=256, m=n=32):
   cap32-w12     — capped windowed mega-kernel rate
   ppx sanity    — held-out perplexity falls over a short run
 
-Memory: pi [4M, 256] fp32 = 4.1 GB + CSR cols 277 MB (16 GB chip).
+Memory: pi [4M, 256] fp32 = 4.1 GB + CSR cols ~230 MB (16 GB chip).
 Run alone on the real TPU: python scripts/exp_lj_scale.py
+
+Measured (idle chip, fenced; realized surrogate N=3,993,152
+E=28,497,941 max_fan_out=3,099 — dedup of the 34.7M Chung-Lu draws
+trims the tail below the 14.8k expected-degree target):
+  generate 183s (vectorized group-by; the per-community python loop
+  this replaced ran >25 min), split+CSR 84s
+  cap32-w0   12,444 updates/s
+  cap32-w12  29,484 updates/s   (pi is 4.1 GB: the >4 GB array knee
+                                 roughly halves scatter/gather per-row
+                                 rates vs the 317k-node graph, matching
+                                 exp_chain_cliff.py's curve)
+  ppx 22.4103 -> 18.8707 after 30k steps (K=256)
 """
 
 import os

@@ -184,3 +184,17 @@ def test_cli_auto_window_regular_graph(caplog):
     assert rc == 0
     assert "window auto-set to 12" in out
     assert "window auto-disabled" not in out
+
+
+def test_cli_synthetic_powerlaw_with_cap(caplog):
+    """Heavy-tailed synthetic graphs + degree-capped NodeLink are
+    CLI-reachable: the cap shrinks the node buffer back under the
+    auto-window threshold, so the window engine stays on."""
+    rc, out = run_cli(["--synthetic-powerlaw", "500,6,60,16", "-k", "8",
+                       "-m", "8", "-n", "4", "--heldout-ratio", "0.05",
+                       "--ds-link-cap", "8", "-x", "24", "-i", "12",
+                       "--steps-per-call", "12"], caplog)
+    assert rc == 0
+    assert "ppx[24]" in out
+    assert "ds_link_cap=8" in out            # config echo carries it
+    assert "window auto-disabled" not in out  # b_cap is cap-sized now
