@@ -210,3 +210,30 @@ def test_windowed_chains_require_shared_draws():
                                     graph.max_fan_out)
     with pytest.raises(ValueError, match="shared_neighbors"):
         FlatChainLearner(cfg, graph, split, 2)
+
+
+def test_windowed_chains_with_link_cap_match_sequential():
+    """Capped hub draws flow through the blocked chain window kernel:
+    the windowed trajectory equals the sequential chain scan's on a
+    heavy-tailed graph with ds_link_cap binding."""
+    from mcmc_ammsb_tpu.data import synthetic_powerlaw_edges
+
+    n, u, v = synthetic_powerlaw_edges(300, 6, exponent=2.2,
+                                       max_degree=60, seed=31)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=32)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=24, device_sampling=True,
+                 shared_neighbors=True, ds_link_cap=8)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    assert graph.max_fan_out > 8
+    seq = FlatChainLearner(cfg, graph, split, 3)
+    win = FlatChainLearner(cfg.replace(window=4), graph, split, 3)
+    seq.run(24)
+    win.run(24)
+    assert int(win.state.step_count) == int(seq.state.step_count)
+    np.testing.assert_allclose(np.asarray(win.state.pi),
+                               np.asarray(seq.state.pi),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(win.heldout_perplexity(),
+                               seq.heldout_perplexity(), rtol=1e-5)

@@ -256,3 +256,28 @@ def test_sharded_fused_ppx_series_matches_host_loop():
                                   np.asarray(b.state.pi))
     # series state keeps its mesh shardings
     assert "model" in str(a.state.pi.sharding)
+
+
+def test_sharded_device_sampling_with_link_cap():
+    """Degree-capped NodeLink flows through the sharded fused loop:
+    a heavy-tailed graph trains on the mesh with buffers sized by the
+    cap (rounded to mesh multiples), not the hub degree."""
+    from mcmc_ammsb_tpu.data import synthetic_powerlaw_edges
+
+    n, u, v = synthetic_powerlaw_edges(400, 6, exponent=2.2,
+                                       max_degree=80, seed=44)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=45)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                 device_sampling=True, steps_per_call=10,
+                 ds_link_cap=8)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    assert graph.max_fan_out > 8          # the cap must actually bind
+    assert cfg.max_batch_edges == 8
+    mesh = make_mesh(2, 4)
+    lrn = ShardedLearner(cfg, graph, split, mesh)
+    p0 = lrn.heldout_perplexity()
+    lrn.run(40)
+    p1 = lrn.heldout_perplexity()
+    assert int(lrn.state.step_count) == 41
+    assert np.isfinite([p0, p1]).all() and p1 < p0
