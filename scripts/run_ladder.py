@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))  # repo root (package not pip-installed)
 
 # rung -> (dataset file stem, K,
-#          degree-realistic fallback (nodes, avg_deg, max_deg))
+#          degree-realistic fallback (nodes, avg_deg, max_deg),
+#          extra Config overrides)
 # The fallback is a degree-corrected power-law surrogate matched to
 # each SNAP graph's published size / average degree / max degree
 # (data.synthetic_powerlaw_edges) — heavy tails exercise the
@@ -33,12 +34,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 # does. com-youtube/com-lj shaped max degrees exceed the ADJACENCY
 # AUTO budget (N * max_deg * 4B), forcing the CHD perfect hash —
 # exactly the backend regime those real datasets would select.
+#
+# Heavy-tailed rungs run with ds_link_cap=32 (Horvitz-Thompson hub
+# subsampling, beta gradient exactly unbiased — scripts/
+# exp_powerlaw_cap.py measured held-out ppx parity to 0.13%): without
+# it every device batch pays hub-degree buffer cost (the com-dblp
+# shape runs 4.75x faster capped) and the window engine re-engages.
+#
+# com-lj's reference K=4096 cannot fit one chip (pi [4M, 4096] is
+# 65 GB fp32 / 33 GB bf16 — the sharded RowPartitionedMatrix
+# generalization over a real pod is the faithful configuration);
+# the single-chip rung runs K=1024 bf16 (8.2 GB) and records
+# K_reference in the artifact.
 RUNGS = {
-    "ca-HepPh": ("ca-HepPh.txt", 64, (12_008, 19.7, 491)),
-    "com-dblp": ("com-dblp.ungraph.txt", 256, (317_080, 6.6, 343)),
+    "ca-HepPh": ("ca-HepPh.txt", 64, (12_008, 19.7, 491), {}),
+    "com-dblp": ("com-dblp.ungraph.txt", 256, (317_080, 6.6, 343),
+                 {"ds_link_cap": 32, "window": 12}),
     "com-youtube": ("com-youtube.ungraph.txt", 1024,
-                    (1_134_890, 5.3, 28_754)),
-    "com-lj": ("com-lj.ungraph.txt", 4096, (3_997_962, 17.3, 14_815)),
+                    (1_134_890, 5.3, 28_754),
+                    {"ds_link_cap": 32, "window": 12}),
+    "com-lj": ("com-lj.ungraph.txt", 4096, (3_997_962, 17.3, 14_815),
+               {"ds_link_cap": 32, "window": 12,
+                "pi_dtype": "bfloat16", "K_single_chip": 1024}),
 }
 
 
@@ -50,7 +67,10 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
                                      synthetic_powerlaw_edges)
     from mcmc_ammsb_tpu.learner import Learner
 
-    stem, k, (syn_n, syn_deg, syn_max) = RUNGS[name]
+    stem, k, (syn_n, syn_deg, syn_max), extra = RUNGS[name]
+    extra = dict(extra)
+    k_ref = k
+    k = extra.pop("K_single_chip", k)
     path = os.path.join(data_dir, stem)
     if os.path.exists(path):
         n, u, v = load_snap_edges(path)
@@ -68,7 +88,7 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
     cfg = Config(K=k, mini_batch_size=32, num_node_sample=32,
                  steps_per_call=1000, device_sampling=True,
                  shared_neighbors=True,
-                 edgeset_backend=EdgeSetBackend.AUTO)
+                 edgeset_backend=EdgeSetBackend.AUTO, **extra)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     print(f"[{name}] {source}: N={cfg.N} E={cfg.E} K={k}",
           file=sys.stderr)
@@ -99,9 +119,21 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
         "rung": name, "source": source, "synthetic": source != path,
         "N": cfg.N, "E": cfg.E, "K": k,
         "m": cfg.mini_batch_size, "n": cfg.num_node_sample,
+        "max_fan_out": cfg.max_fan_out,
+        "ds_link_cap": cfg.ds_link_cap, "window": cfg.window,
+        "pi_dtype": cfg.pi_dtype,
         "iters": iters, "ppx_interval": interval,
         "series": series,
     }
+    if k_ref != k:
+        artifact["K_reference"] = k_ref
+        artifact["K_note"] = (
+            "reference K does not fit one chip "
+            f"(pi [{cfg.N},{k_ref}] fp32 = "
+            f"{cfg.N * k_ref * 4 / 2**30:.0f} GB); single-chip rung "
+            "runs the largest feasible K — the sharded engine "
+            "(parallel/sharded.py) is the faithful configuration on "
+            "a pod")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"ppx_{name}.json")
     with open(out, "w") as f:
@@ -114,7 +146,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="data")
     ap.add_argument("--out", default="bench_results")
-    ap.add_argument("--rungs", nargs="*", default=["ca-HepPh", "com-dblp"])
+    ap.add_argument("--rungs", nargs="*",
+                    default=["ca-HepPh", "com-dblp", "com-youtube",
+                             "com-lj"])
     ap.add_argument("--iters", type=int, default=10_000)
     ap.add_argument("--interval", type=int, default=1_000)
     args = ap.parse_args()
