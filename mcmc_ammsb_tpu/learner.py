@@ -173,26 +173,41 @@ def chunked_gamma_rows(cfg: Config, key: jax.Array,
             else jnp.concatenate(chunks, axis=0))
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _fill_rows(pi, phi_sum, pi_chunk, sum_chunk, start):
+    """In-place (donated) row-block write: the list-then-concatenate
+    alternative peaks at 2x the [N,K] array — an OOM at
+    com-LiveJournal scale (pi is 8.2 GB at N=4M/K=1024 bf16)."""
+    pi = jax.lax.dynamic_update_slice(pi, pi_chunk, (start, 0))
+    phi_sum = jax.lax.dynamic_update_slice(phi_sum, sum_chunk, (start,))
+    return pi, phi_sum
+
+
 def chunked_pi_rows(cfg: Config, key: jax.Array, store_dtype,
                     dtype=jnp.float32):
     """Gamma init + row normalize + quantize PER BLOCK: returns
     (pi [N,K] store_dtype, phi_sum [N] fp32) without ever holding a
-    full-precision [N,K] — bf16 storage exists so K>=8192 fits on one
-    chip, and an fp32 phi_raw intermediate would defeat it. Same keys
-    and block size as chunked_gamma_rows, so the draws (and the bf16
-    trajectory) are identical to normalize-then-cast."""
+    second [N,K] — blocks are written into a donated buffer, so peak
+    memory is pi + one block's gamma temporaries regardless of N*K
+    (bf16 storage exists so K>=8192 fits on one chip; an fp32 phi_raw
+    intermediate or a concatenate peak would defeat it). Same keys
+    and block size as chunked_gamma_rows, and the per-block g/s
+    division is elementwise — the values are bit-identical to the
+    normalize-then-cast whole-array path."""
     block = max(1, (1 << 24) // max(cfg.K, 1))
-    pis, sums = [], []
+    pi = jnp.zeros((cfg.N, cfg.K), store_dtype)
+    phi_sum = jnp.zeros((cfg.N,), dtype)
     for i, start in enumerate(range(0, cfg.N, block)):
         rows = min(block, cfg.N - start)
         g = native_rng.gamma(jax.random.fold_in(key, i), (rows, cfg.K),
                              cfg.eta0, cfg.eta1, dtype)
         s = jnp.sum(g, axis=-1)
-        pis.append((g / s[:, None]).astype(store_dtype))
-        sums.append(s)
-    if len(pis) == 1:
-        return pis[0], sums[0]
-    return jnp.concatenate(pis, axis=0), jnp.concatenate(sums, axis=0)
+        # _fill_rows compiles once per chunk shape (two programs: the
+        # full block and the ragged tail)
+        pi, phi_sum = _fill_rows(pi, phi_sum,
+                                 (g / s[:, None]).astype(store_dtype),
+                                 s, jnp.asarray(start, jnp.int32))
+    return pi, phi_sum
 
 
 def init_state(cfg: Config, heldout_size: int,
@@ -215,11 +230,12 @@ def init_state(cfg: Config, heldout_size: int,
         k_theta, k_pi = jax.random.split(root)
         theta = native_rng.gamma(k_theta, (cfg.K, 2), cfg.eta0, cfg.eta1,
                                  dtype)
-        if pi_storage_dtype(cfg) != jnp.float32:
-            pi, phi_sum = chunked_pi_rows(cfg, k_pi,
-                                          pi_storage_dtype(cfg), dtype)
-        else:
-            phi_raw = chunked_gamma_rows(cfg, k_pi, dtype)
+        # fp32 goes through the chunked path too: values are
+        # bit-identical to normalize-the-whole-array (elementwise g/s)
+        # and peak init memory stays pi + one block instead of 2x pi
+        # (the 2x was an OOM at com-LiveJournal scale)
+        pi, phi_sum = chunked_pi_rows(cfg, k_pi,
+                                      pi_storage_dtype(cfg), dtype)
         ref_seeds = None
     beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
     if pi is None:
