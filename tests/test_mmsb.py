@@ -304,3 +304,26 @@ def test_mmsb_chain_single_matches_single_chain_sampling_law():
                                   np.asarray(single.state.pi))
     np.testing.assert_array_equal(np.asarray(chain.state.theta_b[0]),
                                   np.asarray(single.state.theta_b))
+
+
+def test_mmsb_device_sampled_with_link_cap():
+    """Degree-capped NodeLink flows through the MMSB fused loop: a
+    heavy-tailed graph trains with buffers sized by the cap."""
+    from mcmc_ammsb_tpu.data import synthetic_powerlaw_edges
+
+    n, u, v = synthetic_powerlaw_edges(400, 6, exponent=2.2,
+                                       max_degree=80, seed=51)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=52)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
+                 steps_per_call=20, device_sampling=True,
+                 ds_link_cap=8)
+    cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
+    assert graph.max_fan_out > 8
+    assert cfg.max_batch_edges == 8
+    l = FullMMSBLearner(cfg, graph, split)
+    p0 = l.heldout_perplexity()
+    l.run(300)
+    assert int(l.state.step_count) == 301
+    p1 = l.heldout_perplexity()
+    assert np.isfinite(p1) and p1 < p0
