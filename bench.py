@@ -184,7 +184,12 @@ def main():
         # round-3 bench measured 360 "updates/s" that were 97% compile)
         l3.run(1000)
         int(l3.state.step_count)              # fence the compile
-        list(l3.run_with_ppx(1000, 1000))
+        # warm the fused-eval program AT THE LOOP'S INTERVAL: the
+        # eval cadence is part of the compiled scan structure, so a
+        # (1000, 1000) warmup leaves the (1000, 500) program cold and
+        # its ~15 s compile lands inside the timed region (measured:
+        # the phase read 1022 "updates/s" that were ~95% compile)
+        list(l3.run_with_ppx(1000, 500))
         warm_steps = int(l3.state.step_count)
         series = []    # (seconds, ppx) with fenced per-dispatch walls
         t0 = time.time()
