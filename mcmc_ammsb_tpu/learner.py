@@ -881,7 +881,12 @@ class Learner(HostSamplingPipeline):
             # same exp as heldout_perplexity (XLA's, not numpy's — they
             # differ by 1 ulp, and the series contract is bit-exact
             # equality with the host loop)
-            return res, np.asarray(jnp.exp(res.neg_avg_log))
+            ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
+            # ONE transfer for the whole stats pytree: record()'s
+            # per-field int()/float() readbacks each paid a full axon
+            # tunnel round-trip (~20 ms) — 10 of them per dispatch made
+            # the eval series ~8x slower than the dispatch itself
+            return jax.device_get(res), ppx_vals
 
         def record(rr, i, step):
             res, ppx_vals = rr

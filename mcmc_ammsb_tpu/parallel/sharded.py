@@ -661,7 +661,10 @@ class ShardedLearner(HostSamplingPipeline):
                 self.training_set, self.heldout_set,
                 self.adjacency, self.heldout_u, self.heldout_v,
                 self.heldout_mask, self.state)
-            return res, np.asarray(jnp.exp(res.neg_avg_log))
+            ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
+            # one transfer for the whole stats pytree (record()'s
+            # per-field readbacks each pay a device round-trip)
+            return jax.device_get(res), ppx_vals
 
         def record(rr, i, step):
             res, ppx_vals = rr
