@@ -878,25 +878,29 @@ class Learner(HostSamplingPipeline):
                 self.heldout_u, self.heldout_v,
                 num_evals=take, interval=interval,
                 adjacency=self.adjacency)
-            # same exp as heldout_perplexity (XLA's, not numpy's — they
-            # differ by 1 ulp, and the series contract is bit-exact
-            # equality with the host loop)
-            ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
-            # ONE transfer for the whole stats pytree: record()'s
-            # per-field int()/float() readbacks each paid a full axon
-            # tunnel round-trip (~20 ms) — 10 of them per dispatch made
-            # the eval series ~8x slower than the dispatch itself
-            return jax.device_get(res), ppx_vals
+            # Pack ppx + the 4 stats into ONE array and transfer once:
+            # per-field readbacks each pay a full axon tunnel round
+            # trip (record()'s int()/float() calls made the series ~8x
+            # slower than its own device program). exp stays XLA's
+            # (1 ulp from numpy's; the series contract is bit-exact
+            # equality with the host loop). Counts ride as f32 —
+            # exact below 2^24, and the eval population H bounds them
+            # (an H >= 2^24 single-chip split doesn't exist; asserted).
+            assert self.heldout_u.shape[0] < (1 << 24)
+            return np.asarray(jnp.stack([
+                jnp.exp(res.neg_avg_log),
+                res.link_likelihood, res.non_link_likelihood,
+                res.link_count.astype(jnp.float32),
+                res.non_link_count.astype(jnp.float32)]))
 
-        def record(rr, i, step):
-            res, ppx_vals = rr
+        def record(stats, i, step):
             return {
                 "step": step,
-                "ppx": float(ppx_vals[i]),
-                "link_count": int(res.link_count[i]),
-                "non_link_count": int(res.non_link_count[i]),
-                "link_likelihood": float(res.link_likelihood[i]),
-                "non_link_likelihood": float(res.non_link_likelihood[i]),
+                "ppx": float(stats[0, i]),
+                "link_count": int(stats[3, i]),
+                "non_link_count": int(stats[4, i]),
+                "link_likelihood": float(stats[1, i]),
+                "non_link_likelihood": float(stats[2, i]),
             }
 
         return run_fused_eval_series(

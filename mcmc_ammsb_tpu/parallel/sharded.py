@@ -661,20 +661,23 @@ class ShardedLearner(HostSamplingPipeline):
                 self.training_set, self.heldout_set,
                 self.adjacency, self.heldout_u, self.heldout_v,
                 self.heldout_mask, self.state)
-            ppx_vals = np.asarray(jnp.exp(res.neg_avg_log))
-            # one transfer for the whole stats pytree (record()'s
+            # one packed transfer (learner.py run_with_ppx rationale:
             # per-field readbacks each pay a device round-trip)
-            return jax.device_get(res), ppx_vals
+            assert self.heldout_u.shape[0] < (1 << 24)
+            return np.asarray(jnp.stack([
+                jnp.exp(res.neg_avg_log),
+                res.link_likelihood, res.non_link_likelihood,
+                res.link_count.astype(jnp.float32),
+                res.non_link_count.astype(jnp.float32)]))
 
-        def record(rr, i, step):
-            res, ppx_vals = rr
+        def record(stats, i, step):
             return {
                 "step": step,
-                "ppx": float(ppx_vals[i]),
-                "link_count": int(res.link_count[i]),
-                "non_link_count": int(res.non_link_count[i]),
-                "link_likelihood": float(res.link_likelihood[i]),
-                "non_link_likelihood": float(res.non_link_likelihood[i]),
+                "ppx": float(stats[0, i]),
+                "link_count": int(stats[3, i]),
+                "non_link_count": int(stats[4, i]),
+                "link_likelihood": float(stats[1, i]),
+                "non_link_likelihood": float(stats[2, i]),
             }
 
         def tail(t):
