@@ -921,12 +921,20 @@ class Learner(HostSamplingPipeline):
             self.state, res = self._ppx_fn(
                 self.heldout_set, self.heldout_u, self.heldout_v, self.state
             )
-            value = float(jnp.exp(res.neg_avg_log))
+            # one packed readback (~7 ms per synchronous round-trip
+            # over the tunnel; five separate scalar reads made every
+            # host-loop eval pay ~35 ms — run_with_ppx rationale)
+            stats = np.asarray(jnp.stack([
+                jnp.exp(res.neg_avg_log),
+                res.link_likelihood, res.non_link_likelihood,
+                res.link_count.astype(jnp.float32),
+                res.non_link_count.astype(jnp.float32)]))
+            value = float(stats[0])
         self.last_ppx_stats = {
-            "link_count": int(res.link_count),
-            "non_link_count": int(res.non_link_count),
-            "link_likelihood": float(res.link_likelihood),
-            "non_link_likelihood": float(res.non_link_likelihood),
+            "link_count": int(stats[3]),
+            "non_link_count": int(stats[4]),
+            "link_likelihood": float(stats[1]),
+            "non_link_likelihood": float(stats[2]),
         }
         return value
 
