@@ -249,11 +249,10 @@ def resolve_fast_defaults(args) -> None:
             args.steps_per_call = max(1, min(200, args.ppx_interval))
         log.info("steps_per_call auto-set to %d", args.steps_per_call)
     if (args.window == 0 and args.device_sampling
-            and args.shared_neighbors and not args.mesh
+            and args.shared_neighbors
             and args.model == "ammsb"
             and not (args.num_chains > 1
-                     and (args.chain_engine != "flat"
-                          or args.chain_devices > 1))):
+                     and args.chain_engine != "flat")):
         # the T-step fused window engine (ops/window.py): measured
         # 1.25-1.4x over the sequential scan single-chain and up to
         # 2x on the C=16 chain curve (docs/design.md round 3). T=12
@@ -262,7 +261,10 @@ def resolve_fast_defaults(args) -> None:
         # LOSES (the collision-correction one-hots grow ~T^2 — C=16
         # T=12 measured 118.2k vs T=6's 137.3k). C > 16 regresses on
         # one chip (scatter/gather knee on 5+ GB pi, docs/design.md
-        # round 3 late) and stays sequential here.
+        # round 3 late) and stays sequential here. The ('data',
+        # 'model') mesh engine windows too (one collective row fetch
+        # per window, _sharded_windowed_scan), as do chain groups over
+        # a ('chains',) mesh (the per-device blocked chain kernel).
         c = max(1, args.num_chains)
         if c <= 8:
             args.window = 12

@@ -58,13 +58,22 @@ _THETA_FLOOR = 1e-24
 # Window orchestration
 # ---------------------------------------------------------------------------
 
-def windowed_scan(cfg: Config, state, xs, body):
+def windowed_scan(cfg: Config, state, xs, body,
+                  gather_fn=None, scatter_fn=None):
     """Scan T-step windows over the hoisted per-step operands; any
     non-multiple tail runs through the sequential ``body``.
 
     ``xs`` is train_steps_scan's operand tuple:
     (batches, neighbors [S,1,n], y_phi, phi_noise, beta_noise,
-     y_edges, lanes_u, lanes_v)."""
+     y_edges, lanes_u, lanes_v).
+
+    ``gather_fn(cfg, s, batch, nbrs) -> (g [T,B+n,K], sums [T,B])`` and
+    ``scatter_fn(cfg, s, batch, keep, rows_flat, sums_flat) ->
+    (pi, phi_sum)`` override the window's bulk pi read/write — the
+    single-device defaults index ``s.pi`` directly; the row-sharded
+    multi-chip engine (parallel/sharded.py) substitutes its psum row
+    fetch and the per-shard local write application, turning its
+    per-step collectives into one collective per T-step window."""
     t_win = cfg.window
     s_len = xs[1].shape[0]
     n_win = s_len // t_win
@@ -89,13 +98,17 @@ def windowed_scan(cfg: Config, state, xs, body):
 
     core = (_window_core_jnp if cfg.window_impl == "jnp"
             else _window_core_pallas)
+    if gather_fn is None:
+        gather_fn = _window_gather
+    if scatter_fn is None:
+        scatter_fn = _window_scatter
 
     def wbody(s, xw):
         xs_t, dirty_w = xw
         batch = xs_t[0]
         nbrs = xs_t[1][:, 0, :]                             # [T, n]
         with jax.named_scope("window_gather"):
-            g, sums_g = _window_gather(cfg, s, batch, nbrs)
+            g, sums_g = gather_fn(cfg, s, batch, nbrs)
 
         def corrected(op):
             gg, ss = op
@@ -121,11 +134,8 @@ def windowed_scan(cfg: Config, state, xs, body):
                 dirty_w, corrected, plain, (g, sums_g))
         with jax.named_scope("window_scatter"):
             keep = _last_write_wins(batch.nodes, batch.node_mask, t_win)
-            flat_nodes = batch.nodes.reshape(-1)
-            safe = jnp.where(keep.reshape(-1), flat_nodes, cfg.N)
-            pi = s.pi.at[safe].set(rows_flat.astype(s.pi.dtype),
-                                   mode="drop")
-            phi_sum = s.phi_sum.at[safe].set(sums_flat, mode="drop")
+            pi, phi_sum = scatter_fn(cfg, s, batch, keep,
+                                     rows_flat, sums_flat)
         s = s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
                        step_count=s.step_count + t_win,
                        beta_count=s.beta_count + t_win)
@@ -201,6 +211,16 @@ def _window_gather(cfg, s, batch, nbrs):
         t_win, read_idx.shape[1], k)
     sums_g = s.phi_sum[batch.nodes.reshape(-1)].reshape(t_win, b_cap)
     return g, sums_g
+
+
+def _window_scatter(cfg, s, batch, keep, rows_flat, sums_flat):
+    """Single-device bulk write-back of the window's staged rows (the
+    last-write-wins mask ``keep`` already excludes superseded writes)."""
+    flat_nodes = batch.nodes.reshape(-1)
+    safe = jnp.where(keep.reshape(-1), flat_nodes, cfg.N)
+    pi = s.pi.at[safe].set(rows_flat.astype(s.pi.dtype), mode="drop")
+    phi_sum = s.phi_sum.at[safe].set(sums_flat, mode="drop")
+    return pi, phi_sum
 
 
 # ---------------------------------------------------------------------------

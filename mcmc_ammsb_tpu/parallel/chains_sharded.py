@@ -83,6 +83,10 @@ class ShardedChainLearner:
             raise ValueError("chain engines support phi_impl=jnp only")
         if cfg.pi_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown pi_dtype {cfg.pi_dtype!r}")
+        if cfg.window > 1 and not cfg.shared_neighbors:
+            raise ValueError("window > 1 on the chain engines requires "
+                             "shared_neighbors (the mega-kernel "
+                             "operates on the shared-draw layout)")
         if len(split.heldout_edges_u) == 0:
             raise ValueError("no held-out edges: heldout_ratio too "
                              "small for this graph")

@@ -298,6 +298,159 @@ def _sharded_scan_body(cfg, rows_per_shard, edge_set, state, batches):
     return state
 
 
+def _sharded_global_step_body(cfg: Config, rows_per_shard: int,
+                              s: TrainState, xs):
+    """One SGRLD step on hoisted GLOBAL-batch operands, per-device view
+    — the sequential tail body of the windowed sharded path. Every
+    device computes the full (tiny) global minibatch redundantly; only
+    the pi row fetch is collective and only the local row range is
+    written (mirrors learner._hoisted_step_body with the cross-shard
+    gather/write discipline of _sharded_scan_body)."""
+    batch, nbrs, y_n, n_phi, n_beta, y_e, lane_u, lane_v = xs
+    m_idx = jax.lax.axis_index(MODEL_AXIS)
+    nbrs2 = nbrs.reshape(-1, cfg.num_node_sample)            # [1, n]
+    with jax.named_scope("pi_gather"):
+        pi_n = _fetch_rows(s.pi, batch.nodes, rows_per_shard)
+        phis = _fetch_scalars(s.phi_sum, batch.nodes, rows_per_shard)
+        pi_nb = _fetch_rows(s.pi, nbrs2.reshape(-1), rows_per_shard
+                            ).reshape(nbrs2.shape[0],
+                                      cfg.num_node_sample, cfg.K)
+    with jax.named_scope("phi_update"):
+        nbr_mask = nbrs2 != batch.nodes[:, None]     # shared draws only
+        rows, sums = phi_ops.phi_update_core(
+            cfg, pi_n, phis, pi_nb, y_n, s.beta, s.step_count, n_phi,
+            nbr_mask)
+    with jax.named_scope("pi_scatter"):
+        local = batch.nodes - m_idx * rows_per_shard
+        ok = batch.node_mask & (local >= 0) & (local < rows_per_shard)
+        safe = jnp.where(ok, local, rows_per_shard)
+        pi = s.pi.at[safe].set(rows.astype(s.pi.dtype), mode="drop")
+        phi_sum = s.phi_sum.at[safe].set(sums, mode="drop")
+    beta_count = s.beta_count + 1
+    with jax.named_scope("beta_grads"):
+        rows_safe = jnp.where(batch.node_mask[:, None], rows,
+                              1.0 / cfg.K)
+        grads = beta_ops.beta_gradients_core(
+            cfg, s.theta, s.beta, rows_safe[lane_u], rows_safe[lane_v],
+            y_e, batch.edge_mask)
+    with jax.named_scope("theta_update"):
+        theta, beta = beta_ops.theta_step(
+            cfg, s.theta, grads, batch.weight, beta_count, n_beta)
+    return s._replace(pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
+                      step_count=s.step_count + 1,
+                      beta_count=beta_count), None
+
+
+def _sharded_windowed_scan(cfg: Config, rows_per_shard: int,
+                           n_data: int, num_steps: int,
+                           edge_set: EdgeSet, state: TrainState, ds):
+    """T-step windowed sharded loop: ONE collective pi row fetch per
+    window instead of ~7 collectives per step.
+
+    Design: at reference minibatch shapes the global batch is tiny
+    (tens of rows), so each device runs the whole window's compute
+    REPLICATED over the data axis — the mega-kernel (or its jnp twin)
+    on the full global batch — while pi stays row-sharded over 'model'.
+    Per window the only collectives are the psum row fetch of all T
+    steps' read rows; the write-back is a purely LOCAL application of
+    the last-write-wins staged rows to each shard's row range (the
+    sequential sharded body pays 3 psum fetches + 4 all_gathers per
+    step). theta/beta and the RNG keys are identical on every device,
+    so replicated compute keeps replicated state bit-identical without
+    broadcasts — the same argument the unwindowed body uses for its
+    redundant theta update.
+
+    Per-lane semantics (noise streams, shared neighbor draws,
+    membership, eps_t) are exactly the data-sharded sequential body's:
+    lane d*B_local+j consumes the same fold(fold(phi_key, s), d) draw
+    shard d's lane j consumes there, so the windowed trajectory matches
+    the unwindowed sharded trajectory modulo float reduction order
+    (tested, tests/test_sharded_window.py)."""
+    from mcmc_ammsb_tpu.ops.window import windowed_scan
+
+    s_len = num_steps
+    b_cap = cfg.max_batch_nodes
+    b_local = b_cap // n_data
+    steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
+    batches = DeviceBatch(
+        edges_u=ds.edges_u, edges_v=ds.edges_v, edge_mask=ds.edge_mask,
+        nodes=ds.nodes, node_mask=ds.node_mask, weight=ds.weight)
+
+    with jax.named_scope("neighbor_draws"):
+        nbr_keys = jax.vmap(lambda s: jax.random.fold_in(
+            state.neighbor_key, s))(steps)   # same on every shard
+        sentinel = jnp.full((1,), cfg.N, jnp.int32)
+        neighbors = jax.vmap(
+            lambda k: sample_neighbors(k, sentinel, cfg.N,
+                                       cfg.num_node_sample)
+        )(nbr_keys)                                          # [S, 1, n]
+    with jax.named_scope("membership"):
+        y_phi = edge_set.has_edges(batches.nodes[:, :, None], neighbors)
+        y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+    with jax.named_scope("edge_lanes"):
+        lanes_u = jnp.argmax(batches.edges_u[:, :, None]
+                             == batches.nodes[:, None, :],
+                             axis=-1).astype(jnp.int32)      # [S, E]
+        lanes_v = jnp.argmax(batches.edges_v[:, :, None]
+                             == batches.nodes[:, None, :],
+                             axis=-1).astype(jnp.int32)
+    with jax.named_scope("noise"):
+        if cfg.phi_disable_noise:
+            phi_noise = jnp.ones((s_len, b_cap, cfg.K),
+                                 state.phi_sum.dtype)
+        else:
+            # per-data-shard streams concatenated in shard order: lane
+            # d*B_local+j carries exactly the draw the data-sharded
+            # sequential body hands shard d's lane j
+            def step_noise(s):
+                return jnp.concatenate([
+                    native_rng.randn(
+                        jax.random.fold_in(
+                            jax.random.fold_in(state.phi_key, s), d),
+                        (b_local, cfg.K), state.phi_sum.dtype)
+                    for d in range(n_data)], axis=0)
+            phi_noise = jax.vmap(step_noise)(steps)          # [S, B, K]
+        beta_noise = jax.vmap(lambda s: native_rng.randn(
+            jax.random.fold_in(state.beta_key, s), (cfg.K, 2),
+            state.phi_sum.dtype))(steps)
+
+    def gather(cfg_, s, batch, nbrs):
+        t_win = batch.nodes.shape[0]
+        read_idx = jnp.concatenate([batch.nodes, nbrs], axis=1)
+        g = _fetch_rows(s.pi, read_idx.reshape(-1), rows_per_shard
+                        ).reshape(t_win, read_idx.shape[1], cfg_.K)
+        sums_g = _fetch_scalars(s.phi_sum, batch.nodes.reshape(-1),
+                                rows_per_shard).reshape(t_win, -1)
+        # sentinel (masked) lanes read row id N, which is out of range
+        # on EVERY shard when N % n_model == 0, so the psum fetch
+        # returns 0 — and a zero phi_sum turns those lanes' staged rows
+        # into NaN, which the window's one-hot correction contraction
+        # then spreads through 0*NaN (the single-chip gather CLAMPS
+        # out-of-range ids to a finite row instead). Masked lanes'
+        # values never reach pi (last-write-wins keep excludes them;
+        # the beta stage sanitizes), so flooring the fetched sums to a
+        # strictly positive value is semantically invisible.
+        sums_g = jnp.where(sums_g > 0.0, sums_g, 1.0)
+        return g, sums_g
+
+    def scatter(cfg_, s, batch, keep, rows_flat, sums_flat):
+        m_idx = jax.lax.axis_index(MODEL_AXIS)
+        flat_nodes = batch.nodes.reshape(-1)
+        local = flat_nodes - m_idx * rows_per_shard
+        ok = keep.reshape(-1) & (local >= 0) & (local < rows_per_shard)
+        safe = jnp.where(ok, local, rows_per_shard)
+        pi = s.pi.at[safe].set(rows_flat.astype(s.pi.dtype),
+                               mode="drop")
+        phi_sum = s.phi_sum.at[safe].set(sums_flat, mode="drop")
+        return pi, phi_sum
+
+    xs = (batches, neighbors, y_phi, phi_noise, beta_noise, y_edges,
+          lanes_u, lanes_v)
+    body = partial(_sharded_global_step_body, cfg, rows_per_shard)
+    return windowed_scan(cfg, state, xs, body,
+                         gather_fn=gather, scatter_fn=scatter)
+
+
 def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
                         num_steps: int, edge_set: EdgeSet,
                         heldout_set: EdgeSet, adjacency,
@@ -306,7 +459,8 @@ def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
     drawn ON DEVICE. Every device draws the identical global batch from
     the same key (the sampler is cheap and vectorized — cheaper than a
     broadcast), then slices its data-shard portion; the scan body is the
-    hoisted one."""
+    hoisted one. With cfg.window > 1 the chunk runs the windowed path
+    (_sharded_windowed_scan) on the global batch instead."""
     from mcmc_ammsb_tpu.ops.device_sampling import sample_minibatches_device
 
     d_idx = jax.lax.axis_index(DATA_AXIS)
@@ -314,6 +468,10 @@ def _sharded_fused_scan(cfg: Config, rows_per_shard: int, n_data: int,
     with jax.named_scope("device_sampling"):
         ds = sample_minibatches_device(cfg, edge_set, heldout_set,
                                        chunk_key, num_steps, adjacency)
+
+    if cfg.window > 1 and cfg.shared_neighbors:
+        return _sharded_windowed_scan(cfg, rows_per_shard, n_data,
+                                      num_steps, edge_set, state, ds)
 
     def dslice(x, cap):
         per = cap // n_data
@@ -420,6 +578,18 @@ class ShardedLearner(HostSamplingPipeline):
                 "semantics (one xorshift128+ state per minibatch lane, "
                 "/root/reference/mcmc/random.cc:31-44) and have no "
                 "meaningful partitioning across a data-sharded batch")
+        if cfg.window > 1:
+            if not (cfg.shared_neighbors and cfg.device_sampling):
+                raise ValueError(
+                    "window > 1 on ShardedLearner requires "
+                    "shared_neighbors and device_sampling (the windowed "
+                    "sharded path, _sharded_windowed_scan, fuses the "
+                    "device-sampled global batch; the host-sampled path "
+                    "pre-shards batches over the data axis)")
+            if cfg.window_impl not in ("pallas", "jnp"):
+                raise ValueError(
+                    f"unknown window_impl {cfg.window_impl!r} "
+                    "(pallas | jnp)")
         cfg = cfg.replace(
             batch_edges_cap=_round_up(cfg.max_batch_edges, n_data),
             batch_nodes_cap=_round_up(cfg.max_batch_nodes, n_data),

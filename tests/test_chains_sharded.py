@@ -15,13 +15,13 @@ from mcmc_ammsb_tpu.parallel.chains_sharded import (ShardedChainLearner,
                                                     make_chain_mesh)
 
 
-def _make(num_chains=8, groups=4, spc=10, seed=8):
+def _make(num_chains=8, groups=4, spc=10, seed=8, **cfg_kw):
     n, u, v = synthetic_sbm_edges(300, 4, p_in=0.15, p_out=0.005,
                                   seed=seed)
     split = generate_sets(n, u, v, heldout_ratio=0.1, seed=seed + 1)
     graph = Graph.from_edges(n, split.training_u, split.training_v)
     cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
-                 steps_per_call=spc)
+                 steps_per_call=spc, **cfg_kw)
     cfg = cfg.finalize(n, split.total_edges, graph.max_fan_out)
     return ShardedChainLearner(cfg, graph, split, num_chains,
                                make_chain_mesh(groups)), n
@@ -91,6 +91,42 @@ def test_sharded_chains_checkpoint_bit_exact_resume(tmp_path):
 def test_sharded_chains_geometry_errors():
     with pytest.raises(ValueError, match="divisible"):
         _make(num_chains=3, groups=2)
+
+
+def test_sharded_chains_windowed_matches_sequential():
+    """The blocked chain mega-kernel rides inside the ('chains',)
+    shard_map unchanged (each device windows its own chain block):
+    windowed sharded chains reproduce the sequential sharded-chain
+    trajectory — the test_window.py exactness contract per device."""
+    seq, n = _make(num_chains=4, groups=2, spc=24, seed=50,
+                   shared_neighbors=True)
+    win, _ = _make(num_chains=4, groups=2, spc=24, seed=50,
+                   shared_neighbors=True, window=4, window_impl="jnp")
+    win_p, _ = _make(num_chains=4, groups=2, spc=24, seed=50,
+                     shared_neighbors=True, window=4,
+                     window_impl="pallas")
+    seq.run(24)
+    win.run(24)
+    win_p.run(24)
+    assert int(win.state.step_count) == int(seq.state.step_count)
+    # kernel-vs-scan float scheduling: same tolerance class as the
+    # flat engine's window goldens (test_chains_flat.py)
+    np.testing.assert_allclose(np.asarray(win.state.pi),
+                               np.asarray(seq.state.pi),
+                               rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(win.state.theta),
+                               np.asarray(seq.state.theta),
+                               rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(win_p.state.pi),
+                               np.asarray(win.state.pi),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(win.heldout_perplexity(),
+                               seq.heldout_perplexity(), rtol=1e-5)
+
+
+def test_sharded_chains_window_requires_shared_draws():
+    with pytest.raises(ValueError, match="shared_neighbors"):
+        _make(num_chains=4, groups=2, window=4)
 
 
 def test_sharded_chains_fused_ppx_series_matches_host_loop():
