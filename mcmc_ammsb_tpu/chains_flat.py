@@ -572,7 +572,7 @@ class FlatChainLearner:
                 self.training_set, self.heldout_set, self.adjacency,
                 self.heldout_u, self.heldout_v, self.state,
                 num_evals=take, interval=interval)
-            return np.exp(np.asarray(neg))               # [take, C]
+            return neg               # [take, C] device; driver blocks
 
         def tail(t):
             with self.timers.stage("device_step"):
@@ -581,10 +581,14 @@ class FlatChainLearner:
                     self.adjacency, self.state, num_steps=t)
             int(self.state.step_count)  # fence
 
+        # np.exp in record (not jnp in dispatch): heldout_perplexity
+        # exps with numpy, and the series contract is bit-exact
+        # equality with it
         return run_fused_eval_series(
             self.timers, spc, max_iters, interval, dispatch,
             lambda: int(self.state.step_count),
-            lambda ppx_vals, i, step: {"step": step, "ppx": ppx_vals[i]},
+            lambda neg_np, i, step: {"step": step,
+                                     "ppx": np.exp(neg_np[i])},
             tail)
 
     def heldout_perplexity(self) -> np.ndarray:

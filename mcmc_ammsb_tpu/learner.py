@@ -577,30 +577,56 @@ def train_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
 
 
 def run_fused_eval_series(timers, spc: int, max_iters: int,
-                          interval: int, dispatch, fence, record, tail):
+                          interval: int, dispatch, fence, record, tail,
+                          depth: int = 2):
     """Shared driver for every engine's ``run_with_ppx``: group fused
     eval periods into ~steps_per_call dispatches, number each eval by
     its absolute step, train any non-multiple tail without a trailing
     eval. Parameterized by the engine's jitted call and record builder
     so the bookkeeping lives in exactly one place.
 
-    dispatch(take) -> per-eval results for ``take`` fused eval periods;
-    fence() -> step_count after the dispatch (device readback);
-    record(res, i, step) -> the series entry for eval i;
-    tail(steps) -> train ``steps`` remaining steps (< interval)."""
+    dispatch(take) -> DEVICE array(s) holding ``take`` fused eval
+    periods' results — an async ENQUEUE that must not block;
+    fence() -> step_count before the first dispatch (one device
+    readback);
+    record(arr, i, step) -> the series entry for eval i of the
+    MATERIALIZED (numpy) result;
+    tail(steps) -> train ``steps`` remaining steps (< interval).
+
+    The driver software-pipelines the host loop: up to ``depth``
+    chunks are enqueued before a chunk's results are materialized
+    (np.asarray), so chunk k's device->host round-trip overlaps chunk
+    k+1's execution. The first formulation fenced after EVERY dispatch
+    to number the evals; each fence serialized the loop against a
+    ~25 ms tunnel round-trip, capping the eval-inclusive rate at ~16k
+    updates/s REGARDLESS of eval cadence (the overhead was per-step,
+    not per-eval — scripts/exp_eval_overhead.py). Step numbers are
+    instead computed arithmetically from one up-front fence: every
+    dispatch advances exactly take*interval steps (the engines'
+    _chunk_ppx contract, pinned by the series tests)."""
+    from collections import deque
+
     group = max(1, spc // max(1, interval))
     series = []
     evals_left = max_iters // interval
     with timers.stage("total"):
-        while evals_left > 0:
-            take = min(group, evals_left)
+        step0 = fence() if evals_left else None
+        done = 0
+        queue = deque()
+        while evals_left or queue:
+            if evals_left and len(queue) < depth:
+                take = min(group, evals_left)
+                with timers.stage("device_step"):
+                    res = dispatch(take)          # async enqueue
+                queue.append((take, res))
+                evals_left -= take
+                continue
+            take, res = queue.popleft()
             with timers.stage("device_step"):
-                res = dispatch(take)
-            step_after = fence()
+                arr = np.asarray(res)             # blocks on chunk k only
             for i in range(take):
-                series.append(
-                    record(res, i, step_after - (take - 1 - i) * interval))
-            evals_left -= take
+                done += 1
+                series.append(record(arr, i, step0 + done * interval))
         t = max_iters % interval
         if t:
             tail(t)
@@ -878,20 +904,22 @@ class Learner(HostSamplingPipeline):
                 self.heldout_u, self.heldout_v,
                 num_evals=take, interval=interval,
                 adjacency=self.adjacency)
-            # Pack ppx + the 4 stats into ONE array and transfer once:
-            # per-field readbacks each pay a full axon tunnel round
-            # trip (record()'s int()/float() calls made the series ~8x
-            # slower than its own device program). exp stays XLA's
+            # Pack ppx + the 4 stats into ONE device array; the driver
+            # materializes it AFTER the next chunk is enqueued
+            # (run_fused_eval_series pipelining) — per-field readbacks
+            # each paid a full tunnel round trip, and even the packed
+            # per-dispatch transfer serialized the loop against ~25 ms
+            # of round-trip when fenced eagerly. exp stays XLA's
             # (1 ulp from numpy's; the series contract is bit-exact
             # equality with the host loop). Counts ride as f32 —
             # exact below 2^24, and the eval population H bounds them
             # (an H >= 2^24 single-chip split doesn't exist; asserted).
             assert self.heldout_u.shape[0] < (1 << 24)
-            return np.asarray(jnp.stack([
+            return jnp.stack([
                 jnp.exp(res.neg_avg_log),
                 res.link_likelihood, res.non_link_likelihood,
                 res.link_count.astype(jnp.float32),
-                res.non_link_count.astype(jnp.float32)]))
+                res.non_link_count.astype(jnp.float32)])
 
         def record(stats, i, step):
             return {

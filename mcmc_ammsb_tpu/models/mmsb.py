@@ -498,7 +498,9 @@ class FullMMSBLearner:
                 self.heldout_u, self.heldout_v,
                 num_evals=take, interval=interval,
                 adjacency=self.adjacency)
-            return np.asarray(jnp.exp(neg))
+            # device array; the pipelined driver materializes it
+            # (jnp.exp: heldout_perplexity exps with XLA too)
+            return jnp.exp(neg)
 
         def tail(t):
             with self.timers.stage("device_step"):
@@ -813,7 +815,7 @@ class MMSBChainLearner:
                 self.training_set, self.heldout_set, self.adjacency,
                 self.heldout_u, self.heldout_v, self.state,
                 num_evals=take, interval=interval)
-            return np.exp(np.asarray(neg))               # [take, C]
+            return neg              # [take, C] device; driver blocks
 
         def tail(t):
             with self.timers.stage("device_step"):
@@ -822,10 +824,12 @@ class MMSBChainLearner:
                     self.adjacency, self.state, num_steps=t)
             int(self.state.step_count)  # fence
 
+        # np.exp in record: bit-exact with heldout_perplexity's numpy exp
         return run_fused_eval_series(
             self.timers, spc, max_iters, interval, dispatch,
             lambda: int(self.state.step_count),
-            lambda pv, i, step: {"step": step, "ppx": pv[i]},
+            lambda neg_np, i, step: {"step": step,
+                                     "ppx": np.exp(neg_np[i])},
             tail)
 
     def heldout_perplexity(self) -> np.ndarray:

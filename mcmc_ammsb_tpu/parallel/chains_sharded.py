@@ -255,7 +255,7 @@ class ShardedChainLearner:
             self.state, neg = self._chunk_ppx_fns[key](
                 self.training_set, self.heldout_set, self.adjacency,
                 self.heldout_u, self.heldout_v, self.state)
-            return np.exp(np.asarray(neg))              # [take, C]
+            return neg              # [take, C] device; driver blocks
 
         def tail(t):
             with self.timers.stage("device_step"):
@@ -266,10 +266,12 @@ class ShardedChainLearner:
                     self.adjacency, self.state)
             int(self.state.step_count)  # fence
 
+        # np.exp in record: bit-exact with heldout_perplexity's numpy exp
         return run_fused_eval_series(
             self.timers, spc, max_iters, interval, dispatch,
             lambda: int(self.state.step_count),
-            lambda pv, i, step: {"step": step, "ppx": pv[i]},
+            lambda neg_np, i, step: {"step": step,
+                                     "ppx": np.exp(neg_np[i])},
             tail)
 
     def heldout_perplexity(self) -> np.ndarray:

@@ -831,14 +831,15 @@ class ShardedLearner(HostSamplingPipeline):
                 self.training_set, self.heldout_set,
                 self.adjacency, self.heldout_u, self.heldout_v,
                 self.heldout_mask, self.state)
-            # one packed transfer (learner.py run_with_ppx rationale:
-            # per-field readbacks each pay a device round-trip)
+            # one packed DEVICE array; the pipelined driver materializes
+            # it after enqueueing the next chunk (learner.py
+            # run_fused_eval_series rationale)
             assert self.heldout_u.shape[0] < (1 << 24)
-            return np.asarray(jnp.stack([
+            return jnp.stack([
                 jnp.exp(res.neg_avg_log),
                 res.link_likelihood, res.non_link_likelihood,
                 res.link_count.astype(jnp.float32),
-                res.non_link_count.astype(jnp.float32)]))
+                res.non_link_count.astype(jnp.float32)])
 
         def record(stats, i, step):
             return {
