@@ -1,0 +1,139 @@
+"""On-device autotuner for the T-step window size.
+
+The reference exposes its kernel tunables — workgroup sizes, vector
+widths, phi modes — as CLI flags the user must pick by hand per device
+(/root/reference/main.cc:61-76; the only guidance in the tree is a
+comment "Optimal block size for Titan X = 128", mcmc/phi.cc:414-415).
+The TPU framework's analog knob is the fused window size T, whose
+optimum is shape-dependent (single-chain T=12, C=16 chains T=6,
+hub-padded heavy-tail batches prefer T=0 — docs/design.md). The CLI's
+``--window 0`` auto mode applies those measured heuristics; this module
+replaces the heuristic with a measurement on the ACTUAL device, graph,
+and config: probe each candidate for a few thousand steps and keep the
+fastest.
+
+Methodology per docs/design.md "Timing on the axon tunnel": each probe
+warms its program (compile + first chunk) outside the timed region and
+fences the timed region with a scalar step-count readback. Each
+candidate costs one compile (~5-40 s on a real TPU), so tuning pays off
+for production-length runs; it is opt-in (``--auto-tune-window``).
+
+Trajectory note: the window size does not change the sampler's
+semantics — the windowed trajectory is exactly the sequential scan's
+(golden tests in tests/test_window.py) — so tuning T is a pure
+performance choice.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from mcmc_ammsb_tpu.config import Config, PhiImpl, RngBackend
+
+log = logging.getLogger(__name__)
+
+#: Measured frontier of useful window sizes (docs/design.md round 3:
+#: T=12 beat 8/16/20/24/32/50 single-chain; chains peak at T=6-12 with
+#: the kernel's VMEM ceiling binding C*T).
+DEFAULT_CANDIDATES = (0, 6, 12, 16)
+
+
+def window_candidates(cfg: Config, num_chains: int = 1,
+                      candidates: Sequence[int] = DEFAULT_CANDIDATES,
+                      ) -> List[int]:
+    """Candidate window sizes valid for ``cfg`` (always includes 0).
+
+    Mirrors the engine preconditions (learner.py: window > 1 requires
+    shared_neighbors + native RNG + jnp phi) and the auto-window
+    fallback (cli.py: hub-padded batches with max_batch_nodes > 64 —
+    the correction contraction scales with T * B_cap, so windows lose
+    there at every T). Chain candidates are capped so C*T stays inside
+    the window kernel's measured VMEM ceiling (C=16 T=12 compiles with
+    the lifted scoped-VMEM limit but regresses; keep the probe list
+    lean).
+    """
+    if (not cfg.device_sampling
+            or not cfg.shared_neighbors
+            or cfg.rng_backend != RngBackend.NATIVE
+            or cfg.phi_impl != PhiImpl.JNP
+            or cfg.max_batch_nodes > 64):
+        return [0]
+    out = [0]
+    for t in candidates:
+        if t <= 1 or t in out:
+            continue
+        if num_chains > 1 and num_chains * t > 192:
+            continue
+        out.append(t)
+    return out
+
+
+def probe_rate(make_learner: Callable[[], object],
+               probe_steps: int, warm_steps: int,
+               clock: Callable[[], float] = time.perf_counter,
+               ) -> float:
+    """Measured updates/s of one engine configuration.
+
+    ``make_learner()`` returns any engine exposing ``run(n)``,
+    ``state.step_count`` and ``close()`` (Learner, FlatChainLearner,
+    ...). Warmup (compile + first chunk) runs outside the timed
+    region; the timed region is fenced by scalar step-count readbacks.
+    """
+    learner = make_learner()
+    try:
+        learner.run(warm_steps)
+        s0 = int(learner.state.step_count)   # fence the warmup
+        t0 = clock()
+        learner.run(probe_steps)
+        steps = int(learner.state.step_count) - s0   # fence the probe
+        dt = clock() - t0
+        if steps != probe_steps:
+            raise RuntimeError(
+                f"probe advanced {steps} steps, expected {probe_steps}")
+        return steps / dt
+    finally:
+        learner.close()
+
+
+def tune_window(cfg: Config,
+                make_learner: Callable[[Config], object],
+                num_chains: int = 1,
+                candidates: Optional[Sequence[int]] = None,
+                probe_steps: Optional[int] = None,
+                warm_steps: Optional[int] = None,
+                clock: Callable[[], float] = time.perf_counter,
+                ) -> Tuple[Config, Dict[int, Optional[float]]]:
+    """Probe each candidate window size and return the fastest config.
+
+    ``make_learner(cfg)`` builds the engine for one candidate (it is
+    closed after its probe). A candidate whose build/probe raises is
+    recorded as None and skipped — e.g. a window kernel that exceeds
+    the device's VMEM at an untested (C, T) point must not kill the
+    run. Returns ``(best_cfg, table)`` where table maps window ->
+    measured updates/s (per-chain steps/s for chain engines — the
+    constant chain count ranks identically to aggregate).
+    """
+    cands = (window_candidates(cfg, num_chains) if candidates is None
+             else list(candidates))
+    spc = max(1, cfg.steps_per_call)
+    warm = spc if warm_steps is None else warm_steps
+    probe = 2 * spc if probe_steps is None else probe_steps
+    table: Dict[int, Optional[float]] = {}
+    for w in cands:
+        cand = cfg.replace(window=w)
+        try:
+            table[w] = probe_rate(lambda: make_learner(cand),
+                                  probe, warm, clock=clock)
+            log.info("autotune: window=%d -> %.0f updates/s",
+                     w, table[w])
+        except Exception as e:   # noqa: BLE001 - candidate must not kill the run
+            table[w] = None
+            log.warning("autotune: window=%d failed (%s)", w, e)
+    measured = {w: r for w, r in table.items() if r is not None}
+    if not measured:
+        raise RuntimeError(
+            f"autotune: every candidate failed ({table})")
+    best = max(measured, key=measured.get)
+    return cfg.replace(window=best), table

@@ -144,6 +144,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="pallas",
                    help="window fast-branch schedule (jnp = golden "
                         "cross-check twin)")
+    p.add_argument("--auto-tune-window", action="store_true",
+                   help="probe candidate window sizes on the device "
+                        "before training and keep the fastest "
+                        "(autotune.py; one compile per candidate — "
+                        "worth it for production-length runs)")
     p.add_argument("--profile", action="store_true",
                    help="print the per-stage timing table at exit "
                         "(PrintStats-style per-kernel attribution)")
@@ -380,6 +385,34 @@ def main(argv=None) -> int:
                  "scales with T*B_cap — docs/design.md round 3 late)",
                  cfg.max_batch_nodes)
         cfg = cfg.replace(window=0)
+    if args.auto_tune_window:
+        # measured window choice (autotune.py): probe each candidate T
+        # on THIS device/graph/config and keep the fastest — the
+        # reference leaves its analogous kernel tunables (wg sizes,
+        # vector widths) to the user (/root/reference/main.cc:61-76).
+        # Each candidate pays one compile, so this is opt-in.
+        if args.mesh or args.model == "mmsb" or (
+                args.num_chains > 1 and args.chain_engine != "flat"):
+            log.warning("--auto-tune-window supports the single-chip "
+                        "and flat-chain engines; keeping window=%d",
+                        cfg.window)
+        else:
+            from mcmc_ammsb_tpu.autotune import tune_window
+
+            def _make(c):
+                if args.num_chains > 1:
+                    from mcmc_ammsb_tpu.chains_flat import (
+                        FlatChainLearner)
+                    return FlatChainLearner(c, graph, split,
+                                            args.num_chains)
+                from mcmc_ammsb_tpu.learner import Learner
+                return Learner(c, graph, split)
+
+            cfg, table = tune_window(cfg, _make,
+                                     num_chains=args.num_chains)
+            log.info("window auto-tuned to %d (probed %s)", cfg.window,
+                     {w: (f"{r:.0f}/s" if r else "failed")
+                      for w, r in table.items()})
     log.info("Loaded %s (N=%d, E=%d, training max fan out = %d)",
              args.load_file or args.file or args.synthetic
              or args.synthetic_powerlaw,
@@ -425,8 +458,14 @@ def main(argv=None) -> int:
         start_step = int(chains.state.step_count)
         while i < args.max_iters and not signaled["flag"]:
             if fused_evals and args.max_iters - i >= cfg.ppx_interval:
+                # 4 dispatch-chunks per call: the series driver
+                # pipelines readbacks across dispatches WITHIN one
+                # call (run_fused_eval_series depth=2), so one-chunk
+                # calls would serialize against the ~7 ms tunnel
+                # round-trip per transfer
                 take = min(args.max_iters - i,
-                           max(cfg.steps_per_call // cfg.ppx_interval, 1)
+                           4 * max(cfg.steps_per_call
+                                   // cfg.ppx_interval, 1)
                            * cfg.ppx_interval)
                 take -= take % cfg.ppx_interval
                 for ev in chains.run_with_ppx(take, cfg.ppx_interval):
@@ -477,8 +516,11 @@ def main(argv=None) -> int:
         start_step = int(mmsb.state.step_count)
         while i < args.max_iters and not signaled["flag"]:
             if fused_evals and args.max_iters - i >= cfg.ppx_interval:
+                # 4 dispatch-chunks per call (pipelined readbacks —
+                # see the chain loop's rationale)
                 take = min(args.max_iters - i,
-                           max(cfg.steps_per_call // cfg.ppx_interval, 1)
+                           4 * max(cfg.steps_per_call
+                                   // cfg.ppx_interval, 1)
                            * cfg.ppx_interval)
                 take -= take % cfg.ppx_interval
                 for ev in mmsb.run_with_ppx(take, cfg.ppx_interval):
@@ -565,8 +607,12 @@ def main(argv=None) -> int:
             # periods run fused; any final partial chunk falls to the
             # host path below, which always ends on an eval (the old
             # loop's behavior).
+            # 4 dispatch-chunks per call: the series driver pipelines
+            # readbacks across dispatches WITHIN one call
+            # (run_fused_eval_series depth=2); one-chunk calls would
+            # serialize against the ~7 ms tunnel round-trip
             take = min(args.max_iters - i,
-                       max(cfg.steps_per_call // cfg.ppx_interval, 1)
+                       4 * max(cfg.steps_per_call // cfg.ppx_interval, 1)
                        * cfg.ppx_interval)
             take -= take % cfg.ppx_interval
             for ev in learner.run_with_ppx(take, cfg.ppx_interval):

@@ -20,6 +20,7 @@ State initialization follows learner.cc:149-155:
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -603,7 +604,15 @@ def run_fused_eval_series(timers, spc: int, max_iters: int,
     not per-eval — scripts/exp_eval_overhead.py). Step numbers are
     instead computed arithmetically from one up-front fence: every
     dispatch advances exactly take*interval steps (the engines'
-    _chunk_ppx contract, pinned by the series tests)."""
+    _chunk_ppx contract, pinned by the series tests).
+
+    Each entry additionally carries ``"t"``: the absolute
+    ``time.perf_counter()`` at which its chunk's results materialized
+    on the host (entries of one chunk share it). Time-to-target
+    consumers (bench.py seconds_to_ppx_target) read per-eval walls
+    from a SINGLE large call — the pipeline only overlaps dispatches
+    within one call, so per-eval host timestamping from outside would
+    force one call per eval and re-serialize the loop."""
     from collections import deque
 
     group = max(1, spc // max(1, interval))
@@ -624,9 +633,12 @@ def run_fused_eval_series(timers, spc: int, max_iters: int,
             take, res = queue.popleft()
             with timers.stage("device_step"):
                 arr = np.asarray(res)             # blocks on chunk k only
+            tm = time.perf_counter()
             for i in range(take):
                 done += 1
-                series.append(record(arr, i, step0 + done * interval))
+                entry = record(arr, i, step0 + done * interval)
+                entry.setdefault("t", tm)
+                series.append(entry)
         t = max_iters % interval
         if t:
             tail(t)

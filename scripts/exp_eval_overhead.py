@@ -73,20 +73,26 @@ def main():
     print(f"1-step dispatch+fence: {d1*1e3:.2f} ms", flush=True)
 
     # --- 2. eval-inclusive rates -------------------------------------------
+    # serial: one dispatch per call — every call pays its fence +
+    # packed transfer round-trip with nothing to overlap.
+    # pipelined: ONE 10k-step call — run_fused_eval_series keeps 2
+    # dispatches in flight, so chunk k's transfer overlaps chunk k+1's
+    # execution (the CLI now groups 4 dispatch-chunks per call).
     for interval in (250, 500, 1000, 2000):
         list(l.run_with_ppx(cfg.steps_per_call, interval))  # warm program
-        s0 = int(l.state.step_count)
-        t0 = time.time()
-        for _ in range(10):
-            list(l.run_with_ppx(1000, interval))
-        dt = time.time() - t0
-        steps = int(l.state.step_count) - s0
-        rate = steps / dt
-        n_evals = steps // interval
-        overhead_ms = (dt - steps / base) * 1e3 / n_evals
-        print(f"interval={interval}: {rate:.0f} updates/s "
-              f"({n_evals} evals, +{overhead_ms:.2f} ms/eval over "
-              f"train-only)", flush=True)
+        for label, calls in (("serial-calls", 10), ("pipelined", 1)):
+            s0 = int(l.state.step_count)
+            t0 = time.time()
+            for _ in range(calls):
+                list(l.run_with_ppx(10_000 // calls, interval))
+            dt = time.time() - t0
+            steps = int(l.state.step_count) - s0
+            rate = steps / dt
+            n_evals = steps // interval
+            overhead_ms = (dt - steps / base) * 1e3 / n_evals
+            print(f"interval={interval} [{label}]: {rate:.0f} "
+                  f"updates/s ({n_evals} evals, +{overhead_ms:.2f} "
+                  f"ms/eval over train-only)", flush=True)
 
     l.close()
 

@@ -1,0 +1,141 @@
+"""Autotuner tests: candidate filtering, fastest-pick logic (fake
+clock), a real tiny-shape probe, and the CLI flag.
+
+The reference leaves its kernel tunables (wg sizes, vector widths, phi
+modes) to the user (/root/reference/main.cc:61-76); autotune.py picks
+the TPU analog (the fused window size T) by on-device measurement."""
+
+import logging
+
+import pytest
+
+from mcmc_ammsb_tpu import cli
+from mcmc_ammsb_tpu.autotune import (probe_rate, tune_window,
+                                     window_candidates)
+from mcmc_ammsb_tpu.config import Config, SampleStrategy
+from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+
+
+def tiny_cfg(**kw):
+    base = dict(K=8, mini_batch_size=8, num_node_sample=4,
+                steps_per_call=8, device_sampling=True,
+                shared_neighbors=True)
+    base.update(kw)
+    n, u, v = synthetic_edges(300, 8, seed=1)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=2)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(**base).finalize(n, split.total_edges,
+                                  graph.max_fan_out)
+    return cfg, graph, split
+
+
+def test_window_candidates_filtering():
+    cfg, _, _ = tiny_cfg()
+    cands = window_candidates(cfg)
+    assert cands[0] == 0 and len(cands) > 1
+
+    # engine preconditions collapse the list to the sequential scan
+    seq_only, _, _ = tiny_cfg(shared_neighbors=False)
+    assert window_candidates(seq_only) == [0]
+    host, _, _ = tiny_cfg(device_sampling=False,
+                          strategy=SampleStrategy.NODE_LINK)
+    assert window_candidates(host) == [0]
+
+    # hub-padded heavy-tail batches (max_batch_nodes > 64): windows
+    # lose at every T (docs/design.md) — candidates collapse to [0]
+    hub, _, _ = tiny_cfg(batch_nodes_cap=65)
+    assert window_candidates(hub) == [0]
+
+    # chain VMEM ceiling: C*T capped
+    cfg2, _, _ = tiny_cfg()
+    assert window_candidates(cfg2, num_chains=32) == [0, 6]
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+class _StubState:
+    def __init__(self):
+        self.step_count = 0
+
+
+class _StubLearner:
+    """Engine double whose run() advances a fake clock at a
+    per-window rate, so tune_window's ranking is deterministic."""
+
+    def __init__(self, clock, per_step):
+        self.state = _StubState()
+        self._clock = clock
+        self._per_step = per_step
+
+    def run(self, n):
+        self.state.step_count += n
+        self._clock.t += n * self._per_step
+
+    def close(self):
+        pass
+
+
+def test_tune_window_picks_fastest():
+    cfg, _, _ = tiny_cfg()
+    clock = _FakeClock()
+    per_step = {0: 5e-3, 6: 2e-3, 12: 1e-3, 16: 3e-3}
+
+    def make(c):
+        return _StubLearner(clock, per_step[c.window])
+
+    best, table = tune_window(cfg, make, clock=clock)
+    assert best.window == 12
+    assert set(table) == {0, 6, 12, 16}
+    assert table[12] == max(v for v in table.values())
+
+
+def test_tune_window_skips_failing_candidate():
+    cfg, _, _ = tiny_cfg()
+    clock = _FakeClock()
+
+    def make(c):
+        if c.window == 12:
+            raise RuntimeError("VMEM")   # e.g. kernel over the ceiling
+        return _StubLearner(clock, {0: 2e-3, 6: 1e-3, 16: 4e-3}[c.window])
+
+    best, table = tune_window(cfg, make, clock=clock)
+    assert best.window == 6
+    assert table[12] is None
+
+
+def test_tune_window_all_fail_raises():
+    cfg, _, _ = tiny_cfg()
+
+    def make(c):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="every candidate failed"):
+        tune_window(cfg, make, candidates=[0, 6])
+
+
+def test_probe_rate_real_learner():
+    """End-to-end probe on a real Learner at tiny shapes: warmup and
+    probe both advance the step counter; the rate is finite."""
+    from mcmc_ammsb_tpu.learner import Learner
+
+    cfg, graph, split = tiny_cfg()
+    rate = probe_rate(lambda: Learner(cfg, graph, split),
+                      probe_steps=16, warm_steps=8)
+    assert rate > 0
+
+
+def test_cli_auto_tune_window(caplog):
+    with caplog.at_level(logging.INFO, logger="mcmc_ammsb_tpu"):
+        rc = cli.main(["--synthetic", "300,8", "-k", "8", "-m", "8",
+                       "-n", "4", "--heldout-ratio", "0.1",
+                       "-x", "16", "-i", "8", "--steps-per-call", "8",
+                       "--device-sampling", "--shared-neighbors",
+                       "--auto-tune-window"])
+    assert rc == 0
+    assert "window auto-tuned to" in caplog.text
