@@ -217,7 +217,12 @@ def main():
         assert steps_t == 10_000, steps_t
         print(f"# powerlaw capped train-only: {steps_t/dt_t:.0f} "
               f"updates/s", file=sys.stderr)
-        list(l3c.run_with_ppx(1000, 500))
+        # warm the fused-eval program at the SAME dispatch shape the
+        # timed call uses: the series driver floors chunks at
+        # EVAL_CHUNK_FLOOR=8000 steps (take=16 evals at interval=500),
+        # so warming with a 2-eval call would leave the take=16
+        # program cold and its compile inside the timed region
+        list(l3c.run_with_ppx(8000, 500))
         int(l3c.state.step_count)
         # reset to a FRESH model so the timed series measures
         # convergence from step 0 (the warmup above trained 12k steps
@@ -233,10 +238,10 @@ def main():
         # materialization wall clock (entry["t"])
         base_t = time.perf_counter()
         series = [(ev["t"] - base_t, ev["ppx"])
-                  for ev in l3c.run_with_ppx(20_000, 500)]
+                  for ev in l3c.run_with_ppx(24_000, 500)]
         dt_c = time.perf_counter() - base_t
         steps_c = int(l3c.state.step_count) - warm_steps
-        assert steps_c == 20_000, steps_c
+        assert steps_c == 24_000, steps_c
         floor = min(p for _, p in series)
         target = ppx0 - 0.9 * (ppx0 - floor)
         secs = next(s for s, p in series if p <= target)

@@ -461,12 +461,12 @@ def main(argv=None) -> int:
                 # 4 dispatch-chunks per call: the series driver
                 # pipelines readbacks across dispatches WITHIN one
                 # call (run_fused_eval_series depth=2), so one-chunk
-                # calls would serialize against the ~7 ms tunnel
+                # calls would serialize against the ~25 ms tunnel
                 # round-trip per transfer
+                from mcmc_ammsb_tpu.learner import eval_series_call_steps
                 take = min(args.max_iters - i,
-                           4 * max(cfg.steps_per_call
-                                   // cfg.ppx_interval, 1)
-                           * cfg.ppx_interval)
+                           eval_series_call_steps(cfg.steps_per_call,
+                                                  cfg.ppx_interval))
                 take -= take % cfg.ppx_interval
                 for ev in chains.run_with_ppx(take, cfg.ppx_interval):
                     log.info("ppx[%d] = %s", ev["step"] - start_step,
@@ -518,10 +518,10 @@ def main(argv=None) -> int:
             if fused_evals and args.max_iters - i >= cfg.ppx_interval:
                 # 4 dispatch-chunks per call (pipelined readbacks —
                 # see the chain loop's rationale)
+                from mcmc_ammsb_tpu.learner import eval_series_call_steps
                 take = min(args.max_iters - i,
-                           4 * max(cfg.steps_per_call
-                                   // cfg.ppx_interval, 1)
-                           * cfg.ppx_interval)
+                           eval_series_call_steps(cfg.steps_per_call,
+                                                  cfg.ppx_interval))
                 take -= take % cfg.ppx_interval
                 for ev in mmsb.run_with_ppx(take, cfg.ppx_interval):
                     log.info("ppx[%d] = %s", ev["step"] - start_step,
@@ -610,10 +610,11 @@ def main(argv=None) -> int:
             # 4 dispatch-chunks per call: the series driver pipelines
             # readbacks across dispatches WITHIN one call
             # (run_fused_eval_series depth=2); one-chunk calls would
-            # serialize against the ~7 ms tunnel round-trip
+            # serialize against the ~25 ms tunnel round-trip
+            from mcmc_ammsb_tpu.learner import eval_series_call_steps
             take = min(args.max_iters - i,
-                       4 * max(cfg.steps_per_call // cfg.ppx_interval, 1)
-                       * cfg.ppx_interval)
+                       eval_series_call_steps(cfg.steps_per_call,
+                                              cfg.ppx_interval))
             take -= take % cfg.ppx_interval
             for ev in learner.run_with_ppx(take, cfg.ppx_interval):
                 log_eval(ev["step"] - start_step, ev["ppx"], ev)

@@ -577,9 +577,29 @@ def train_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
     return jax.lax.scan(outer, state, None, length=num_evals)
 
 
+#: Minimum steps per fused-eval dispatch: each dispatch's packed
+#: readback costs a ~25 ms host-blocking transfer REGARDLESS of size
+#: (tunnel latency), so chunks must carry enough device work to hide
+#: it behind the depth-2 pipeline. Measured at K=256/interval=500:
+#: 1000-step chunks 29.9k eval-inclusive updates/s, 8000-step chunks
+#: 106k — par with the train-only rate (docs/design.md round 3 late).
+EVAL_CHUNK_FLOOR = 8000
+
+
+def eval_series_call_steps(spc: int, interval: int,
+                           dispatches: int = 4) -> int:
+    """Steps one engine ``run_with_ppx`` call should cover so the
+    series driver gets ``dispatches`` equal chunks to pipeline (the
+    CLI's fused loops use this; a call smaller than one chunk degrades
+    to a serialized single dispatch)."""
+    group = max(1, max(spc, EVAL_CHUNK_FLOOR) // max(1, interval))
+    return dispatches * group * interval
+
+
 def run_fused_eval_series(timers, spc: int, max_iters: int,
                           interval: int, dispatch, fence, record, tail,
-                          depth: int = 2):
+                          depth: int = 2,
+                          chunk_floor: int = EVAL_CHUNK_FLOOR):
     """Shared driver for every engine's ``run_with_ppx``: group fused
     eval periods into ~steps_per_call dispatches, number each eval by
     its absolute step, train any non-multiple tail without a trailing
@@ -612,10 +632,16 @@ def run_fused_eval_series(timers, spc: int, max_iters: int,
     consumers (bench.py seconds_to_ppx_target) read per-eval walls
     from a SINGLE large call — the pipeline only overlaps dispatches
     within one call, so per-eval host timestamping from outside would
-    force one call per eval and re-serialize the loop."""
+    force one call per eval and re-serialize the loop.
+
+    Dispatches are sized to at least ``chunk_floor`` steps (not just
+    spc // interval): the packed readback's ~25 ms host-blocking
+    transfer is size-independent tunnel latency, so sub-floor chunks
+    cap the eval-inclusive rate no matter the pipelining (measured
+    ladder in EVAL_CHUNK_FLOOR's doc)."""
     from collections import deque
 
-    group = max(1, spc // max(1, interval))
+    group = max(1, max(spc, chunk_floor) // max(1, interval))
     series = []
     evals_left = max_iters // interval
     with timers.stage("total"):

@@ -73,26 +73,28 @@ def main():
     print(f"1-step dispatch+fence: {d1*1e3:.2f} ms", flush=True)
 
     # --- 2. eval-inclusive rates -------------------------------------------
-    # serial: one dispatch per call — every call pays its fence +
-    # packed transfer round-trip with nothing to overlap.
-    # pipelined: ONE 10k-step call — run_fused_eval_series keeps 2
-    # dispatches in flight, so chunk k's transfer overlaps chunk k+1's
-    # execution (the CLI now groups 4 dispatch-chunks per call).
+    # The production path: run_fused_eval_series floors dispatch
+    # chunks at EVAL_CHUNK_FLOOR=8000 steps and pipelines readbacks
+    # at depth 2. History (this script's earlier variants, measured):
+    # per-field readbacks 3.5k; packed single transfer 16.3k; packed
+    # + depth-2 pipelining at 1000-step chunks 29.9k; + the 8000-step
+    # chunk floor 106k = par with train-only (interval=500, K=256).
+    from mcmc_ammsb_tpu.learner import eval_series_call_steps
+
     for interval in (250, 500, 1000, 2000):
-        list(l.run_with_ppx(cfg.steps_per_call, interval))  # warm program
-        for label, calls in (("serial-calls", 10), ("pipelined", 1)):
-            s0 = int(l.state.step_count)
-            t0 = time.time()
-            for _ in range(calls):
-                list(l.run_with_ppx(10_000 // calls, interval))
-            dt = time.time() - t0
-            steps = int(l.state.step_count) - s0
-            rate = steps / dt
-            n_evals = steps // interval
-            overhead_ms = (dt - steps / base) * 1e3 / n_evals
-            print(f"interval={interval} [{label}]: {rate:.0f} "
-                  f"updates/s ({n_evals} evals, +{overhead_ms:.2f} "
-                  f"ms/eval over train-only)", flush=True)
+        per_call = eval_series_call_steps(cfg.steps_per_call, interval)
+        list(l.run_with_ppx(per_call, interval))  # warm BOTH programs
+        s0 = int(l.state.step_count)
+        t0 = time.time()
+        list(l.run_with_ppx(per_call, interval))
+        dt = time.time() - t0
+        steps = int(l.state.step_count) - s0
+        rate = steps / dt
+        n_evals = steps // interval
+        overhead_ms = (dt - steps / base) * 1e3 / max(n_evals, 1)
+        print(f"interval={interval} ({steps} steps, {n_evals} evals): "
+              f"{rate:.0f} updates/s (+{overhead_ms:.2f} ms/eval over "
+              f"train-only)", flush=True)
 
     l.close()
 
