@@ -232,19 +232,22 @@ def main():
         from mcmc_ammsb_tpu.learner import init_state
         l3c.state = init_state(cfg3c, len(split3.heldout_edges_u))
         warm_steps = int(l3c.state.step_count)
-        assert warm_steps == 0, warm_steps
+        assert warm_steps == 1, warm_steps   # fresh state (learner.cc:117)
         # ONE call: the series driver pipelines the per-dispatch
         # readbacks (depth=2) and stamps each eval with its
         # materialization wall clock (entry["t"])
         base_t = time.perf_counter()
-        series = [(ev["t"] - base_t, ev["ppx"])
+        series = [(ev["t"] - base_t, ev["step"] - warm_steps, ev["ppx"])
                   for ev in l3c.run_with_ppx(24_000, 500)]
         dt_c = time.perf_counter() - base_t
         steps_c = int(l3c.state.step_count) - warm_steps
         assert steps_c == 24_000, steps_c
-        floor = min(p for _, p in series)
+        floor = min(p for _, _, p in series)
         target = ppx0 - 0.9 * (ppx0 - floor)
-        secs = next(s for s, p in series if p <= target)
+        # seconds are chunk-granular (evals of one 8000-step dispatch
+        # share a materialization stamp); the crossing STEP is exact
+        secs, target_step = next((s, st) for s, st, p in series
+                                 if p <= target)
         rate_c = steps_c / dt_c
         l3c.close()
         ttp = {
@@ -255,6 +258,7 @@ def main():
             "ppx_floor": round(float(floor), 4),
             "ppx_target": round(float(target), 4),
             "seconds_to_ppx_target": round(float(secs), 3),
+            "steps_to_ppx_target": int(target_step),
             "seconds_to_ppx_target_config":
                 "ds_link_cap=32,window=12,interval=500 (eval-inclusive)",
             "powerlaw_capped_updates_per_sec": round(steps_t / dt_t, 2),
@@ -265,7 +269,7 @@ def main():
         print(f"# powerlaw capped (ds_link_cap=32, w12, evals@500): "
               f"{rate_c:.0f} updates/s eval-inclusive, ppx {ppx0:.3f} "
               f"-> {floor:.3f}, target {target:.3f} reached in "
-              f"{secs:.1f}s", file=sys.stderr)
+              f"{secs:.2f}s (step {target_step})", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# powerlaw time-to-ppx phase skipped: {e}",
               file=sys.stderr)
