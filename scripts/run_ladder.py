@@ -99,20 +99,19 @@ def run_rung(name: str, data_dir: str, out_dir: str, iters: int,
     series = [{"iter": 0, "ppx": learner.heldout_perplexity(),
                "seconds": time.time() - t0}]
     print(f"[{name}] ppx[0] = {series[0]['ppx']:.4f}", file=sys.stderr)
-    # one run_with_ppx call per eval period: the wall clock is read
-    # after each fused dispatch, so the artifact's time axis is real
-    # (a single call for all iters would stamp every eval with the
-    # end-of-run time)
-    done = 0
-    while done < iters:
-        take = min(interval, iters - done)
-        for ev in learner.run_with_ppx(take, min(interval, take)):
-            series.append({"iter": ev["step"] - start, "ppx": ev["ppx"],
-                           "seconds": time.time() - t0})
-            print(f"[{name}] ppx[{series[-1]['iter']}] = "
-                  f"{series[-1]['ppx']:.4f} "
-                  f"({series[-1]['seconds']:.1f}s)", file=sys.stderr)
-        done += take
+    # ONE call for all iters: the series driver pipelines the packed
+    # readbacks (depth 2, 8000-step chunk floor) and stamps each eval
+    # with its chunk's materialization wall clock (ev["t"]), so the
+    # artifact's time axis stays real WITHOUT serializing the loop on
+    # one ~25 ms transfer per eval (exp_eval_overhead.py ladder)
+    base_t = time.perf_counter()
+    wall0 = time.time() - t0
+    for ev in learner.run_with_ppx(iters, min(interval, iters)):
+        series.append({"iter": ev["step"] - start, "ppx": ev["ppx"],
+                       "seconds": wall0 + ev["t"] - base_t})
+        print(f"[{name}] ppx[{series[-1]['iter']}] = "
+              f"{series[-1]['ppx']:.4f} "
+              f"({series[-1]['seconds']:.1f}s)", file=sys.stderr)
     learner.close()
 
     artifact = {
