@@ -46,14 +46,15 @@ def window_candidates(cfg: Config, num_chains: int = 1,
     """Candidate window sizes valid for ``cfg`` (always includes 0).
 
     Mirrors the engine preconditions (learner.py: window > 1 requires
-    shared_neighbors + native RNG + jnp phi) and the auto-window
+    shared_neighbors + native RNG + jnp phi), the auto-window
     fallback (cli.py: hub-padded batches with max_batch_nodes > 64 —
     the correction contraction scales with T * B_cap, so windows lose
-    there at every T). Chain candidates are capped so C*T stays inside
-    the window kernel's measured VMEM ceiling (C=16 T=12 compiles with
-    the lifted scoped-VMEM limit but regresses; keep the probe list
-    lean).
+    there at every T), and the kernel's measured VMEM envelope
+    (ops/window.py: ~52 MiB working sets FAULT the TPU worker).
     """
+    from mcmc_ammsb_tpu.ops.window import (VMEM_ENVELOPE_BYTES,
+                                           window_working_set_bytes)
+
     if (not cfg.device_sampling
             or not cfg.shared_neighbors
             or cfg.rng_backend != RngBackend.NATIVE
@@ -64,7 +65,9 @@ def window_candidates(cfg: Config, num_chains: int = 1,
     for t in candidates:
         if t <= 1 or t in out:
             continue
-        if num_chains > 1 and num_chains * t > 192:
+        if window_working_set_bytes(
+                cfg.K, t, max(num_chains, 1), cfg.max_batch_nodes,
+                cfg.num_node_sample) > VMEM_ENVELOPE_BYTES:
             continue
         out.append(t)
     return out

@@ -385,6 +385,22 @@ def main(argv=None) -> int:
                  "scales with T*B_cap — docs/design.md round 3 late)",
                  cfg.max_batch_nodes)
         cfg = cfg.replace(window=0)
+    if getattr(args, "window_auto", False) and cfg.window > 1:
+        # clamp the auto-chosen T to the kernel's measured VMEM
+        # envelope (ops/window.py: K=8192/T=12's ~52 MiB working set
+        # FAULTED the TPU worker; K=8192 runs at T<=6)
+        from mcmc_ammsb_tpu.ops.window import (VMEM_ENVELOPE_BYTES,
+                                               max_safe_window,
+                                               window_working_set_bytes)
+        c = max(args.num_chains, 1)
+        if window_working_set_bytes(
+                cfg.K, cfg.window, c, cfg.max_batch_nodes,
+                cfg.num_node_sample) > VMEM_ENVELOPE_BYTES:
+            safe = max_safe_window(cfg, c)
+            log.info("window auto-clamped %d -> %d (kernel VMEM "
+                     "envelope at K=%d, C=%d)", cfg.window, safe,
+                     cfg.K, c)
+            cfg = cfg.replace(window=safe)
     if args.auto_tune_window:
         # measured window choice (autotune.py): probe each candidate T
         # on THIS device/graph/config and keep the fastest — the

@@ -53,6 +53,37 @@ from mcmc_ammsb_tpu.ops import phi as phi_ops
 _PHI_FLOOR = 1e-24
 _THETA_FLOOR = 1e-24
 
+#: Measured-safe bound on the kernel's K-major VMEM working set.
+#: Every known-good shape sits at ~26 MiB by this estimate (single
+#: K=4096/T=12, chains C=16/T=12 and C=32/T=6 at K=256, K=8192/T=6
+#: bf16); K=8192/T=12 (~52 MiB) FAULTED the TPU worker (crash, not a
+#: compile error) even under the 100 MiB scoped-vmem grant — the
+#: grant covers the declared operands, not the correction
+#: intermediates. Stay under the measured line.
+VMEM_ENVELOPE_BYTES = 32 * 1024 * 1024
+
+
+def window_working_set_bytes(k: int, t_win: int, n_chains: int,
+                             b_cap: int, n_smpl: int) -> int:
+    """Estimate of the blocked window kernel's K-major VMEM bytes:
+    the gathered rows g [T, C*(B+n), K], the phi noise [T, C*B, K]
+    and the staged output rows [C*T*B, K] (fp32 in-kernel compute
+    regardless of pi storage dtype). The K-independent pair/one-hot
+    tensors are small at reference shapes and excluded."""
+    return 4 * k * t_win * n_chains * (b_cap + n_smpl + 2 * b_cap)
+
+
+def max_safe_window(cfg: Config, n_chains: int = 1,
+                    candidates=(12, 8, 6, 4, 3, 2)) -> int:
+    """Largest candidate window size whose working set fits
+    VMEM_ENVELOPE_BYTES (0 if none does)."""
+    for t in candidates:
+        if window_working_set_bytes(
+                cfg.K, t, n_chains, cfg.max_batch_nodes,
+                cfg.num_node_sample) <= VMEM_ENVELOPE_BYTES:
+            return t
+    return 0
+
 
 # ---------------------------------------------------------------------------
 # Window orchestration
@@ -515,6 +546,17 @@ def window_kernel_call(cfg: Config, n_chains: int, g, sums, yf, mf,
     t_win, _, k = g.shape
     b_cap = sums.shape[1] // n_chains
     e_cap = yef.shape[1] // n_chains
+    n_smpl = yf.shape[2]
+    ws = window_working_set_bytes(k, t_win, n_chains, b_cap, n_smpl)
+    if ws > VMEM_ENVELOPE_BYTES:
+        raise ValueError(
+            f"window kernel working set ~{ws / 2**20:.0f} MiB "
+            f"(K={k}, T={t_win}, C={n_chains}, B={b_cap}, n={n_smpl}) "
+            f"exceeds the measured-safe VMEM envelope "
+            f"({VMEM_ENVELOPE_BYTES / 2**20:.0f} MiB) — ~52 MiB "
+            "FAULTED the TPU worker at K=8192/T=12. Lower window or "
+            "num_chains (ops/window.max_safe_window picks the largest "
+            "fitting T), or use window=0.")
     f32 = jnp.float32
     corrected = mcode is not None
     args = [g, sums, yf, mf, nmask, noise, bnoise, yef, emf,

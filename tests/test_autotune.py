@@ -46,9 +46,66 @@ def test_window_candidates_filtering():
     hub, _, _ = tiny_cfg(batch_nodes_cap=65)
     assert window_candidates(hub) == [0]
 
-    # chain VMEM ceiling: C*T capped
+    # kernel VMEM envelope (ops/window.py): big K*T*C working sets
+    # faulted the TPU worker — filtered from the probe list
     cfg2, _, _ = tiny_cfg()
-    assert window_candidates(cfg2, num_chains=32) == [0, 6]
+    big = cfg2.replace(K=256)
+    c64 = window_candidates(big, num_chains=64)
+    assert 0 in c64 and 6 in c64
+    assert 16 not in c64 and 12 not in c64   # > envelope at C=64
+    # the measured K=8192 cliff at reference batch shapes (B=33, n=32)
+    ref_b, _, _ = tiny_cfg(mini_batch_size=32, num_node_sample=32)
+    c1 = window_candidates(ref_b.replace(K=8192))
+    assert 12 not in c1 and 6 in c1
+
+
+def test_vmem_envelope_math():
+    """The envelope estimate reproduces the measured cliff: every
+    known-good shape fits, the worker-faulting shape does not."""
+    from mcmc_ammsb_tpu.ops.window import (VMEM_ENVELOPE_BYTES,
+                                           window_working_set_bytes)
+    good = [
+        (4096, 12, 1, 33, 32),    # K=4096 single-chain T=12: 20.3k
+        (8192, 6, 1, 33, 32),     # K=8192 bf16 T=6: 10.9k
+        (256, 12, 16, 33, 32),    # chains C=16 T=12 (compiles, runs)
+        (256, 6, 32, 33, 32),     # chains C=32 T=6: 112.3k
+    ]
+    for shape in good:
+        assert window_working_set_bytes(*shape) <= VMEM_ENVELOPE_BYTES
+    # K=8192 T=12 faulted the TPU worker (docs/design.md)
+    assert window_working_set_bytes(8192, 12, 1, 33, 32) \
+        > VMEM_ENVELOPE_BYTES
+
+
+def test_window_kernel_call_rejects_over_envelope():
+    """The kernel guard raises a clear error instead of letting an
+    over-envelope shape fault the device."""
+    import jax.numpy as jnp
+
+    from mcmc_ammsb_tpu.ops import window as W
+
+    cfg, _, _ = tiny_cfg()
+    k, t, b, n_s, e = 8192, 12, 33, 32, 33
+    g = jnp.zeros((t, b + n_s, k), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM envelope"):
+        W.window_kernel_call(
+            cfg.replace(K=k), 1, g,
+            jnp.zeros((t, b, 1), jnp.float32),
+            jnp.zeros((t, b, n_s), jnp.float32),
+            jnp.zeros((t, b, n_s), jnp.float32),
+            jnp.zeros((t, b, 1), jnp.float32),
+            jnp.zeros((t, b, k), jnp.float32),
+            jnp.zeros((t, 2, k), jnp.float32),
+            jnp.zeros((t, e, 1), jnp.float32),
+            jnp.zeros((t, e, 1), jnp.float32),
+            jnp.zeros((t, e, 1), jnp.int32),
+            jnp.zeros((t, e, 1), jnp.int32),
+            None,
+            jnp.zeros((t, 1, 1), jnp.float32),
+            jnp.zeros((t, 1), jnp.float32),
+            jnp.zeros((t, 1), jnp.float32),
+            jnp.zeros((2, k), jnp.float32),
+            jnp.zeros((1, k), jnp.float32))
 
 
 class _FakeClock:
