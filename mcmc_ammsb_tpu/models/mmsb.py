@@ -326,7 +326,13 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
     """Scan with the same state-independent hoisting as the a-MMSB
     (learner.train_steps_scan; measured 2x there): neighbor draws,
     noise, and membership labels for all S steps are produced in one
-    vectorized block before the loop."""
+    vectorized block before the loop.
+
+    With ``cfg.window > 1`` + shared draws the scan advances T steps
+    per iteration through the MMSB Pallas mega-kernel
+    (ops/window_mmsb.py) when the kernel's VMEM working set fits —
+    its [E*K, K] responsibility tensors scale as K^2, so large-K
+    configs fall back to this sequential scan automatically."""
     s_len, b_sz = batches.nodes.shape
     steps = state.step_count + jnp.arange(s_len, dtype=jnp.int32)
 
@@ -361,9 +367,21 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
     if cfg.mmsb_noise_scale != 1.0:
         t_noise = t_noise * cfg.mmsb_noise_scale
     y_edges = edge_set.has_edges(batches.edges_u, batches.edges_v)
+    # edge-lane maps (state-independent, hoisted): endpoints are a
+    # subset of the minibatch nodes by construction, so the windowed
+    # kernel reads endpoint pi rows from the step's STAGED rows via
+    # exact one-hot selects (learner.train_steps_scan's edge_lanes).
+    # The sequential body below keeps its global pi[edges] gathers —
+    # the two coincide exactly under that subset precondition.
+    lanes_u = jnp.argmax(batches.edges_u[:, :, None]
+                         == batches.nodes[:, None, :],
+                         axis=-1).astype(jnp.int32)        # [S, E]
+    lanes_v = jnp.argmax(batches.edges_v[:, :, None]
+                         == batches.nodes[:, None, :],
+                         axis=-1).astype(jnp.int32)
 
     def body(s: MMSBState, xs):
-        batch, nbrs, y_n, n_phi, n_theta, y_e = xs
+        batch, nbrs, y_n, n_phi, n_theta, y_e, _lu, _lv = xs
         if cfg.shared_neighbors:
             # self-collision mask is a trivial in-body recompute — no
             # need to stream an [S,B,n] operand through the scan
@@ -388,10 +406,15 @@ def mmsb_steps_scan(cfg: Config, edge_set: EdgeSet, state: MMSBState,
                           step_count=s.step_count + 1,
                           theta_count=count), None
 
-    state, _ = jax.lax.scan(
-        body, state,
-        (batches, neighbors, y_phi, phi_noise, t_noise, y_edges),
-        unroll=cfg.scan_unroll)
+    xs = (batches, neighbors, y_phi, phi_noise, t_noise, y_edges,
+          lanes_u, lanes_v)
+    if cfg.window > 1 and cfg.shared_neighbors:
+        from mcmc_ammsb_tpu.ops.window_mmsb import (
+            mmsb_max_safe_window, mmsb_windowed_scan)
+
+        if mmsb_max_safe_window(cfg, (cfg.window,)) == cfg.window:
+            return mmsb_windowed_scan(cfg, state, xs, body)
+    state, _ = jax.lax.scan(body, state, xs, unroll=cfg.scan_unroll)
     return state
 
 
