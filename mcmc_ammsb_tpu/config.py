@@ -191,12 +191,14 @@ class Config:
     # mega-kernel running the T sequential phi/beta updates entirely
     # in VMEM (collapsing the ~13 XLA per-op dispatch overheads that
     # bound the 15 us step, docs/design.md "the step is bound by ~13
-    # per-op overheads"), ONE scatter. Windows containing any
-    # intra-window read-after-write / write-after-write collision
-    # (rare: expected ~0.1-0.6 per window at reference shapes) take
-    # the exact sequential branch under lax.cond, so trajectories are
-    # EXACTLY the sequential scan's. 0 disables. Requires
-    # shared_neighbors + device native RNG + jnp phi + fp32 pi.
+    # per-op overheads"), ONE last-write-wins scatter. Intra-window
+    # read-after-write collisions are redirected to the staged rows
+    # INSIDE the kernel via exact one-hot (0/1-coefficient) selects —
+    # see window_correction below; with the default "always" there is
+    # no cond in the program and every window runs the corrected
+    # kernel, so trajectories match the sequential scan up to float
+    # reduction order. 0 disables. Requires shared_neighbors + device
+    # native RNG + jnp phi + fp32 pi.
     window: int = 0
     window_impl: str = "pallas"      # pallas | jnp (golden reference)
     window_correction: str = "always"

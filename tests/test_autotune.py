@@ -141,14 +141,14 @@ class _StubLearner:
 def test_tune_window_picks_fastest():
     cfg, _, _ = tiny_cfg()
     clock = _FakeClock()
-    per_step = {0: 5e-3, 6: 2e-3, 12: 1e-3, 16: 3e-3}
+    per_step = {0: 5e-3, 6: 2e-3, 8: 2.5e-3, 12: 1e-3, 16: 3e-3}
 
     def make(c):
         return _StubLearner(clock, per_step[c.window])
 
     best, table = tune_window(cfg, make, clock=clock)
     assert best.window == 12
-    assert set(table) == {0, 6, 12, 16}
+    assert set(table) == {0, 6, 8, 12, 16}
     assert table[12] == max(v for v in table.values())
 
 
@@ -159,11 +159,41 @@ def test_tune_window_skips_failing_candidate():
     def make(c):
         if c.window == 12:
             raise RuntimeError("VMEM")   # e.g. kernel over the ceiling
-        return _StubLearner(clock, {0: 2e-3, 6: 1e-3, 16: 4e-3}[c.window])
+        return _StubLearner(clock, {0: 2e-3, 6: 1e-3, 8: 3e-3,
+                                    16: 4e-3}[c.window])
 
     best, table = tune_window(cfg, make, clock=clock)
     assert best.window == 6
     assert table[12] is None
+
+
+class _NoisyStubLearner(_StubLearner):
+    """First timed probe is 3x slower than steady state — models the
+    one-sided stalls (host contention, tunnel hiccups) that best-of-N
+    probing exists to suppress."""
+
+    def __init__(self, clock, per_step):
+        super().__init__(clock, per_step)
+        self._runs = 0
+
+    def run(self, n):
+        self._runs += 1
+        slow = 3.0 if self._runs == 2 else 1.0   # run 1 is the warmup
+        self.state.step_count += n
+        self._clock.t += n * self._per_step * slow
+
+
+def test_probe_rate_best_of_two():
+    """best-of-2 reports the steady-state rate even when the first
+    timed probe hits a stall (run-to-run spread is one-sided slow)."""
+    clock = _FakeClock()
+    noisy = probe_rate(lambda: _NoisyStubLearner(clock, 1e-3),
+                       probe_steps=10, warm_steps=5, clock=clock)
+    assert noisy == pytest.approx(1000.0)
+    single = probe_rate(lambda: _NoisyStubLearner(clock, 1e-3),
+                        probe_steps=10, warm_steps=5, clock=clock,
+                        repeats=1)
+    assert single == pytest.approx(1000.0 / 3.0)
 
 
 def test_tune_window_all_fail_raises():
