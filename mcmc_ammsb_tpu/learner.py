@@ -266,9 +266,20 @@ def init_state(cfg: Config, heldout_size: int,
 # ---------------------------------------------------------------------------
 
 def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
-               batch: DeviceBatch) -> TrainState:
+               batch: DeviceBatch, beta_hoisted=None) -> TrainState:
     """One SGRLD step: neighbor sampling + phi/pi update + theta/beta
-    update. Pure; jit/scan/shard_map compatible."""
+    update. Pure; jit/scan/shard_map compatible.
+
+    ``beta_hoisted``: optional (y_edges, lanes_u, lanes_v) precomputed
+    labels + edge-endpoint lane maps (state-independent, hoisted by
+    the caller). The beta stage then reads endpoint rows from this
+    step's STAGED phi rows through the lane maps instead of
+    re-gathering from pi and re-querying membership — bit-identical
+    (edge endpoints are a subset of the batch nodes by construction,
+    ExtractNodesFromMiniBatch dedups exactly them, learner.cc:162-173,
+    and the staged rows are the exact floats the scatter wrote). Used
+    by the reference-RNG scan, whose stateful noise streams keep the
+    body in-loop but whose labels hoist like the native path's."""
     step = state.step_count
     ref_seeds = state.ref_seeds
 
@@ -363,11 +374,27 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
             state.phi_sum.dtype,
         )
     with jax.named_scope("beta_grads"):
-        theta, beta = beta_ops.update_beta(
-            cfg, state.theta, state.beta, pi, edge_set,
-            batch.edges_u, batch.edges_v, batch.edge_mask,
-            batch.weight, beta_count, beta_noise,
-        )
+        if beta_hoisted is not None:
+            y_e, lane_u, lane_v = beta_hoisted
+            cdt = state.theta.dtype
+            # exactly the floats the scatter wrote (storage-precision
+            # round-trip), read from the staging buffer; masked lanes
+            # sanitized so staging garbage never reaches the grads
+            rows_safe = jnp.where(
+                batch.node_mask[:, None],
+                pi_rows.astype(pi.dtype).astype(cdt), 1.0 / cfg.K)
+            grads = beta_ops.beta_gradients_core(
+                cfg, state.theta, state.beta, rows_safe[lane_u],
+                rows_safe[lane_v], y_e, batch.edge_mask)
+            theta, beta = beta_ops.theta_step(
+                cfg, state.theta, grads, batch.weight, beta_count,
+                beta_noise)
+        else:
+            theta, beta = beta_ops.update_beta(
+                cfg, state.theta, state.beta, pi, edge_set,
+                batch.edges_u, batch.edges_v, batch.edge_mask,
+                batch.weight, beta_count, beta_noise,
+            )
 
     return state._replace(
         pi=pi, phi_sum=phi_sum, theta=theta, beta=beta,
@@ -392,12 +419,32 @@ def train_steps_scan(cfg: Config, edge_set: EdgeSet, state: TrainState,
     by tests/test_learner.py::test_scan_matches_single_steps).
     """
     if cfg.rng_backend != RngBackend.NATIVE:
-        # reference backend: noise streams are stateful per step, so
-        # nothing is hoistable — keep the in-loop body
-        def body_ref(s, batch):
-            return train_step(cfg, edge_set, s, batch), None
+        # reference backend: the noise/neighbor streams are STATEFUL
+        # (a ziggurat/hash-rejection draw consumes a data-dependent
+        # number of uniforms, so streams cannot be jumped forward) and
+        # stay in-loop — but the edge labels and endpoint lane maps
+        # are state-independent and hoist exactly like the native
+        # path's, and the beta stage reads endpoint rows from the
+        # step's staged phi rows instead of two more random gathers
+        # (bit-identical; train_step beta_hoisted contract).
+        with jax.named_scope("membership"):
+            y_edges = edge_set.has_edges(batches.edges_u,
+                                         batches.edges_v)
+        with jax.named_scope("edge_lanes"):
+            lanes_u = jnp.argmax(batches.edges_u[:, :, None]
+                                 == batches.nodes[:, None, :],
+                                 axis=-1).astype(jnp.int32)
+            lanes_v = jnp.argmax(batches.edges_v[:, :, None]
+                                 == batches.nodes[:, None, :],
+                                 axis=-1).astype(jnp.int32)
 
-        state, _ = jax.lax.scan(body_ref, state, batches,
+        def body_ref(s, xs):
+            batch, y_e, lane_u, lane_v = xs
+            return train_step(cfg, edge_set, s, batch,
+                              beta_hoisted=(y_e, lane_u, lane_v)), None
+
+        state, _ = jax.lax.scan(body_ref, state,
+                                (batches, y_edges, lanes_u, lanes_v),
                                 unroll=cfg.scan_unroll)
         return state
 
@@ -548,7 +595,7 @@ def train_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
                           heldout_set: EdgeSet, state: TrainState,
                           heldout_u: jnp.ndarray, heldout_v: jnp.ndarray,
                           num_evals: int, interval: int,
-                          adjacency=None):
+                          adjacency=None, train_u=None, train_v=None):
     """num_evals x (interval fused steps + one held-out ppx eval) in ONE
     device dispatch — the reference's primary output loop (train
     ppx_interval iters, log ``ppx[i]``, main.cc:160-168) with zero host
@@ -564,15 +611,28 @@ def train_steps_fused_ppx(cfg: Config, edge_set: EdgeSet,
     the chunked host loop (asserted by
     tests/test_learner.py::test_fused_ppx_series_matches_host_loop).
 
-    Returns (state, series) where series is a PpxResult of [num_evals]-
-    leading arrays (neg_avg_log per eval, link/non-link stats)."""
+    With ``train_u``/``train_v`` set (cfg.calc_train_ppx), each eval
+    additionally scores the training-ppx population AFTER the held-out
+    eval — the same order as the host loop (CLI logs ppx then
+    train_ppx), so the running-average states stay bit-identical to
+    the chunked host path. This keeps the reference's
+    MCMC_CALC_TRAIN_PPX mode (learner.cc:204-212) usable at the fused
+    eval-inclusive rates instead of forcing the slow host loop.
+
+    Returns (state, series) where series is (PpxResult, train_neg_avg
+    or None) of [num_evals]-leading arrays."""
     def outer(s: TrainState, _):
         s = train_steps_fused(cfg, edge_set, heldout_set, s, interval,
                               adjacency)
         s, res = heldout_perplexity_step(cfg, heldout_set, heldout_u,
                                          heldout_v, s)
+        train_neg = None
+        if train_u is not None:
+            s, tres = training_perplexity_step(cfg, edge_set,
+                                               train_u, train_v, s)
+            train_neg = tres.neg_avg_log
         # the [H] running averages live in state; don't stack per eval
-        return s, res._replace(ppx_per_edge=None)
+        return s, (res._replace(ppx_per_edge=None), train_neg)
 
     return jax.lax.scan(outer, state, None, length=num_evals)
 
@@ -936,12 +996,15 @@ class Learner(HostSamplingPipeline):
             raise RuntimeError("no held-out edges")
         spc = max(1, self.cfg.steps_per_call)
 
+        train_ppx = self.cfg.calc_train_ppx
+
         def dispatch(take):
-            self.state, res = self._fused_ppx_fn(
+            self.state, (res, train_neg) = self._fused_ppx_fn(
                 self.training_set, self.heldout_set, self.state,
                 self.heldout_u, self.heldout_v,
                 num_evals=take, interval=interval,
-                adjacency=self.adjacency)
+                adjacency=self.adjacency,
+                train_u=self.train_ppx_u, train_v=self.train_ppx_v)
             # Pack ppx + the 4 stats into ONE device array; the driver
             # materializes it AFTER the next chunk is enqueued
             # (run_fused_eval_series pipelining) — per-field readbacks
@@ -952,15 +1015,20 @@ class Learner(HostSamplingPipeline):
             # equality with the host loop). Counts ride as f32 —
             # exact below 2^24, and the eval population H bounds them
             # (an H >= 2^24 single-chip split doesn't exist; asserted).
+            # The train-ppx series (calc_train_ppx) rides as row 5 of
+            # the same packed transfer — zero extra round-trips.
             assert self.heldout_u.shape[0] < (1 << 24)
-            return jnp.stack([
+            rows = [
                 jnp.exp(res.neg_avg_log),
                 res.link_likelihood, res.non_link_likelihood,
                 res.link_count.astype(jnp.float32),
-                res.non_link_count.astype(jnp.float32)])
+                res.non_link_count.astype(jnp.float32)]
+            if train_ppx:
+                rows.append(jnp.exp(train_neg))
+            return jnp.stack(rows)
 
         def record(stats, i, step):
-            return {
+            entry = {
                 "step": step,
                 "ppx": float(stats[0, i]),
                 "link_count": int(stats[3, i]),
@@ -968,6 +1036,9 @@ class Learner(HostSamplingPipeline):
                 "link_likelihood": float(stats[1, i]),
                 "non_link_likelihood": float(stats[2, i]),
             }
+            if train_ppx:
+                entry["train_ppx"] = float(stats[5, i])
+            return entry
 
         return run_fused_eval_series(
             self.timers, spc, max_iters, interval, dispatch,

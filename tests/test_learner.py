@@ -12,6 +12,8 @@ from mcmc_ammsb_tpu.learner import Learner
 from mcmc_ammsb_tpu.sampling import MiniBatchSampler
 from mcmc_ammsb_tpu.types import pack_edges
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def make_learner(cfg_kw=None, n_nodes=300, avg_deg=12, seed=21):
     n, u, v = synthetic_edges(n_nodes, avg_deg, seed=seed)
@@ -175,6 +177,27 @@ def test_scan_in_loop_body_paths(cfg_kw):
     learner.close()
 
 
+def test_reference_scan_hoisted_labels_bit_exact():
+    """The reference-RNG scan hoists edge labels + endpoint lane maps
+    and reads the beta stage's endpoint rows from the staged phi rows
+    (round 4); the trajectory must stay BIT-identical to the
+    step-at-a-time train_step path (spc=1), whose beta stage gathers
+    from pi and re-queries membership."""
+    kw = {"rng_backend": RngBackend.REFERENCE}
+    a, _ = make_learner({**kw, "steps_per_call": 6})
+    b, _ = make_learner({**kw, "steps_per_call": 1})
+    a.run(12); b.run(12)
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
+    np.testing.assert_array_equal(np.asarray(a.state.theta),
+                                  np.asarray(b.state.theta))
+    np.testing.assert_array_equal(
+        np.asarray(a.state.ref_seeds.phi),
+        np.asarray(b.state.ref_seeds.phi))
+    assert a.heldout_perplexity() == b.heldout_perplexity()
+    a.close(); b.close()
+
+
 def test_edgeset_backends_trajectory_identical():
     """Membership backends answer identical queries, so full training
     trajectories must be bit-identical across them — pins the perfect
@@ -221,6 +244,36 @@ def test_fused_ppx_series_matches_host_loop():
                                   np.asarray(b.state.pi))
     np.testing.assert_array_equal(np.asarray(a.state.ppx_per_edge),
                                   np.asarray(b.state.ppx_per_edge))
+    a.close(); b.close()
+
+
+def test_fused_ppx_series_carries_train_ppx():
+    """With calc_train_ppx the fused series carries the train-ppx
+    value per eval (round-4: it used to force the host loop) and the
+    running-average state matches the host loop's
+    (run(interval); heldout_perplexity(); training_perplexity())
+    ordering bit-exactly."""
+    kw = {"device_sampling": True, "steps_per_call": 40,
+          "calc_train_ppx": True, "training_ppx_ratio": 0.2}
+    a, _ = make_learner(kw)
+    b, _ = make_learner(kw)
+
+    series = a.run_with_ppx(40, 10)
+    host = []
+    for _ in range(4):
+        b.run(10)
+        ppx = b.heldout_perplexity()
+        host.append((ppx, b.training_perplexity()))
+
+    for ev, (ppx, tppx) in zip(series, host):
+        assert ev["ppx"] == ppx
+        np.testing.assert_allclose(ev["train_ppx"], tppx, rtol=1e-6)
+    assert int(a.state.train_ppx_count) == 4
+    np.testing.assert_array_equal(
+        np.asarray(a.state.train_ppx_per_edge),
+        np.asarray(b.state.train_ppx_per_edge))
+    np.testing.assert_array_equal(np.asarray(a.state.pi),
+                                  np.asarray(b.state.pi))
     a.close(); b.close()
 
 
