@@ -182,6 +182,34 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="train multi-chip: shard pi rows over MODEL "
                         "devices and the minibatch over DATA devices "
                         "of a (DATA, MODEL) jax device mesh")
+    # multi-host (pod-scale) execution: jax.distributed wiring +
+    # per-process byte-range ingest (parallel/multihost.py,
+    # parallel/partitioned.py)
+    p.add_argument("--coordinator", type=str, default="",
+                   metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (process "
+                        "0's host); required with --num-processes > 1 "
+                        "off Cloud TPU pods")
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="total jax.distributed process count (0/1 = "
+                        "single-process)")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="this process's jax.distributed index")
+    p.add_argument("--partitioned-ingest", action="store_true",
+                   help="multi-host capacity mode: each process parses "
+                        "only its byte range of --file, edges are "
+                        "exchanged to their owning model shards, and "
+                        "BOTH E-sized device structures (membership "
+                        "set, sampling adjacency) live row-sharded "
+                        "over the mesh 'model' axis — no process ever "
+                        "materializes the full graph. Requires --mesh "
+                        "and device sampling; held-out split is the "
+                        "deterministic hash rule (see "
+                        "parallel/partitioned.py docstring)")
+    p.add_argument("--split-seed", type=int, default=12345,
+                   help="seed of the held-out split (the hash rule "
+                        "under --partitioned-ingest; generate_sets' "
+                        "shuffle otherwise uses its own default)")
     # dataset cache (main.cc:77-80)
     p.add_argument("--dump-data", action="store_true")
     p.add_argument("--dump-file", type=str, default="")
@@ -320,6 +348,79 @@ def config_from_args(args) -> Config:
     )
 
 
+def _main_partitioned(args) -> int:
+    """Multi-host capacity driver: per-process byte-range ingest +
+    ShardedLearner.from_partitioned (parallel/partitioned.py). Every
+    process runs this loop; training collectives keep them in lockstep
+    and each logs the identical ppx series."""
+    import signal
+
+    from mcmc_ammsb_tpu.parallel import make_mesh
+    from mcmc_ammsb_tpu.parallel.partitioned import partitioned_ingest
+
+    if not args.file:
+        log.fatal("--partitioned-ingest requires --file (SNAP edge "
+                  "list; byte-range split across processes)")
+        return 1
+    if not args.mesh:
+        log.fatal("--partitioned-ingest requires --mesh DATA,MODEL")
+        return 1
+    if not args.device_sampling:
+        log.fatal("--partitioned-ingest requires device sampling (no "
+                  "process holds the host graph)")
+        return 1
+    n_data, n_model = (int(x) for x in args.mesh.split(","))
+    mesh = make_mesh(n_data, n_model)
+    pdata = partitioned_ingest(mesh, heldout_ratio=args.heldout_ratio,
+                               seed=args.split_seed, path=args.file)
+    log.info("partitioned ingest: N=%d E=%d max_fan_out=%d; this "
+             "process parsed %d edges, largest shard holds %d "
+             "(full graph never materialized)",
+             pdata.num_nodes, pdata.num_edges, pdata.max_fan_out,
+             pdata.local_parse_edges, pdata.max_shard_edges)
+    cfg = config_from_args(args).finalize(
+        pdata.num_nodes, pdata.num_edges, pdata.max_fan_out)
+    log.info("config: %s", cfg)
+
+    from mcmc_ammsb_tpu.parallel import ShardedLearner
+    learner = ShardedLearner.from_partitioned(cfg, pdata, mesh)
+
+    signaled = {"flag": False}
+    signal.signal(signal.SIGINT,
+                  lambda _s, _f: signaled.update(flag=True))
+    log.info("ppx[0] = %s", learner.heldout_perplexity())
+    fused_evals = cfg.steps_per_call > cfg.ppx_interval
+    i = 0
+    start_step = int(learner.state.step_count)
+    while i < args.max_iters and not signaled["flag"]:
+        if fused_evals and args.max_iters - i >= cfg.ppx_interval:
+            from mcmc_ammsb_tpu.learner import eval_series_call_steps
+            take = min(args.max_iters - i,
+                       eval_series_call_steps(cfg.steps_per_call,
+                                              cfg.ppx_interval))
+            take -= take % cfg.ppx_interval
+            for ev in learner.run_with_ppx(take, cfg.ppx_interval):
+                log.info("ppx[%d] = %s", ev["step"] - start_step,
+                         ev["ppx"])
+            i += take
+        else:
+            step = min(args.max_iters - i, cfg.ppx_interval)
+            learner.run(step)
+            i += step
+            if not signaled["flag"]:
+                log.info("ppx[%d] = %s", i,
+                         learner.heldout_perplexity())
+    if signaled["flag"]:
+        log.info("FORCED TERMINATE")
+    learner.print_stats(lambda s: log.info("%s", s))
+    if args.checkpoint:
+        from mcmc_ammsb_tpu.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, learner,
+                        backend=args.checkpoint_backend)
+        log.info("checkpoint saved to %s", args.checkpoint)
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
@@ -330,11 +431,25 @@ def main(argv=None) -> int:
     log.info(" ".join(sys.argv if argv is None else argv))
     resolve_fast_defaults(args)
 
+    # multi-host wiring BEFORE any backend touch (jax.distributed must
+    # initialize before the first device query)
+    if args.num_processes and args.num_processes > 1:
+        from mcmc_ammsb_tpu.parallel import multihost
+        multihost.initialize(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+        log.info("jax.distributed: process %d of %d (coordinator %s)",
+                 args.process_id, args.num_processes, args.coordinator)
+
     # device/backend echo (ChooseDevice parity, main.cc:17-20,94-96)
     import jax
     devices = jax.devices()
     log.info("backend %s: %d device(s), first = %s",
              jax.default_backend(), len(devices), devices[0].device_kind)
+
+    if args.partitioned_ingest:
+        return _main_partitioned(args)
 
     # --- dataset ----------------------------------------------------------
     if args.load_data:
@@ -505,6 +620,8 @@ def main(argv=None) -> int:
             save_checkpoint(args.checkpoint, chains,
                             backend=args.checkpoint_backend)
             log.info("checkpoint saved to %s", args.checkpoint)
+        if hasattr(chains, "close"):
+            chains.close()
         return 0
 
     if args.model == "mmsb":
@@ -558,6 +675,8 @@ def main(argv=None) -> int:
             save_checkpoint(args.checkpoint, mmsb,
                             backend=args.checkpoint_backend)
             log.info("checkpoint saved to %s", args.checkpoint)
+        if hasattr(mmsb, "close"):
+            mmsb.close()
         return 0
 
     if args.mesh:
@@ -585,15 +704,16 @@ def main(argv=None) -> int:
                  st["link_count"], st["link_likelihood"],
                  st["non_link_count"], st["non_link_likelihood"])
         if cfg.calc_train_ppx:
+            # fused series entries carry the train-ppx value computed
+            # INSIDE the fused program (same packed readback); the
+            # host loop evaluates it here instead — identical running
+            # averages either way (train_steps_fused_ppx order)
             log.info("train_ppx[%d] = %s", i,
-                     learner.training_perplexity())
+                     st["train_ppx"] if "train_ppx" in st
+                     else learner.training_perplexity())
 
-    # train-ppx must be evaluated on the state AT each interval, which
-    # the host loop does between chunks — fused evals carry only the
-    # held-out series, so they are off when --calc-train-ppx is on
     fused_evals = (cfg.device_sampling
-                   and cfg.steps_per_call > cfg.ppx_interval
-                   and not cfg.calc_train_ppx)
+                   and cfg.steps_per_call > cfg.ppx_interval)
     ck_next = [args.checkpoint_interval or None]
 
     def maybe_checkpoint(i):

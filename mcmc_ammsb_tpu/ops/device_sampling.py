@@ -51,6 +51,28 @@ class DeviceSamples(NamedTuple):
     weight: jnp.ndarray     # [S] f32
 
 
+class _TupleAdj(NamedTuple):
+    """Replicated CSR adjacency view: the (offsets [N+1], cols [2E])
+    pair behind the two primitives the link sampler needs. The
+    model-row-sharded twin (parallel/partitioned.ShardedCSR) provides
+    the same ``degree`` / ``row_gather`` protocol via collectives, so
+    the sampler body is layout-agnostic and the two layouts produce
+    bit-identical draws (psums of one-owner integer contributions are
+    exact)."""
+
+    offsets: jnp.ndarray
+    cols: jnp.ndarray
+
+    def degree(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.offsets[u + 1] - self.offsets[u]
+
+    def row_gather(self, u: jnp.ndarray,
+                   off: jnp.ndarray) -> jnp.ndarray:
+        idx = self.offsets[u][..., None] + off
+        m = self.cols.shape[0]
+        return self.cols[jnp.clip(idx, 0, m - 1)]
+
+
 def _structural_nodes(cfg: Config, eu, ev, mask, pivot):
     """Deduped node list of a Node-family device draw WITHOUT sorting.
 
@@ -115,7 +137,7 @@ def _extract_nodes(cfg: Config, eu, ev, mask):
     return uniq, uniq != sentinel
 
 
-def _sample_node_link_batch(cfg: Config, offsets, cols, key,
+def _sample_node_link_batch(cfg: Config, adj, key,
                             s_len: int, rounds: int | None = None):
     """[S] NodeLink draws: random non-isolated pivots (masked redraw
     rounds instead of the host's unbounded retry) + their CSR rows.
@@ -143,14 +165,14 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
     def fixup(i, u):
         redraw = jax.random.randint(
             jax.random.fold_in(keys[1], i), (s_len,), 0, cfg.N, jnp.int32)
-        isolated = offsets[u + 1] == offsets[u]
+        isolated = adj.degree(u) == 0
         return jnp.where(isolated, redraw, u)
 
     u = jax.lax.fori_loop(0, rounds, fixup, u)
-    start = offsets[u]                                       # [S]
-    deg = offsets[u + 1] - start
-    idx = start[:, None] + jnp.arange(e_cap, dtype=jnp.int32)
-    valid = jnp.arange(e_cap) < deg[:, None]
+    deg = adj.degree(u)                                      # [S]
+    lane = jnp.arange(e_cap, dtype=jnp.int32)
+    in_row = jnp.broadcast_to(lane, (s_len, e_cap))
+    valid = lane < deg[:, None]
     weight = jnp.full((s_len,), cfg.N, jnp.float32)
     if cfg.ds_link_cap and cfg.max_fan_out > e_cap:
         # degree-capped path: rows that overflow the buffer are
@@ -167,13 +189,13 @@ def _sample_node_link_batch(cfg: Config, offsets, cols, key,
             & jnp.tril(jnp.ones((e_cap, e_cap), jnp.bool_), -1)[None],
             axis=-1,
         )
-        idx = jnp.where(take_all[:, None], idx, start[:, None] + off)
+        in_row = jnp.where(take_all[:, None], in_row, off)
         valid = jnp.where(take_all[:, None], valid,
                           (deg[:, None] > 0) & ~dup)
         p_inc = 1.0 - (1.0 - 1.0 / degf) ** e_cap
         weight = jnp.where(take_all, weight,
                            cfg.N / jnp.maximum(p_inc, 1e-30))
-    v = cols[jnp.clip(idx, 0, cols.shape[0] - 1)]
+    v = adj.row_gather(u, in_row)
     eu = jnp.minimum(u[:, None], v)
     ev = jnp.maximum(u[:, None], v)
     return eu, ev, valid, weight, u
@@ -264,7 +286,9 @@ def sample_minibatches_device(
     """Draw ``s_len`` minibatches (one per scan step) in one block.
 
     ``adjacency`` is the training graph's CSR pair (offsets [N+1],
-    cols [2E]); defaults to the CSR edge set's own arrays.
+    cols [2E]) or any object implementing the ``degree``/``row_gather``
+    view (parallel/partitioned.ShardedCSR for model-row-sharded
+    adjacency); defaults to the CSR edge set's own arrays.
     ``alt_period`` is the draws-per-step factor (the chain count for
     the flat multi-chain engine) used by ``node_coin='alternate'`` to
     alternate by STEP, not by flattened draw index."""
@@ -278,12 +302,16 @@ def sample_minibatches_device(
             f"batch edge capacity {cfg.max_batch_edges} cannot hold the "
             f"max fan-out {cfg.max_fan_out}; NodeLink batches would be "
             "silently truncated")
-    if adjacency is not None:
-        offsets, cols = adjacency
+    if adjacency is not None and hasattr(adjacency, "row_gather"):
+        adj = adjacency                 # sharded view (ShardedCSR)
+    elif adjacency is not None:
+        adj = _TupleAdj(*adjacency)
+    elif hasattr(training_set, "row_gather"):
+        adj = training_set              # ShardedCSR doubles as both
     elif training_set.backend == "csr":
-        offsets, cols = training_set.arrays
+        adj = _TupleAdj(*training_set.arrays)
     elif cfg.strategy == SampleStrategy.NODE_NON_LINK:
-        offsets = cols = None       # non-link draws never touch the CSR
+        adj = None                  # non-link draws never touch the CSR
     else:
         raise ValueError(
             "device sampling of link strategies with the "
@@ -294,7 +322,7 @@ def sample_minibatches_device(
     if cfg.strategy == SampleStrategy.NODE_LINK:
         with jax.named_scope("ds_link"):
             eu, ev, mask, weight, pivot = _sample_node_link_batch(
-                cfg, offsets, cols, k_link, s_len)
+                cfg, adj, k_link, s_len)
     elif cfg.strategy == SampleStrategy.NODE_NON_LINK:
         with jax.named_scope("ds_nonlink"):
             eu, ev, mask, weight, pivot = _sample_node_non_link_batch(
@@ -312,7 +340,7 @@ def sample_minibatches_device(
         n_link = (n_steps + 1) // 2
         n_non = n_steps // 2
         with jax.named_scope("ds_link"):
-            l = _sample_node_link_batch(cfg, offsets, cols, k_link,
+            l = _sample_node_link_batch(cfg, adj, k_link,
                                         n_link * alt_period)
         if n_non == 0:
             eu, ev, mask, weight, pivot = l
@@ -328,7 +356,7 @@ def sample_minibatches_device(
         # (each half is cheap; data-dependent branching would force a
         # step-serial cond)
         with jax.named_scope("ds_link"):
-            l = _sample_node_link_batch(cfg, offsets, cols, k_link, s_len)
+            l = _sample_node_link_batch(cfg, adj, k_link, s_len)
         with jax.named_scope("ds_nonlink"):
             n = _sample_node_non_link_batch(
                 cfg, training_set, heldout_set, k_non, s_len)

@@ -528,19 +528,28 @@ def _sharded_ppx_body(cfg: Config, rows_per_shard: int, train: bool,
 def _sharded_fused_ppx(cfg: Config, rows_per_shard: int, n_data: int,
                        num_evals: int, interval: int,
                        edge_set: EdgeSet, heldout_set: EdgeSet,
-                       adjacency, eu, ev, hmask, state: TrainState):
+                       adjacency, eu, ev, hmask, state: TrainState,
+                       tu=None, tv=None, tmask=None):
     """num_evals x (interval fused sharded steps + one collective
     held-out eval) inside ONE shard_map program — the multi-chip analog
     of learner.train_steps_fused_ppx: the eval cadence no longer caps
     the dispatch depth, and the eval's psum rides the same program as
-    the training collectives."""
+    the training collectives. With ``tu``/``tv``/``tmask`` set
+    (cfg.calc_train_ppx) each eval also scores the training-ppx
+    population after the held-out eval (host-loop order), so
+    MCMC_CALC_TRAIN_PPX runs at the fused eval-inclusive rate."""
     def outer(s: TrainState, _):
         s = _sharded_fused_scan(cfg, rows_per_shard, n_data, interval,
                                 edge_set, heldout_set, adjacency, s)
         s, res = _sharded_ppx_body(cfg, rows_per_shard, False,
                                    heldout_set, eu, ev, hmask, s)
+        train_neg = None
+        if tu is not None:
+            s, tres = _sharded_ppx_body(cfg, rows_per_shard, True,
+                                        edge_set, tu, tv, tmask, s)
+            train_neg = tres.neg_avg_log
         # [H_local] running averages live in state; don't stack per eval
-        return s, res._replace(ppx_per_edge=None)
+        return s, (res._replace(ppx_per_edge=None), train_neg)
 
     return jax.lax.scan(outer, state, None, length=num_evals)
 
@@ -552,12 +561,32 @@ def _sharded_fused_ppx(cfg: Config, rows_per_shard: int, n_data: int,
 class ShardedLearner(HostSamplingPipeline):
     """Drop-in multi-chip learner: same API as learner.Learner."""
 
-    def __init__(self, cfg: Config, graph: Graph, split: DataSplit,
-                 mesh: Mesh, prefetch: bool = True):
+    def __init__(self, cfg: Config, graph: Optional[Graph],
+                 split: Optional[DataSplit], mesh: Mesh,
+                 prefetch: bool = True, partitioned=None):
         self.mesh = mesh
         n_data = mesh.shape[DATA_AXIS]
         n_model = mesh.shape[MODEL_AXIS]
         self.n_data, self.n_model = n_data, n_model
+        self.partitioned = partitioned
+        if partitioned is not None:
+            # multi-host capacity mode (parallel/partitioned.py): the
+            # graph lives ONLY as the model-row-sharded device CSR; no
+            # host Graph/DataSplit exists and host sampling is
+            # impossible by construction
+            if graph is not None or split is not None:
+                raise ValueError("pass either (graph, split) or "
+                                 "partitioned=, not both")
+            if not cfg.device_sampling:
+                raise ValueError(
+                    "partitioned mode requires device_sampling: host "
+                    "minibatch sampling needs the full host graph, "
+                    "which no process holds")
+            if cfg.calc_train_ppx:
+                raise ValueError(
+                    "calc_train_ppx needs a host training-edge sample "
+                    "(make_training_ppx_edges); unsupported in "
+                    "partitioned mode")
 
         # pad capacities to the data axis; rows to the model axis
         from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
@@ -600,19 +629,33 @@ class ShardedLearner(HostSamplingPipeline):
         self.n_padded = _round_up(cfg.N, n_model)
         self.rows_per_shard = self.n_padded // n_model
 
-        self.training_set = build_edge_set(
-            cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+        if partitioned is not None:
+            from mcmc_ammsb_tpu.parallel.partitioned import (
+                build_sharded_csr)
+            self.training_set = build_sharded_csr(
+                mesh, cfg.N, self.rows_per_shard, partitioned.shards,
+                partitioned.cols_cap)
+            ho_set_u, ho_set_v = (partitioned.heldout_u,
+                                  partitioned.heldout_v)
+            ho_eval_u = partitioned.heldout_edges_u
+            ho_eval_v = partitioned.heldout_edges_v
+        else:
+            self.training_set = build_edge_set(
+                cfg.edgeset_backend, cfg.N, graph.edges_u, graph.edges_v)
+            ho_set_u, ho_set_v = split.heldout_u, split.heldout_v
+            ho_eval_u = split.heldout_edges_u
+            ho_eval_v = split.heldout_edges_v
         self.heldout_set = build_edge_set(
-            cfg.edgeset_backend, cfg.N, split.heldout_u, split.heldout_v)
+            cfg.edgeset_backend, cfg.N, ho_set_u, ho_set_v)
 
         # heldout eval population padded to the data axis
-        h = len(split.heldout_edges_u)
+        h = len(ho_eval_u)
         if h == 0:
             raise ValueError("no held-out edges: heldout_ratio too small "
                              "for this graph")
         h_pad = _round_up(h, n_data)
-        eu = np.zeros(h_pad, np.int32); eu[:h] = split.heldout_edges_u
-        ev = np.zeros(h_pad, np.int32); ev[:h] = split.heldout_edges_v
+        eu = np.zeros(h_pad, np.int32); eu[:h] = ho_eval_u
+        ev = np.zeros(h_pad, np.int32); ev[:h] = ho_eval_v
         hmask = np.arange(h_pad) < h
 
         # training-perplexity population (MCMC_CALC_TRAIN_PPX parity,
@@ -680,26 +723,33 @@ class ShardedLearner(HostSamplingPipeline):
             self.train_ppx_u = self.train_ppx_v = None
             self.train_ppx_mask = None
 
+        # spec for the training structures: replicated EdgeSet -> P()
+        # prefix; model-row-sharded CSR -> its per-leaf spec pytree
+        tspec = (self.training_set.spec() if partitioned is not None
+                 else P())
+
         body = partial(_sharded_step_body, cfg, self.rows_per_shard)
         self._step_fn = jax.jit(jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(), self.state_spec, self.batch_spec),
+            in_specs=(tspec, self.state_spec, self.batch_spec),
             out_specs=self.state_spec,
             check_vma=False,
         ), donate_argnums=(1,))
         scan_body = partial(_sharded_scan_body, cfg, self.rows_per_shard)
         self._scan_fn = jax.jit(jax.shard_map(
             scan_body, mesh=mesh,
-            in_specs=(P(), self.state_spec, scan_spec),
+            in_specs=(tspec, self.state_spec, scan_spec),
             out_specs=self.state_spec,
             check_vma=False,
         ), donate_argnums=(1,))
+        aspec = tspec if partitioned is not None else P()
+
         def make_fused(num_steps):
             body = partial(_sharded_fused_scan, cfg, self.rows_per_shard,
                            n_data, num_steps)
             return jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(), P(), self.state_spec),
+                in_specs=(tspec, P(), aspec, self.state_spec),
                 out_specs=self.state_spec,
                 check_vma=False,
             ), donate_argnums=(3,))
@@ -715,11 +765,21 @@ class ShardedLearner(HostSamplingPipeline):
         def make_fused_ppx(num_evals, interval):
             body = partial(_sharded_fused_ppx, cfg, self.rows_per_shard,
                            n_data, num_evals, interval)
+            if cfg.calc_train_ppx:
+                return jax.jit(jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(tspec, P(), aspec, P(DATA_AXIS),
+                              P(DATA_AXIS), P(DATA_AXIS),
+                              self.state_spec,
+                              P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=(self.state_spec, (series_spec, P())),
+                    check_vma=False,
+                ), donate_argnums=(6,))
             return jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                in_specs=(tspec, P(), aspec, P(DATA_AXIS), P(DATA_AXIS),
                           P(DATA_AXIS), self.state_spec),
-                out_specs=(self.state_spec, series_spec),
+                out_specs=(self.state_spec, (series_spec, None)),
                 check_vma=False,
             ), donate_argnums=(6,))
 
@@ -746,14 +806,32 @@ class ShardedLearner(HostSamplingPipeline):
         self._train_ppx_fn = (make_ppx_fn(train=True)
                               if cfg.calc_train_ppx else None)
 
-        self._init_pipeline(MiniBatchSampler(cfg, graph, split), prefetch)
-        # replicated training CSR adjacency for the device samplers
-        self.adjacency = (dev_put(jnp.asarray(graph.offsets, jnp.int32),
-                                  P()),
-                          dev_put(jnp.asarray(graph.cols, jnp.int32),
-                                  P()))
+        if partitioned is not None:
+            # no host sampler exists (device_sampling is mandatory);
+            # the sampler adjacency IS the sharded CSR (degree /
+            # row_gather collectives, partitioned.ShardedCSR)
+            self._init_pipeline(None, prefetch=False)
+            self.adjacency = self.training_set
+        else:
+            self._init_pipeline(MiniBatchSampler(cfg, graph, split),
+                                prefetch)
+            # replicated training CSR adjacency for the device samplers
+            self.adjacency = (
+                dev_put(jnp.asarray(graph.offsets, jnp.int32), P()),
+                dev_put(jnp.asarray(graph.cols, jnp.int32), P()))
         self.timers = StageTimers()
         self.last_ppx_stats = {}
+
+    @classmethod
+    def from_partitioned(cls, cfg: Config, pdata, mesh: Mesh
+                         ) -> "ShardedLearner":
+        """Multi-host capacity construction: consume a per-process
+        PartitionedData (parallel/partitioned.partitioned_ingest) —
+        model-row-sharded training CSR for membership AND sampling,
+        replicated small held-out structures, no host Graph anywhere.
+        Trajectory is bit-identical to the replicated-graph engine on
+        the same dataset (tests/test_partitioned.py)."""
+        return cls(cfg, None, None, mesh, partitioned=pdata)
 
     # -- API (mirrors Learner) --------------------------------------------
 
@@ -822,27 +900,37 @@ class ShardedLearner(HostSamplingPipeline):
 
         spc = max(1, self.cfg.steps_per_call)
 
+        train_ppx = self.cfg.calc_train_ppx
+
         def dispatch(take):
             key = (take, interval)
             if key not in self._fused_ppx_fns:
                 self._fused_ppx_fns[key] = self._make_fused_ppx(
                     take, interval)
-            self.state, res = self._fused_ppx_fns[key](
-                self.training_set, self.heldout_set,
-                self.adjacency, self.heldout_u, self.heldout_v,
-                self.heldout_mask, self.state)
+            args = (self.training_set, self.heldout_set,
+                    self.adjacency, self.heldout_u, self.heldout_v,
+                    self.heldout_mask, self.state)
+            if train_ppx:
+                args += (self.train_ppx_u, self.train_ppx_v,
+                         self.train_ppx_mask)
+            self.state, (res, train_neg) = self._fused_ppx_fns[key](
+                *args)
             # one packed DEVICE array; the pipelined driver materializes
             # it after enqueueing the next chunk (learner.py
-            # run_fused_eval_series rationale)
+            # run_fused_eval_series rationale); train-ppx rides as
+            # row 5 of the same transfer
             assert self.heldout_u.shape[0] < (1 << 24)
-            return jnp.stack([
+            rows = [
                 jnp.exp(res.neg_avg_log),
                 res.link_likelihood, res.non_link_likelihood,
                 res.link_count.astype(jnp.float32),
-                res.non_link_count.astype(jnp.float32)])
+                res.non_link_count.astype(jnp.float32)]
+            if train_ppx:
+                rows.append(jnp.exp(train_neg))
+            return jnp.stack(rows)
 
         def record(stats, i, step):
-            return {
+            entry = {
                 "step": step,
                 "ppx": float(stats[0, i]),
                 "link_count": int(stats[3, i]),
@@ -850,6 +938,9 @@ class ShardedLearner(HostSamplingPipeline):
                 "link_likelihood": float(stats[1, i]),
                 "non_link_likelihood": float(stats[2, i]),
             }
+            if train_ppx:
+                entry["train_ppx"] = float(stats[5, i])
+            return entry
 
         def tail(t):
             self._run_fused(t, spc)

@@ -18,6 +18,8 @@ from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.learner import Learner
 from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def make_pair(n_nodes=256, avg_deg=8, seed=33, cfg_kw=None):
     n, u, v = synthetic_edges(n_nodes, avg_deg, seed=seed)
@@ -256,6 +258,32 @@ def test_sharded_fused_ppx_series_matches_host_loop():
                                   np.asarray(b.state.pi))
     # series state keeps its mesh shardings
     assert "model" in str(a.state.pi.sharding)
+
+
+def test_sharded_fused_ppx_series_carries_train_ppx():
+    """calc_train_ppx rides inside the sharded fused series (round-4:
+    it used to force the host loop) — per-eval train-ppx values match
+    the host-loop ordering and the running-average state matches."""
+    kw = {"device_sampling": True, "steps_per_call": 40,
+          "host_sampler": "numpy", "calc_train_ppx": True,
+          "training_ppx_ratio": 0.2}
+    cfg, graph, split = make_pair(cfg_kw=kw)
+    mesh = make_mesh(2, 4)
+    a = ShardedLearner(cfg, graph, split, mesh)
+    b = ShardedLearner(cfg, graph, split, mesh)
+
+    series = a.run_with_ppx(40, 10)
+    for ev in series:
+        b.run(10)
+        ppx = b.heldout_perplexity()
+        tppx = b.training_perplexity()
+        assert ev["ppx"] == ppx
+        np.testing.assert_allclose(ev["train_ppx"], tppx, rtol=1e-6)
+    assert int(a.state.train_ppx_count) == 4
+    np.testing.assert_array_equal(
+        np.asarray(a.state.train_ppx_per_edge),
+        np.asarray(b.state.train_ppx_per_edge))
+    a.close(); b.close()
 
 
 def test_sharded_device_sampling_with_link_cap():
