@@ -92,6 +92,43 @@ def main():
     ref_ups, ref_ppx = measure(
         cfg.replace(shared_neighbors=False, window=0),
         "reference-semantics")
+    # strictness-ladder floor: the BIT-EXACT reference RNG backend
+    # (rng/reference.py — xorshift128+/Ziggurat/Marsaglia-Tsang with
+    # the reference's per-lane stream discipline, random.cl.inc:13-398).
+    # Stateful per-lane streams force the scan body to draw noise
+    # in-loop (learner.py keeps it unhoisted by design), so this is
+    # the slow-but-trajectory-comparable point: shared-draw >
+    # reference-semantics > bit-exact. Best-effort; fewer steps (the
+    # rate is an order of magnitude down).
+    bitexact_ups = None
+    try:
+        from mcmc_ammsb_tpu.config import RngBackend
+
+        bcfg = cfg.replace(shared_neighbors=False, window=0,
+                           device_sampling=False,
+                           rng_backend=RngBackend.REFERENCE,
+                           steps_per_call=200)
+        bl = Learner(bcfg, graph, split)
+        t0 = time.time()
+        bl.run(200)
+        int(bl.state.step_count)   # fence warmup/compile
+        print(f"# [bit-exact-rng] warmup (incl. compile): "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        bitexact_ups = 0.0
+        for trial in range(2):
+            s0 = int(bl.state.step_count)
+            t0 = time.time()
+            bl.run(1000)
+            steps_b = int(bl.state.step_count) - s0
+            bdt = time.time() - t0
+            assert steps_b == 1000, steps_b
+            bitexact_ups = max(bitexact_ups, steps_b / bdt)
+            print(f"# [bit-exact-rng] trial {trial}: {steps_b} updates "
+                  f"in {bdt:.2f}s -> {steps_b/bdt:.0f}/s",
+                  file=sys.stderr)
+        bl.close()
+    except Exception as e:  # pragma: no cover
+        print(f"# bit-exact-rng phase skipped: {e}", file=sys.stderr)
     # stratified link/non-link coin (node_coin='alternate'): exactly-
     # 1/2 marginal, lower variance than the reference's RNG coin, and
     # each device sampler runs at half volume (config.py rationale) —
@@ -277,6 +314,28 @@ def main():
         print(f"# powerlaw time-to-ppx phase skipped: {e}",
               file=sys.stderr)
 
+    # autotune verification (VERDICT r3 #8): probe the window-size
+    # candidates on THIS device/graph/config (best-of-2 per candidate,
+    # autotune.py) and record the whole table — the chosen T should
+    # reproduce the measured optimum (T=12 single-chain at these
+    # shapes). Best-effort: one compile per candidate.
+    autotune_table = None
+    autotune_choice = None
+    try:
+        from mcmc_ammsb_tpu.autotune import tune_window
+
+        acfg = cfg.replace(steps_per_call=1000)
+        best_cfg, table = tune_window(
+            acfg, lambda c: Learner(c, graph, split),
+            probe_steps=2000, warm_steps=1000)
+        autotune_table = {str(w): (round(r, 1) if r else None)
+                          for w, r in table.items()}
+        autotune_choice = best_cfg.window
+        print(f"# autotune table: {autotune_table} -> window="
+              f"{autotune_choice}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# autotune phase skipped: {e}", file=sys.stderr)
+
     # convergence sanity on a structured (planted-partition) graph:
     # held-out perplexity must fall substantially from its start.
     # best-effort: a failure here (e.g. a slow tunnel compile) must not
@@ -306,6 +365,39 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# SBM convergence phase skipped: {e}", file=sys.stderr)
 
+    # roofline quantification (VERDICT r3 #6): the workload is
+    # row-gather/scatter LATENCY-bound, not HBM-bandwidth-bound, so
+    # both lenses are reported: (a) the bandwidth ceiling from the
+    # step's HBM traffic model — gather (B+n) pi rows + last-write
+    # scatter of B rows + the noise block, all fp32 K-vectors — and
+    # (b) achieved ns per row touched vs the ~20 ns/row random-row
+    # floor measured on this chip (docs/design.md: random-row gathers
+    # are row-COUNT-bound; scatter lowering ~91-326 ns/row marginal).
+    b_cap, n_s = cfg.max_batch_nodes, cfg.num_node_sample
+    row_bytes = cfg.K * 4
+    rows_per_update = (b_cap + n_s) + b_cap        # gathers + scatter
+    bytes_per_update = (rows_per_update + b_cap) * row_bytes  # + noise
+    hbm_bw = 819e9                                 # TPU v5e ~819 GB/s
+    bw_ceiling = hbm_bw / bytes_per_update
+    ns_per_row = 1e9 / (ups * rows_per_update)
+    roofline = {
+        "bytes_per_update": bytes_per_update,
+        "rows_touched_per_update": rows_per_update,
+        "hbm_bw_gbps_assumed": 819,
+        "hbm_bandwidth_ceiling_updates_per_sec": round(bw_ceiling),
+        "fraction_of_hbm_ceiling": round(ups / bw_ceiling, 4),
+        "achieved_ns_per_row": round(ns_per_row, 1),
+        "random_row_floor_ns_per_row": 20,
+        "fraction_of_row_latency_floor": round(20.0 / ns_per_row, 3),
+        "note": "latency-bound (tiny rows): the meaningful roofline "
+                "is ns/row vs the measured ~20ns random-row floor, "
+                "not HBM GB/s",
+    }
+    print(f"# roofline: {bytes_per_update} B/update -> BW ceiling "
+          f"{bw_ceiling:.0f}/s ({ups/bw_ceiling:.2%}); "
+          f"{ns_per_row:.0f} ns/row vs ~20 ns floor "
+          f"({20.0/ns_per_row:.0%} of floor)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "minibatch phi+beta updates/sec "
                   "(com-DBLP-scale synthetic, K=256, m=32, n=32; "
@@ -324,6 +416,11 @@ def main():
             "window": cfg.window,
             "reference_semantics_rate": round(ref_ups, 2),
             "reference_semantics_ppx": round(ref_ppx, 4),
+            "bit_exact_rng_rate": (round(bitexact_ups, 2)
+                                   if bitexact_ups else None),
+            "autotune_table": autotune_table,
+            "autotune_choice": autotune_choice,
+            "roofline": roofline,
             "stratified_coin_rate": (round(alt_ups, 2)
                                      if alt_ups else None),
             "chains_aggregate_rate": (round(chains_aggregate, 2)

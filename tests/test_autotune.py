@@ -15,6 +15,8 @@ from mcmc_ammsb_tpu.autotune import (probe_rate, tune_window,
 from mcmc_ammsb_tpu.config import Config, SampleStrategy
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def tiny_cfg(**kw):
     base = dict(K=8, mini_batch_size=8, num_node_sample=4,

@@ -16,6 +16,8 @@ from mcmc_ammsb_tpu.config import Config, PhiImpl, RngBackend
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_sbm_edges
 from mcmc_ammsb_tpu.learner import Learner
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def _setup(seed=8, **kw):
     n, u, v = synthetic_sbm_edges(400, 4, p_in=0.12, p_out=0.005,

@@ -8,6 +8,8 @@ from mcmc_ammsb_tpu.chains import MultiChainLearner, rhat
 from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_sbm_edges
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def chain_learner():

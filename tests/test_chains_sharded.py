@@ -14,6 +14,8 @@ from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_sbm_edges
 from mcmc_ammsb_tpu.parallel.chains_sharded import (ShardedChainLearner,
                                                     make_chain_mesh)
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def _make(num_chains=8, groups=4, spc=10, seed=8, **cfg_kw):
     n, u, v = synthetic_sbm_edges(300, 4, p_in=0.15, p_out=0.005,

@@ -10,6 +10,8 @@ from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.learner import Learner
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def fresh_learner(seed=17):
     n, u, v = synthetic_edges(250, 8, seed=seed)

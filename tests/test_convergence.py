@@ -20,6 +20,8 @@ from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_sbm_edges
 from mcmc_ammsb_tpu.learner import Learner
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 # ppx after 0, 250, ..., 1500 fused device-sampled steps (recipe below).
 # The edge-set backend is pinned explicitly: membership LABELS are
 # backend-identical (oracle-tested), but a different membership subgraph

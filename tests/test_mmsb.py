@@ -16,6 +16,8 @@ from mcmc_ammsb_tpu.ops.edgeset import build_edge_set
 
 from oracle import mmsb_phi_oracle, mmsb_theta_grads_oracle
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def mmsb_fixture():

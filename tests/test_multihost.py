@@ -16,6 +16,8 @@ import pytest
 from mcmc_ammsb_tpu.data import Graph, load_snap_edges, synthetic_edges
 from mcmc_ammsb_tpu.parallel import multihost
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -11,6 +11,8 @@ from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.learner import Learner
 from mcmc_ammsb_tpu.utils import profiling
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def make_learner(**cfg_kw):
     n, u, v = synthetic_edges(300, 8, seed=41)

@@ -17,6 +17,8 @@ from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def make_cfg(n_nodes=256, seed=91, **kw):
     n, u, v = synthetic_edges(n_nodes, 8, seed=seed)

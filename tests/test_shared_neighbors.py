@@ -14,6 +14,8 @@ from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_sbm_edges
 from mcmc_ammsb_tpu.learner import Learner
 from mcmc_ammsb_tpu.ops import phi as phi_ops
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def _core_inputs(b, n, k, seed=0):
     rng = np.random.RandomState(seed)

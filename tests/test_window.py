@@ -18,6 +18,8 @@ from mcmc_ammsb_tpu.config import Config, PhiImpl, RngBackend
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.learner import Learner
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 
 def make_pair(n_nodes=300, window=4, impl="jnp", seed=9, **kw):
     n, u, v = synthetic_edges(n_nodes, 8, seed=seed)

@@ -49,6 +49,8 @@ from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 from mcmc_ammsb_tpu.models.mmsb import FullMMSBLearner
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 # measured envelope (module docstring) with margin; pi rows sum to 1
 # and theta is O(1e-2..3), so abs is the meaningful scale for the
 # drift (it lands on the tiny cells)
