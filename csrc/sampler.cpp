@@ -461,4 +461,25 @@ int cuckoo_try(int64_t n_edges, const uint64_t* keys, int64_t num_bins,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Exact theta-init bit stream (/root/reference/mcmc/learner.cc:149-153
+// + random.h:71-79): std::mt19937 seeded with the literal 6342455113
+// (implicitly truncated to the engine's 32-bit result_type, exactly as
+// the reference's constructor call does) driving libstdc++'s
+// std::gamma_distribution<float>(eta0, eta1), 'count' sequential draws
+// filling the interleaved theta buffer ((k,0),(k,1) pairs). Compiled
+// with g++/libstdc++ — the same library family the reference builds
+// against — so the bit stream is the reference's own, closing the
+// documented theta-init deviation when this library is loadable.
+// ---------------------------------------------------------------------------
+
+int ref_theta_init(double eta0, double eta1, uint64_t seed,
+                   int64_t count, float* out) {
+  std::mt19937 gen(static_cast<std::mt19937::result_type>(seed));
+  std::gamma_distribution<float> dist(static_cast<float>(eta0),
+                                      static_cast<float>(eta1));
+  for (int64_t i = 0; i < count; ++i) out[i] = dist(gen);
+  return 0;
+}
+
 }  // extern "C"

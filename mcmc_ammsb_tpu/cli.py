@@ -74,6 +74,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=EdgeSetBackend.AUTO.value)
     p.add_argument("--rng", choices=[m.value for m in RngBackend],
                    default=RngBackend.NATIVE.value)
+    p.add_argument("--theta-init", choices=["native", "libstdc++"],
+                   default="native",
+                   help="theta init bit stream: 'libstdc++' reproduces "
+                        "the reference's exact std::mt19937 + "
+                        "std::gamma_distribution host stream via the "
+                        "native library (learner.cc:149-153) for "
+                        "cross-implementation trajectory comparison "
+                        "from step 0")
     p.add_argument("--pi-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="pi STORAGE precision (compute stays fp32): "
@@ -334,6 +342,7 @@ def config_from_args(args) -> Config:
         phi_impl=PhiImpl(args.phi_impl),
         edgeset_backend=EdgeSetBackend(args.edgeset),
         rng_backend=RngBackend(args.rng),
+        theta_init=args.theta_init,
         pi_dtype=args.pi_dtype,
         steps_per_call=args.steps_per_call,
         window=args.window,

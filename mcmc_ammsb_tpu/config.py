@@ -114,6 +114,15 @@ class Config:
     neighbor_seed: Tuple[int, int] = (56, 57)
     sample_seed: int = 0             # host minibatch sampler seed
     init_seed: int = 6342455113      # theta/pi init (learner.cc:150)
+    # theta init bit stream: "native" draws from this repo's counter
+    # RNG (distribution + stream discipline parity); "libstdc++" runs
+    # the reference's EXACT host stream — std::mt19937(init_seed,
+    # 32-bit-truncated exactly like the reference's constructor call)
+    # driving std::gamma_distribution<float> via the native C library
+    # (csrc ref_theta_init; raises if the library is unavailable).
+    # Closes the documented theta-init deviation (PARITY.md) for
+    # cross-implementation trajectory comparison from step 0.
+    theta_init: str = "native"       # native | libstdc++
 
     # --- numerics / testing ----------------------------------------------
     phi_disable_noise: bool = False  # golden-test mode (config.h:57)
@@ -301,6 +310,9 @@ class Config:
         if self.node_coin not in ("random", "alternate"):
             raise ValueError(f"unknown node_coin {self.node_coin!r} "
                              "(random | alternate)")
+        if self.theta_init not in ("native", "libstdc++"):
+            raise ValueError(f"unknown theta_init {self.theta_init!r} "
+                             "(native | libstdc++)")
         if self.node_coin == "alternate" and not self.device_sampling:
             raise ValueError(
                 "node_coin='alternate' is a device-sampling lever (the "

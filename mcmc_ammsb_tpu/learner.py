@@ -238,6 +238,14 @@ def init_state(cfg: Config, heldout_size: int,
         pi, phi_sum = chunked_pi_rows(cfg, k_pi,
                                       pi_storage_dtype(cfg), dtype)
         ref_seeds = None
+    if cfg.theta_init == "libstdc++":
+        # the reference's exact host bit stream (learner.cc:149-153):
+        # sequential std::gamma_distribution draws filling the
+        # interleaved (k,0),(k,1) theta buffer — see Config.theta_init
+        from mcmc_ammsb_tpu import native
+        theta = jnp.asarray(
+            native.ref_theta_init(cfg.eta0, cfg.eta1, cfg.init_seed,
+                                  2 * cfg.K).reshape(cfg.K, 2), dtype)
     beta = theta[:, 1] / (theta[:, 0] + theta[:, 1])
     if pi is None:
         phi_sum = jnp.sum(phi_raw, axis=-1)

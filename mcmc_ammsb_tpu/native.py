@@ -112,6 +112,11 @@ def _load() -> Optional[ctypes.CDLL]:
             i64, ctypes.c_uint64,                    # num_bins, seed
             ctypes.c_void_p,                         # out slots
         ]
+        lib.ref_theta_init.restype = ctypes.c_int
+        lib.ref_theta_init.argtypes = [
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
+            i64, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -212,6 +217,28 @@ def chd_build(u: np.ndarray, v: np.ndarray, m_slots: int,
     if rc != 0:
         raise IOError(f"chd_build failed: rc={rc}")
     return d, slot_of
+
+
+def ref_theta_init(eta0: float, eta1: float, seed: int,
+                   count: int) -> np.ndarray:
+    """The reference's EXACT theta-init bit stream
+    (learner.cc:149-153): std::mt19937(seed-truncated-to-32-bit)
+    driving libstdc++'s std::gamma_distribution<float>(eta0, eta1),
+    ``count`` sequential draws in the interleaved (k,0),(k,1) layout.
+    Raises when the native library is unavailable — callers opting
+    into bit-stream parity must fail loudly, not silently swap
+    distributions (Config.theta_init)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "theta_init='libstdc++' needs the native library "
+            "(g++/libstdc++); it is unavailable on this host")
+    out = np.empty(count, np.float32)
+    rc = lib.ref_theta_init(float(eta0), float(eta1),
+                            seed & 0xFFFFFFFFFFFFFFFF, count, _ptr(out))
+    if rc != 0:
+        raise IOError(f"ref_theta_init failed: rc={rc}")
+    return out
 
 
 def cuckoo_try(keys: np.ndarray, num_bins: int, seed: int):
