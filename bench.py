@@ -94,12 +94,13 @@ def main():
         "reference-semantics")
     # strictness-ladder floor: the BIT-EXACT reference RNG backend
     # (rng/reference.py — xorshift128+/Ziggurat/Marsaglia-Tsang with
-    # the reference's per-lane stream discipline, random.cl.inc:13-398).
-    # Stateful per-lane streams force the scan body to draw noise
-    # in-loop (learner.py keeps it unhoisted by design), so this is
-    # the slow-but-trajectory-comparable point: shared-draw >
-    # reference-semantics > bit-exact. Best-effort; fewer steps (the
-    # rate is an order of magnitude down).
+    # the reference's per-lane stream discipline, random.cl.inc:13-398),
+    # decoded through the block decoder (rng/refblock.py, round 4:
+    # word-buffer generation + pointer-doubled rejection chains replace
+    # the per-draw while regions; trajectories bit-identical,
+    # tests/test_refblock.py). Still the slow-but-trajectory-comparable
+    # point: shared-draw > reference-semantics > bit-exact.
+    # Best-effort; fewer steps.
     bitexact_ups = None
     try:
         from mcmc_ammsb_tpu.config import RngBackend

@@ -131,6 +131,14 @@ class Config:
     phi_impl: PhiImpl = PhiImpl.JNP
     edgeset_backend: EdgeSetBackend = EdgeSetBackend.AUTO
     rng_backend: RngBackend = RngBackend.NATIVE
+    ref_rng_block: bool = True
+    # With rng_backend=reference, decode the bit-exact streams through
+    # the block decoder (rng/refblock.py: one xorshift word buffer per
+    # stage, rejection chains resolved by pointer doubling) instead of
+    # the faithful per-draw lax.while_loop regions. Values, order and
+    # stream positions are BIT-identical (tests/test_refblock.py pins
+    # exact equality incl. forced refills); the loop form survives only
+    # as the cross-check oracle. False = faithful loops.
     steps_per_call: int = 1          # lax.scan fusion depth of the run loop
     scan_unroll: int = 4             # lax.scan unroll factor (per-step
                                      # control overhead vs binary size)
@@ -149,7 +157,8 @@ class Config:
     # (neighbor == node, prob ~n/N) are masked with the per-node
     # count-aware scale. Requires rng_backend=native, phi_impl=jnp.
     node_coin: str = "random"        # random | alternate
-    # How the Node strategy picks link vs non-link each step
+    # How the Node (and device-sampled BF) strategy picks link vs
+    # non-link each step
     # (sample.cc:295-302 flips an RNG coin). 'random' reproduces the
     # reference exactly — but the static-shape device sampler must
     # then compute BOTH candidate draws for every step and select
@@ -194,6 +203,21 @@ class Config:
     # p < 1 per pivot draw (same class as the masked non-link
     # residuals); beta is unbiased at any cap. Buffers shrink from
     # max(m, max_fan_out) to max(m, min(max_fan_out, c)) edges.
+    ds_bf_rounds: int = 4            # device BF expansion rounds
+    ds_bf_pops: int = 8              # device BF queue pops per round
+    # Device-sampled breadth-first family (ops/device_sampling.py
+    # _sample_bf_*): the host's FIFO queue expansion (sample.cc:177-248
+    # / sampling.py _bf_link/_bf_non_link) becomes ds_bf_rounds rounds
+    # that each pop (up to) ds_bf_pops queue entries and expand them in
+    # parallel. Pops always advance head to at most the round-start
+    # tail, so the edge stream order is EXACTLY the host's FIFO order;
+    # the only deviation is the bounded total expansion budget
+    # 1 + (rounds-1)*pops (the host expands until it holds m edges) —
+    # steps whose stream runs dry keep m_eff < m edges, masked and
+    # reweighted by weight*m_eff == (the strategy's numerator) exactly
+    # like the NodeNonLink residuals. Defaults cover m=32 on
+    # mean-degree >= 2 graphs with ~1e-3 shortfall rates; raise rounds
+    # for sparser graphs.
     node_tile: int = 8               # Pallas: minibatch nodes per block
     # T-step WINDOWED fused loop (ops/window.py): the scan advances T
     # steps per iteration — ONE bulk pi-row gather, ONE Pallas
@@ -307,6 +331,8 @@ class Config:
         if self.ds_link_rounds < 0 or self.ds_nonlink_rounds < 0:
             raise ValueError("ds_link_rounds/ds_nonlink_rounds must be "
                              ">= 0 (0 = single draw, residuals masked)")
+        if self.ds_bf_rounds < 1 or self.ds_bf_pops < 1:
+            raise ValueError("ds_bf_rounds and ds_bf_pops must be >= 1")
         if self.node_coin not in ("random", "alternate"):
             raise ValueError(f"unknown node_coin {self.node_coin!r} "
                              "(random | alternate)")

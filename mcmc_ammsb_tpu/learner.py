@@ -295,11 +295,19 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     with jax.named_scope("neighbor_draws"):
         if cfg.rng_backend == RngBackend.REFERENCE:
             # exact reference algorithm: per-lane xorshift streams +
-            # open-addressing hash dedup, bit-exact draw discipline
-            from mcmc_ammsb_tpu.rng import reference as ref
-            neighbors, nbr_seeds = ref.sample_neighbors_reference(
-                ref_seeds.neighbor, batch.nodes, cfg.N,
-                cfg.num_node_sample, batch.node_mask)
+            # open-addressing hash dedup, bit-exact draw discipline;
+            # block decode by default (refblock.py — same bits, no
+            # per-draw while regions)
+            if cfg.ref_rng_block:
+                from mcmc_ammsb_tpu.rng import refblock
+                neighbors, nbr_seeds = refblock.sample_neighbors_block(
+                    ref_seeds.neighbor, batch.nodes, cfg.N,
+                    cfg.num_node_sample, batch.node_mask)
+            else:
+                from mcmc_ammsb_tpu.rng import reference as ref
+                neighbors, nbr_seeds = ref.sample_neighbors_reference(
+                    ref_seeds.neighbor, batch.nodes, cfg.N,
+                    cfg.num_node_sample, batch.node_mask)
             ref_seeds = ref_seeds._replace(neighbor=nbr_seeds)
         elif cfg.shared_neighbors:
             # ONE shared draw per step (validity: config.py knob doc);
@@ -323,13 +331,20 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
         # K sequential ziggurat draws per active node lane, matching
         # the per-thread loop order of phi.cc:114-121; padded lanes
         # consume nothing (threads with i >= num nodes exit early)
-        from mcmc_ammsb_tpu.rng import reference as ref
-        seeds = ref_seeds.phi
-        cols = []
-        for _ in range(cfg.K):
-            x, seeds = ref.randn(seeds, batch.node_mask)
-            cols.append(x)
-        phi_noise = jnp.stack(cols, axis=-1).astype(state.phi_sum.dtype)
+        if cfg.ref_rng_block:
+            from mcmc_ammsb_tpu.rng import refblock
+            noise, seeds = refblock.randn_block(
+                ref_seeds.phi, cfg.K, batch.node_mask)
+            phi_noise = noise.astype(state.phi_sum.dtype)
+        else:
+            from mcmc_ammsb_tpu.rng import reference as ref
+            seeds = ref_seeds.phi
+            cols = []
+            for _ in range(cfg.K):
+                x, seeds = ref.randn(seeds, batch.node_mask)
+                cols.append(x)
+            phi_noise = jnp.stack(cols, axis=-1).astype(
+                state.phi_sum.dtype)
         ref_seeds = ref_seeds._replace(phi=seeds)
     else:
         phi_noise = native_rng.randn(
@@ -371,10 +386,16 @@ def train_step(cfg: Config, edge_set: EdgeSet, state: TrainState,
     beta_count = state.beta_count + 1
     if cfg.rng_backend == RngBackend.REFERENCE:
         # r0 then r1 per community stream (beta.cc:60-78)
-        from mcmc_ammsb_tpu.rng import reference as ref
-        r0, bseeds = ref.randn(ref_seeds.beta)
-        r1, bseeds = ref.randn(bseeds)
-        beta_noise = jnp.stack([r0, r1], axis=-1).astype(state.phi_sum.dtype)
+        if cfg.ref_rng_block:
+            from mcmc_ammsb_tpu.rng import refblock
+            bn, bseeds = refblock.randn_block(ref_seeds.beta, 2)
+            beta_noise = bn.astype(state.phi_sum.dtype)
+        else:
+            from mcmc_ammsb_tpu.rng import reference as ref
+            r0, bseeds = ref.randn(ref_seeds.beta)
+            r1, bseeds = ref.randn(bseeds)
+            beta_noise = jnp.stack([r0, r1], axis=-1).astype(
+                state.phi_sum.dtype)
         ref_seeds = ref_seeds._replace(beta=bseeds)
     else:
         beta_noise = native_rng.randn(
