@@ -7,8 +7,7 @@ the only per-step host round-trip; this module moves the random-node
 strategies onto the device so hundreds of SGRLD steps run as ONE
 dispatch with zero host involvement (``Config.device_sampling``).
 
-Implemented strategies (the Node family; the breadth-first family is
-queue-driven and stays on the host — SURVEY.md §2 #13):
+Implemented strategies (all six — SURVEY.md §2 #13):
 
   NodeLink    — one random non-isolated node, all of its training
                 edges, weight N          (sample.cc:253-268)
@@ -16,6 +15,17 @@ queue-driven and stays on the host — SURVEY.md §2 #13):
                 training and held-out edges, weight 2E/m
                 (sample.cc:275-293)
   Node        — fair coin between the two (sample.cc:295-302)
+  BFLink      — breadth-first training-edge collection from a random
+                pivot, weight E/m        (sample.cc:210-239)
+  BFNonLink   — breadth-first non-link collection (32 draws per
+                expanded node), weight (N(N-1)/2 - E)/m
+                (sample.cc:177-208)
+  BF          — fair coin between the two (sample.cc:241-248)
+
+The BF family's host FIFO queue becomes a fixed round schedule whose
+pops never pass the round-start tail, so the device replays the exact
+host expansion order with a bounded total budget (_bf_expand; knobs
+``ds_bf_rounds``/``ds_bf_pops``).
 
 Everything is *natively batched over the step axis* — a whole scan
 chunk's minibatches are drawn in one vectorized block with NO
@@ -255,6 +265,226 @@ def _sample_node_non_link_batch(cfg: Config, training_set, heldout_set,
     return eu, ev, ok, weight, u
 
 
+def _compose_rows(values: jnp.ndarray, dst: jnp.ndarray,
+                  width: int) -> jnp.ndarray:
+    """Batched ordered append: place ``values[s, l]`` at column
+    ``dst[s, l]`` of a fresh [S, width] int32 buffer (lanes with
+    ``dst >= width`` are dropped; kept dst must be unique per row).
+
+    One-hot f32 einsum instead of a batched scatter — batched scatters
+    lower poorly on TPU (docs/design.md "vmap-axis chains plateau low")
+    while this rides the MXU; exact for values < 2^24 (node ids)."""
+    oh = jax.nn.one_hot(dst, width + 1, dtype=jnp.float32)[..., :width]
+    out = jnp.einsum("sl,slw->sw", values.astype(jnp.float32), oh)
+    return out.astype(jnp.int32)
+
+
+def _keep_first_dups(a: jnp.ndarray, b: jnp.ndarray,
+                     valid: jnp.ndarray) -> jnp.ndarray:
+    """True for lanes whose (a, b) pair already appeared at an EARLIER
+    valid lane of the same row (keep-first dedup over [S, L] without
+    the [S, L, L] pairwise blow-up): two stable lexicographic sorts —
+    mark equal-to-predecessor in sorted order, restore lane order."""
+    s_len, L = a.shape
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (s_len, L))
+    # invalid lanes get unique sink keys so they never pair up
+    ka = jnp.where(valid, a, jnp.int32(2**31 - 2))
+    kb = jnp.where(valid, b, pos)
+    sa, sb, sp = jax.lax.sort((ka, kb, pos), num_keys=2, is_stable=True)
+    dup = (sa[:, 1:] == sa[:, :-1]) & (sb[:, 1:] == sb[:, :-1])
+    dup = jnp.concatenate(
+        [jnp.zeros((s_len, 1), jnp.bool_), dup], axis=1)
+    _, restored = jax.lax.sort((sp, dup.astype(jnp.int32)), num_keys=1,
+                               is_stable=True)
+    return restored.astype(jnp.bool_) & valid
+
+
+def _bf_expand(cfg: Config, key, s_len: int, cand_fn, cand_width: int):
+    """Shared breadth-first expansion engine for the device BF family.
+
+    Vectorized-over-steps replay of the host FIFO loop
+    (sampling.py::_bf_link/_bf_non_link, mirroring the reference's
+    sampleBreadthFirst* at /root/reference/mcmc/sample.cc:177-248):
+
+      queue q, seen set, edge dict; pop u (skip seen), emit u's
+      candidate edges in order (dict-deduped, stop at m), push u's
+      candidates; empty queue -> fresh unseen pivot.
+
+    Device form: ``cfg.ds_bf_rounds`` rounds each pop up to
+    ``cfg.ds_bf_pops`` entries — but never past the round-start tail,
+    so pops replay the host's FIFO order EXACTLY (children pushed this
+    round are popped next round, precisely the entries the host would
+    pop next). Seen-skips are masked expansions; the per-round
+    candidate stream (pop order x in-row order) is dict-deduped
+    keep-first against the edge buffer and within the round, and the
+    first m survivors ARE the host's first m edges whenever the
+    expansion budget 1 + (rounds-1)*pops covers the nodes the host
+    expanded. Queue/edge appends are one-hot MXU composes; the queue
+    is capped at the number of positions that can ever be popped, so
+    the cap drops nothing reachable.
+
+    ``cand_fn(u, expand, key) -> (v [S,P,C], cand_valid [S,P,C])``
+    supplies each popped node's candidate partners (adjacency row for
+    BFLink, rejection-sampled non-partners for BFNonLink).
+
+    Returns (eu, ev, edge_mask, m_eff) with [S, m]-shaped buffers.
+    """
+    S, P, R = s_len, cfg.ds_bf_pops, cfg.ds_bf_rounds
+    m = cfg.mini_batch_size
+    q_cap = 1 + (R - 1) * P      # pops advance head <= P per round and
+    x_cap = q_cap                # round 0 holds only the pivot
+    L = P * cand_width
+
+    qbuf = jnp.zeros((S, q_cap), jnp.int32)
+    head = jnp.zeros((S,), jnp.int32)
+    tail = jnp.zeros((S,), jnp.int32)
+    seen = jnp.zeros((S, x_cap), jnp.int32)      # expanded-node list
+    xcnt = jnp.zeros((S,), jnp.int32)
+    ebuf_a = jnp.zeros((S, m), jnp.int32)
+    ebuf_b = jnp.zeros((S, m), jnp.int32)
+    ecnt = jnp.zeros((S,), jnp.int32)
+
+    lane_q = jnp.arange(q_cap, dtype=jnp.int32)
+    lane_x = jnp.arange(x_cap, dtype=jnp.int32)
+    lane_m = jnp.arange(m, dtype=jnp.int32)
+
+    for r in range(R):
+        kr = jax.random.fold_in(key, r)
+        # -- empty queue (start, isolated pivot, exhausted component):
+        #    inject a fresh pivot at tail, exactly the host's
+        #    `if not q: q.append(_fresh_pivot(seen))` -----------------
+        need = (tail == head) & (ecnt < m)
+        pivot = jax.random.randint(jax.random.fold_in(kr, 0), (S,),
+                                   0, cfg.N, jnp.int32)
+        for t in range(2):       # bounded not-in-seen redraws
+            hit = jnp.any((pivot[:, None] == seen)
+                          & (lane_x[None, :] < xcnt[:, None]), axis=1)
+            redraw = jax.random.randint(jax.random.fold_in(kr, t + 1),
+                                        (S,), 0, cfg.N, jnp.int32)
+            pivot = jnp.where(hit, redraw, pivot)
+        qbuf = qbuf + _compose_rows(
+            pivot[:, None], jnp.where(need, tail, q_cap)[:, None], q_cap)
+        tail = jnp.minimum(tail + need.astype(jnp.int32), q_cap)
+
+        # -- pop the next (up to) P entries, FIFO ---------------------
+        offs = head[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+        pop_valid = offs < tail[:, None]
+        u = jnp.take_along_axis(qbuf, jnp.minimum(offs, q_cap - 1),
+                                axis=1)                       # [S, P]
+        was_seen = jnp.any(
+            (u[:, :, None] == seen[:, None, :])
+            & (lane_x[None, None, :] < xcnt[:, None, None]), axis=2)
+        dup_pop = jnp.any(
+            (u[:, :, None] == u[:, None, :]) & pop_valid[:, None, :]
+            & jnp.tril(jnp.ones((P, P), jnp.bool_), -1)[None], axis=2)
+        expand = pop_valid & ~was_seen & ~dup_pop
+        head = head + jnp.minimum(jnp.int32(P), tail - head)
+
+        # record expansions in the seen list
+        dstx = xcnt[:, None] + jnp.cumsum(expand, axis=1) - 1
+        seen = seen + _compose_rows(
+            u, jnp.where(expand, dstx, x_cap), x_cap)
+        xcnt = xcnt + jnp.sum(expand, axis=1)
+
+        # -- candidate edge stream (pop order x in-row order) ---------
+        v, cvalid = cand_fn(u, expand, jax.random.fold_in(kr, 9))
+        vf = v.reshape(S, L)
+        cvalid = cvalid.reshape(S, L)
+        uf = jnp.repeat(u, cand_width, axis=1)
+        a = jnp.minimum(uf, vf)
+        b = jnp.maximum(uf, vf)
+        dup_buf = jnp.any(
+            (a[:, :, None] == ebuf_a[:, None, :])
+            & (b[:, :, None] == ebuf_b[:, None, :])
+            & (lane_m[None, None, :] < ecnt[:, None, None]), axis=2)
+        fresh = cvalid & ~dup_buf & ~_keep_first_dups(a, b, cvalid)
+        before = ecnt[:, None] + jnp.cumsum(fresh, axis=1) - fresh
+        keep = fresh & (before < m)
+        dst_e = jnp.where(keep, before, m)
+        ebuf_a = ebuf_a + _compose_rows(a, dst_e, m)
+        ebuf_b = ebuf_b + _compose_rows(b, dst_e, m)
+        ecnt = ecnt + jnp.sum(keep, axis=1)
+
+        # -- queue pushes: every candidate emitted while the edge dict
+        #    was still short of m (the host pushes BEFORE dict-dedup) --
+        push = cvalid & (before < m)
+        dst_q = tail[:, None] + jnp.cumsum(push, axis=1) - 1
+        dst_q = jnp.where(push & (dst_q < q_cap), dst_q, q_cap)
+        qbuf = qbuf + _compose_rows(vf, dst_q, q_cap)
+        tail = jnp.minimum(tail + jnp.sum(push, axis=1), q_cap)
+
+    mask = lane_m[None, :] < ecnt[:, None]
+    return ebuf_a, ebuf_b, mask, ecnt
+
+
+def _pad_bf(cfg: Config, eu, ev, mask):
+    pad = cfg.max_batch_edges - eu.shape[1]
+    if pad:
+        eu = jnp.pad(eu, ((0, 0), (0, pad)))
+        ev = jnp.pad(ev, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return eu, ev, mask
+
+
+def _sample_bf_link_batch(cfg: Config, adj, key, s_len: int):
+    """[S] BFLink draws (sample.cc:210-239 / sampling.py::_bf_link):
+    breadth-first training-edge collection from a random pivot,
+    weight E/m. Candidate partners = the popped node's CSR row; rows
+    longer than the 2m gather cap are truncated (a hub's first 2m
+    neighbors always cover the <= m fresh edges one expansion can
+    contribute plus the <= m-1 possible dict dups; pushes past the
+    queue cap are unreachable anyway), so stream parity holds for
+    max_fan_out <= 2m and degrades gracefully on heavy tails."""
+    r_cap = max(1, min(cfg.max_fan_out, 2 * cfg.mini_batch_size))
+
+    def cand_fn(u, expand, _):
+        uc = jnp.minimum(u, cfg.N - 1)
+        deg = adj.degree(uc)                              # [S, P]
+        lane = jnp.arange(r_cap, dtype=jnp.int32)
+        v = adj.row_gather(uc, jnp.broadcast_to(
+            lane, (*u.shape, r_cap)))
+        cvalid = expand[..., None] & (lane < deg[..., None])
+        return v, cvalid
+
+    eu, ev, mask, m_eff = _bf_expand(cfg, key, s_len, cand_fn, r_cap)
+    eu, ev, mask = _pad_bf(cfg, eu, ev, mask)
+    weight = cfg.E / jnp.maximum(m_eff.astype(jnp.float32), 1.0)
+    return eu, ev, mask, weight
+
+
+def _sample_bf_non_link_batch(cfg: Config, training_set, key,
+                              s_len: int):
+    """[S] BFNonLink draws (sample.cc:177-208 / _bf_non_link): each
+    popped node contributes up to 32 uniform non-partners (rejecting
+    self and TRAINING edges only — the host BF path does not consult
+    the held-out set, unlike NodeNonLink), weight (N(N-1)/2 - E)/m.
+    Rejections use cfg.ds_nonlink_rounds masked redraws; residual bad
+    lanes are masked (the m_eff reweight absorbs them)."""
+    draws = 32                  # per-expansion budget, sampling.py:200
+
+    def cand_fn(u, expand, kc):
+        shape = (*u.shape, draws)
+        v = jax.random.randint(jax.random.fold_in(kc, 0), shape,
+                               0, cfg.N, jnp.int32)
+
+        def bad(v):
+            a = jnp.minimum(u[..., None], v)
+            b = jnp.maximum(u[..., None], v)
+            return (v == u[..., None]) | training_set.has_edges(a, b)
+
+        for t in range(cfg.ds_nonlink_rounds):
+            redraw = jax.random.randint(jax.random.fold_in(kc, t + 1),
+                                        shape, 0, cfg.N, jnp.int32)
+            v = jnp.where(bad(v), redraw, v)
+        return v, expand[..., None] & ~bad(v)
+
+    eu, ev, mask, m_eff = _bf_expand(cfg, key, s_len, cand_fn, draws)
+    eu, ev, mask = _pad_bf(cfg, eu, ev, mask)
+    total = cfg.N * (cfg.N - 1) / 2.0 - cfg.E
+    weight = total / jnp.maximum(m_eff.astype(jnp.float32), 1.0)
+    return eu, ev, mask, weight
+
+
 def _interleave_steps(link, non, n_link: int, n_non: int, period: int):
     """Merge two per-step draw blocks so steps 0,2,4,... take the
     ``link`` rows and 1,3,5,... the ``non`` rows (``period`` draws per
@@ -292,7 +522,11 @@ def sample_minibatches_device(
     ``alt_period`` is the draws-per-step factor (the chain count for
     the flat multi-chain engine) used by ``node_coin='alternate'`` to
     alternate by STEP, not by flattened draw index."""
+    bf_family = cfg.strategy in (SampleStrategy.BF,
+                                 SampleStrategy.BF_LINK,
+                                 SampleStrategy.BF_NON_LINK)
     if (cfg.strategy != SampleStrategy.NODE_NON_LINK
+            and not bf_family         # BF batches hold <= m edges
             and not cfg.ds_link_cap
             and cfg.max_batch_edges < cfg.max_fan_out):
         # the host paths fail loudly on overflow (pad_batch / native
@@ -310,7 +544,8 @@ def sample_minibatches_device(
         adj = training_set              # ShardedCSR doubles as both
     elif training_set.backend == "csr":
         adj = _TupleAdj(*training_set.arrays)
-    elif cfg.strategy == SampleStrategy.NODE_NON_LINK:
+    elif cfg.strategy in (SampleStrategy.NODE_NON_LINK,
+                          SampleStrategy.BF_NON_LINK):
         adj = None                  # non-link draws never touch the CSR
     else:
         raise ValueError(
@@ -366,13 +601,61 @@ def sample_minibatches_device(
         mask = jnp.where(coin[:, None], l[2], n[2])
         weight = jnp.where(coin, l[3], n[3])
         pivot = jnp.where(coin, l[4], n[4])
+    elif cfg.strategy == SampleStrategy.BF_LINK:
+        with jax.named_scope("ds_bf_link"):
+            eu, ev, mask, weight = _sample_bf_link_batch(
+                cfg, adj, k_link, s_len)
+        pivot = None
+    elif cfg.strategy == SampleStrategy.BF_NON_LINK:
+        with jax.named_scope("ds_bf_nonlink"):
+            eu, ev, mask, weight = _sample_bf_non_link_batch(
+                cfg, training_set, k_non, s_len)
+        pivot = None
+    elif cfg.strategy == SampleStrategy.BF and cfg.node_coin == "alternate":
+        if s_len % alt_period:
+            raise ValueError(
+                f"s_len={s_len} must be a multiple of "
+                f"alt_period={alt_period}")
+        n_steps = s_len // alt_period
+        n_link = (n_steps + 1) // 2
+        n_non = n_steps // 2
+        with jax.named_scope("ds_bf_link"):
+            l = _sample_bf_link_batch(cfg, adj, k_link,
+                                      n_link * alt_period)
+        if n_non == 0:
+            eu, ev, mask, weight = l
+        else:
+            with jax.named_scope("ds_bf_nonlink"):
+                nl = _sample_bf_non_link_batch(
+                    cfg, training_set, k_non, n_non * alt_period)
+            eu, ev, mask, weight = _interleave_steps(
+                l, nl, n_link, n_non, alt_period)
+        pivot = None
+    elif cfg.strategy == SampleStrategy.BF:
+        # fair coin per step (sample.cc:241-248): both draws, select
+        with jax.named_scope("ds_bf_link"):
+            l = _sample_bf_link_batch(cfg, adj, k_link, s_len)
+        with jax.named_scope("ds_bf_nonlink"):
+            n = _sample_bf_non_link_batch(cfg, training_set, k_non,
+                                          s_len)
+        coin = jax.random.bernoulli(k_coin, shape=(s_len,))
+        eu = jnp.where(coin[:, None], l[0], n[0])
+        ev = jnp.where(coin[:, None], l[1], n[1])
+        mask = jnp.where(coin[:, None], l[2], n[2])
+        weight = jnp.where(coin, l[3], n[3])
+        pivot = None
     else:
-        raise ValueError(
-            f"strategy {cfg.strategy} is host-only (breadth-first "
-            "sampling is queue-driven); disable device_sampling")
+        raise ValueError(f"unknown device sampling strategy "
+                         f"{cfg.strategy}")
 
     with jax.named_scope("ds_extract_nodes"):
-        nodes, node_mask = _structural_nodes(cfg, eu, ev, mask, pivot)
+        if pivot is None:
+            # BF batches span many expanded nodes (no shared pivot);
+            # use the strategy-agnostic sort dedup
+            nodes, node_mask = _extract_nodes(cfg, eu, ev, mask)
+        else:
+            nodes, node_mask = _structural_nodes(cfg, eu, ev, mask,
+                                                 pivot)
     return DeviceSamples(eu, ev, mask, nodes, node_mask, weight)
 
 

@@ -230,13 +230,6 @@ def test_fused_loop_trains(setup):
     lrn.close()
 
 
-def test_device_sampling_rejects_bf(setup):
-    n, split, graph, tr, ho = setup
-    cfg = _cfg(setup, SampleStrategy.BF)
-    with pytest.raises(ValueError, match="host-only"):
-        sample_minibatch_device(cfg, tr, ho, jax.random.PRNGKey(0))
-
-
 def test_device_sampling_perfect_backend_with_adjacency(setup):
     """Non-CSR membership backends supply the graph CSR explicitly;
     link strategies without it must raise."""
