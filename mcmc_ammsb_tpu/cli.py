@@ -246,6 +246,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", type=str, default="",
                    help="restore checkpoint before training "
                         "(file = npz, directory = orbax)")
+    p.add_argument("--restore-ref", type=str, default="",
+                   help="import a checkpoint written by the REFERENCE "
+                        "binary (length-prefixed protobuf stream, "
+                        "serialize.h:13-113) as the initial state; the "
+                        "file's layout depends on whether the writer "
+                        "ran with MCMC_CALC_TRAIN_PPX — match it with "
+                        "--calc-train-ppx here. Single-model engines "
+                        "only (the reference is single-GPU).")
     return p
 
 
@@ -567,6 +575,12 @@ def main(argv=None) -> int:
 
     signal.signal(signal.SIGINT, handler)
 
+    if args.restore_ref and (args.num_chains > 1 or args.model == "mmsb"
+                             or args.mesh):
+        log.fatal("--restore-ref imports the reference's single-GPU "
+                  "state; use the single-chip a-MMSB engine")
+        return 1
+
     if args.num_chains > 1:
         if args.chain_devices > 1:
             if args.chain_engine != "flat":
@@ -702,6 +716,28 @@ def main(argv=None) -> int:
         load_checkpoint(args.restore, learner)
         log.info("restored checkpoint %s (step=%d)", args.restore,
                  int(learner.state.step_count))
+    if args.restore_ref:
+        # cross-implementation bridge (VERDICT r3 #9): resume a run the
+        # REFERENCE binary checkpointed (learner.cc:301-330 byte layout)
+        import numpy as np
+
+        from mcmc_ammsb_tpu.refckpt import (read_reference_checkpoint,
+                                            to_train_state)
+        raw = read_reference_checkpoint(
+            args.restore_ref, with_train_ppx=cfg.calc_train_ppx)
+        h = len(split.heldout_edges_u)
+        if len(raw["ppx_per_edge"]) != h:
+            # different held-out population (e.g. another split seed):
+            # the model state still imports; the running per-edge ppx
+            # averages restart from zero
+            log.warning("reference checkpoint held-out size %d != %d "
+                        "here; ppx running averages restart",
+                        len(raw["ppx_per_edge"]), h)
+            raw = dict(raw, ppx_per_edge=np.zeros(h, np.float32),
+                       ppx_count=0)
+        learner.state = to_train_state(cfg, raw, heldout_size=h)
+        log.info("imported reference checkpoint %s (step=%d)",
+                 args.restore_ref, int(learner.state.step_count))
 
     log.info("ppx[0] = %s", learner.heldout_perplexity())
 

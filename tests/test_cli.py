@@ -212,3 +212,47 @@ def test_cli_synthetic_powerlaw_with_cap(caplog):
     assert "ppx[24]" in out
     assert "ds_link_cap=8" in out            # config echo carries it
     assert "window auto-disabled" not in out  # b_cap is cap-sized now
+
+
+def test_cli_restore_ref_checkpoint(tmp_path, caplog):
+    """--restore-ref imports a checkpoint the REFERENCE binary wrote
+    (serialize.h byte layout) and resumes training from its counters —
+    the cross-implementation bridge is CLI-reachable."""
+    import numpy as np
+
+    from mcmc_ammsb_tpu.data import generate_sets, synthetic_edges
+    from mcmc_ammsb_tpu.refckpt import write_reference_checkpoint
+
+    # replicate the CLI's --synthetic 300,8 dataset exactly
+    # (synthetic seed=1, --split-seed default 12345) so the imported
+    # state's dimensions match and the running ppx averages carry over
+    n, u, v = synthetic_edges(300, 8, seed=1)
+    split = generate_sets(n, u, v, heldout_ratio=0.1, seed=12345)
+    h = len(split.heldout_edges_u)
+
+    rng = np.random.RandomState(7)
+    k = 8
+    theta = rng.gamma(1.0, 1.0, size=(k, 2)).astype(np.float32)
+    seeds = rng.randint(0, 2**31, size=(16, 4)).astype(np.uint32)
+    path = str(tmp_path / "reference.ckpt")
+    write_reference_checkpoint(
+        path, theta=theta,
+        beta=(theta[:, 1] / theta.sum(-1)).astype(np.float32),
+        pi=rng.dirichlet(np.ones(k), size=n).astype(np.float32),
+        phi_sum=rng.gamma(2.0, 1.0, size=n).astype(np.float32),
+        ppx_per_edge=rng.uniform(0.1, 0.9, size=h).astype(np.float32),
+        phi_seeds=seeds, beta_seeds=seeds[::-1].copy(),
+        step_count=500, beta_count=499, ppx_count=3)
+
+    rc, out = run_cli(BASE + ["--restore-ref", path, "-x", "20", "-i",
+                              "10", "--steps-per-call", "5"], caplog)
+    assert rc == 0
+    assert "imported reference checkpoint" in out
+    assert "(step=500)" in out
+    assert "ppx[20]" in out
+    assert "held-out size" not in out     # exact-match import, no reset
+
+    # engines the reference never had refuse the single-GPU state
+    rc, out = run_cli(BASE + ["--restore-ref", path, "--num-chains",
+                              "2", "-x", "5", "-i", "5"], caplog)
+    assert rc == 1
