@@ -74,6 +74,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=EdgeSetBackend.AUTO.value)
     p.add_argument("--rng", choices=[m.value for m in RngBackend],
                    default=RngBackend.NATIVE.value)
+    p.add_argument("--no-ref-rng-block", dest="ref_rng_block",
+                   action="store_false", default=True,
+                   help="with --rng reference: use the faithful "
+                        "per-draw rejection loops instead of the "
+                        "bit-identical block decoder (rng/refblock.py; "
+                        "same bits, 25x faster compiles — the loops "
+                        "remain as the cross-check oracle)")
     p.add_argument("--theta-init", choices=["native", "libstdc++"],
                    default="native",
                    help="theta init bit stream: 'libstdc++' reproduces "
@@ -350,6 +357,7 @@ def config_from_args(args) -> Config:
         phi_impl=PhiImpl(args.phi_impl),
         edgeset_backend=EdgeSetBackend(args.edgeset),
         rng_backend=RngBackend(args.rng),
+        ref_rng_block=args.ref_rng_block,
         theta_init=args.theta_init,
         pi_dtype=args.pi_dtype,
         steps_per_call=args.steps_per_call,

@@ -324,7 +324,14 @@ def test_cli_fast_default_resolution():
     args = cli.build_arg_parser().parse_args(
         ["--synthetic", "100,4", "-s", "BF"])
     cli.resolve_fast_defaults(args)
-    assert not args.device_sampling  # breadth-first is host-only
+    # breadth-first auto-default stays host-sampled (the fused device
+    # BF family is opt-in via an explicit --device-sampling)
+    assert not args.device_sampling
+
+    args = cli.build_arg_parser().parse_args(
+        ["--synthetic", "100,4", "--rng", "reference",
+         "--no-ref-rng-block"])
+    assert not args.ref_rng_block  # faithful per-draw loops, CLI-reachable
 
     args = cli.build_arg_parser().parse_args(
         ["--synthetic", "100,4", "--no-device-sampling",
