@@ -261,6 +261,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "ran with MCMC_CALC_TRAIN_PPX — match it with "
                         "--calc-train-ppx here. Single-model engines "
                         "only (the reference is single-GPU).")
+    p.add_argument("--checkpoint-ref", type=str, default="",
+                   help="at the end of training, ALSO write the state "
+                        "in the reference binary's checkpoint format "
+                        "(the export twin of --restore-ref; a run "
+                        "trained here resumes under the reference)")
     return p
 
 
@@ -588,6 +593,12 @@ def main(argv=None) -> int:
         log.fatal("--restore-ref imports the reference's single-GPU "
                   "state; use the single-chip a-MMSB engine")
         return 1
+    if args.checkpoint_ref and (args.num_chains > 1
+                                or args.model == "mmsb"):
+        log.fatal("--checkpoint-ref exports the a-MMSB single-model "
+                  "state the reference binary can read (chains/mmsb "
+                  "have no reference-format counterpart)")
+        return 1
 
     if args.num_chains > 1:
         if args.chain_devices > 1:
@@ -827,6 +838,12 @@ def main(argv=None) -> int:
         save_checkpoint(args.checkpoint, learner,
                         backend=args.checkpoint_backend)
         log.info("checkpoint saved to %s", args.checkpoint)
+    if args.checkpoint_ref:
+        from mcmc_ammsb_tpu.refckpt import export_reference_checkpoint
+        export_reference_checkpoint(args.checkpoint_ref, cfg,
+                                    learner.state)
+        log.info("reference-format checkpoint saved to %s (step=%d)",
+                 args.checkpoint_ref, int(learner.state.step_count))
     learner.close()
     return 0
 

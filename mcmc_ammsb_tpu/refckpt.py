@@ -261,6 +261,43 @@ def to_train_state(cfg, raw: dict, heldout_size: Optional[int] = None):
 # ---------------------------------------------------------------------------
 
 
+def export_reference_checkpoint(path: str, cfg, state) -> None:
+    """Write this repo's TrainState in the reference's OWN byte layout
+    (the inverse of ``to_train_state``): a run trained here resumes
+    under the reference binary (learner.cc:301-330 deserialize).
+
+    RNG seed buffers: with the REFERENCE backend the live xorshift
+    stream positions are exported as-is (bit-exact continuation); the
+    native backend has no xorshift streams, so the seed-law initial
+    buffers are written (seed_i = base + i, random.cc:19-28 — the
+    deterministic state the reference would have constructed itself).
+    """
+    from mcmc_ammsb_tpu.rng import reference as ref
+
+    if getattr(state, "ref_seeds", None) is not None:
+        phi_seeds = np.asarray(state.ref_seeds.phi)
+        beta_seeds = np.asarray(state.ref_seeds.beta)
+    else:
+        phi_seeds = np.asarray(ref.make_seeds(cfg.phi_seed,
+                                              cfg.max_batch_nodes))
+        beta_seeds = np.asarray(ref.make_seeds(cfg.beta_seed, cfg.K))
+    write_reference_checkpoint(
+        path,
+        theta=np.asarray(state.theta, np.float32),
+        beta=np.asarray(state.beta, np.float32),
+        # sharded pi rows are padded to the mesh width; the reference
+        # file stores exactly N (bf16 storage upcasts losslessly)
+        pi=np.asarray(state.pi, np.float32)[: cfg.N],
+        phi_sum=np.asarray(state.phi_sum, np.float32)[: cfg.N],
+        ppx_per_edge=np.asarray(state.ppx_per_edge, np.float32),
+        phi_seeds=phi_seeds, beta_seeds=beta_seeds,
+        step_count=int(state.step_count),
+        beta_count=int(state.beta_count),
+        phi_count=max(0, int(state.step_count) - 1),
+        ppx_count=int(state.ppx_count),
+    )
+
+
 def _u32_to_seeds(seeds: np.ndarray) -> bytes:
     u64 = np.empty((len(seeds), 2), np.uint64)
     s = seeds.astype(np.uint64)

@@ -256,3 +256,22 @@ def test_cli_restore_ref_checkpoint(tmp_path, caplog):
     rc, out = run_cli(BASE + ["--restore-ref", path, "--num-chains",
                               "2", "-x", "5", "-i", "5"], caplog)
     assert rc == 1
+
+
+def test_cli_checkpoint_ref_export_reimport(tmp_path, caplog):
+    """--checkpoint-ref exports the trained state in the reference's
+    format; --restore-ref on the SAME dataset resumes from it — the
+    bridge closes in both directions from the command line."""
+    path = str(tmp_path / "export.ckpt")
+    rc, out = run_cli(BASE + ["-x", "20", "-i", "10",
+                              "--steps-per-call", "5",
+                              "--checkpoint-ref", path], caplog)
+    assert rc == 0
+    assert "reference-format checkpoint saved" in out
+    caplog.clear()
+    rc, out = run_cli(BASE + ["--restore-ref", path, "-x", "10", "-i",
+                              "10", "--steps-per-call", "5"], caplog)
+    assert rc == 0
+    assert "imported reference checkpoint" in out
+    assert "held-out size" not in out    # same split: exact carry-over
+    assert "(step=21)" in out            # 20 steps + initial step 1

@@ -116,3 +116,50 @@ def test_reference_checkpoint_into_train_state(tmp_path):
     lrn.run(4)
     assert int(lrn.state.step_count) == 104
     lrn.close()
+
+
+def test_export_reference_checkpoint_roundtrip(tmp_path):
+    """export_reference_checkpoint (the --checkpoint-ref twin) writes a
+    trained TrainState in the reference's byte layout; reading it back
+    reproduces every exported array and counter, and importing it into
+    a fresh Learner continues the run."""
+    from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+    from mcmc_ammsb_tpu.learner import Learner
+    from mcmc_ammsb_tpu.refckpt import export_reference_checkpoint
+
+    n, u, v = synthetic_edges(60, 6, seed=8)
+    split = generate_sets(n, u, v, heldout_ratio=0.2, seed=9)
+    graph = Graph.from_edges(n, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=4, num_node_sample=4,
+                 steps_per_call=5).finalize(
+        n, split.total_edges, graph.max_fan_out)
+    lrn = Learner(cfg, graph, split, prefetch=False)
+    lrn.run(10)
+    lrn.heldout_perplexity()
+    path = str(tmp_path / "export.ckpt")
+    export_reference_checkpoint(path, cfg, lrn.state)
+
+    raw = read_reference_checkpoint(path)
+    np.testing.assert_array_equal(raw["pi"], np.asarray(lrn.state.pi))
+    np.testing.assert_array_equal(raw["phi_sum"],
+                                  np.asarray(lrn.state.phi_sum))
+    np.testing.assert_array_equal(raw["theta"],
+                                  np.asarray(lrn.state.theta))
+    np.testing.assert_array_equal(raw["beta"],
+                                  np.asarray(lrn.state.beta))
+    np.testing.assert_array_equal(raw["ppx_per_edge"],
+                                  np.asarray(lrn.state.ppx_per_edge))
+    assert raw["step_count"] == int(lrn.state.step_count)
+    assert raw["beta_count"] == int(lrn.state.beta_count)
+    assert raw["ppx_count"] == int(lrn.state.ppx_count)
+    # native backend: the seed-law initial buffers (seed_i = base + i)
+    assert raw["phi_seeds"].shape == (cfg.max_batch_nodes, 4)
+
+    # the exported file resumes in a FRESH learner at the same state
+    state = to_train_state(cfg, raw, len(split.heldout_edges_u))
+    lrn2 = Learner(cfg, graph, split, prefetch=False)
+    lrn2.state = state
+    assert int(lrn2.state.step_count) == int(lrn.state.step_count)
+    lrn2.run(5)
+    assert int(lrn2.state.step_count) == int(lrn.state.step_count) + 5
+    lrn.close(); lrn2.close()
