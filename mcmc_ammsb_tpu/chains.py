@@ -57,6 +57,19 @@ def rhat(samples: np.ndarray) -> np.ndarray:
     return np.sqrt(var_plus / np.maximum(w, 1e-30))
 
 
+def beta_rhat_series(engine, draws: int = 10) -> np.ndarray:
+    """R-hat over beta across any chain engine exposing ``run``,
+    ``cfg`` and ``state.beta [C, K]`` (flat and sharded engines): runs
+    ``draws`` chunks keeping beta after each, returns per-community
+    PSRF [K]."""
+    assert draws >= 2, draws
+    kept = []
+    for _ in range(draws):
+        engine.run(max(1, engine.cfg.steps_per_call))
+        kept.append(np.asarray(engine.state.beta))       # [C, K]
+    return rhat(np.stack(kept, axis=1))                  # [C, T, K]
+
+
 class MultiChainLearner:
     """C independent samplers advanced by one fused device program.
 

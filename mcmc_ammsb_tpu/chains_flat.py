@@ -598,6 +598,14 @@ class FlatChainLearner:
                 self.state)
             return np.exp(np.asarray(neg))
 
+    def beta_rhat(self, draws: int = 10) -> np.ndarray:
+        """Gelman-Rubin PSRF [K] over beta across the chains (the
+        population-level convergence diagnostic a single chain cannot
+        provide — chains.rhat)."""
+        from mcmc_ammsb_tpu.chains import beta_rhat_series
+
+        return beta_rhat_series(self, draws)
+
     def fused_stage_profile(self, iters=None) -> dict:
         """TRUE per-stage attribution of the fused multi-chain program
         (Learner.fused_stage_profile contract): a traced production

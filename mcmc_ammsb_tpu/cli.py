@@ -176,6 +176,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "space (fast scatter path); 'vmap' batches a "
                         "chain axis (measured slower; kept for "
                         "cross-checks)")
+    p.add_argument("--rhat-draws", type=int, default=0,
+                   help="with --num-chains >= 2: after training, run "
+                        "this many extra steps_per_call chunks keeping "
+                        "beta after each and log the Gelman-Rubin "
+                        "R-hat across chains (>= 2 draws; 0 = off)")
     p.add_argument("--chain-devices", type=int, default=1,
                    help="spread --num-chains over this many devices "
                         "(whole chains per chip, zero collectives; "
@@ -593,6 +598,11 @@ def main(argv=None) -> int:
         log.fatal("--restore-ref imports the reference's single-GPU "
                   "state; use the single-chip a-MMSB engine")
         return 1
+    if args.rhat_draws and (args.rhat_draws < 2 or args.num_chains < 2
+                            or args.model == "mmsb"):
+        log.fatal("--rhat-draws needs >= 2 draws and --num-chains >= 2 "
+                  "a-MMSB chains (R-hat is a between-chain statistic)")
+        return 1
     if args.checkpoint_ref and (args.num_chains > 1
                                 or args.model == "mmsb"):
         log.fatal("--checkpoint-ref exports the a-MMSB single-model "
@@ -654,6 +664,18 @@ def main(argv=None) -> int:
                              chains.heldout_perplexity())
         if signaled["flag"]:
             log.info("FORCED TERMINATE")
+        if (args.rhat_draws >= 2 and args.num_chains >= 2
+                and not signaled["flag"]
+                and hasattr(chains, "beta_rhat")):
+            # population-level convergence diagnostic (Gelman-Rubin
+            # PSRF over beta across the chains; values near 1 =
+            # between-chain agreement)
+            r = chains.beta_rhat(draws=args.rhat_draws)
+            log.info("beta R-hat over %d chains (%d draws of %d "
+                     "steps): max %.4f  median %.4f",
+                     args.num_chains, args.rhat_draws,
+                     max(1, cfg.steps_per_call),
+                     float(np.max(r)), float(np.median(r)))
         chains.timers.print_table(lambda s: log.info("%s", s))
         if args.profile and hasattr(chains, "print_stage_profile"):
             chains.print_stage_profile(lambda s: log.info("%s", s))

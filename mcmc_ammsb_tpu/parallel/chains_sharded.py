@@ -282,5 +282,12 @@ class ShardedChainLearner:
                 self.state)
             return np.exp(np.asarray(neg))
 
+    def beta_rhat(self, draws: int = 10) -> np.ndarray:
+        """Gelman-Rubin PSRF [K] over beta across ALL chains (the
+        global [C, K] beta view gathers off the chain mesh)."""
+        from mcmc_ammsb_tpu.chains import beta_rhat_series
+
+        return beta_rhat_series(self, draws)
+
     def print_stats(self, log=print) -> None:
         self.timers.print_table(log)

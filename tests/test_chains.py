@@ -59,3 +59,36 @@ def test_beta_rhat_runs(chain_learner):
     r = chain_learner.beta_rhat(draws=3)
     assert r.shape == (chain_learner.cfg.K,)
     assert np.isfinite(r).all()
+
+
+def test_beta_rhat_flat_engine(chain_learner):
+    """beta_rhat on the production (flat) engine: same diagnostic over
+    state.beta [C, K] via the shared beta_rhat_series helper."""
+    from mcmc_ammsb_tpu.chains_flat import FlatChainLearner
+
+    l = chain_learner  # reuse the module dataset/config
+    flat = FlatChainLearner(l.cfg, l.graph, l.split, num_chains=3)
+    r = flat.beta_rhat(draws=3)
+    assert r.shape == (l.cfg.K,)
+    assert np.isfinite(r).all() and np.all(r > 0)
+
+
+def test_cli_rhat_draws(caplog):
+    """--rhat-draws logs the Gelman-Rubin table after a chain run and
+    validates its preconditions."""
+    import logging
+
+    from mcmc_ammsb_tpu import cli
+
+    argv = ["--synthetic", "200,6", "-k", "8", "-m", "8", "-n", "4",
+            "--heldout-ratio", "0.1", "--num-chains", "2", "-x", "10",
+            "-i", "10", "--steps-per-call", "5", "--rhat-draws", "2"]
+    with caplog.at_level(logging.INFO, logger="mcmc_ammsb_tpu"):
+        rc = cli.main(argv)
+    assert rc == 0
+    assert "beta R-hat over 2 chains" in caplog.text
+
+    assert cli.main(argv[:-1] + ["1"]) == 1          # draws < 2
+    single = ["--synthetic", "200,6", "-k", "8", "-x", "5", "-i", "5",
+              "--rhat-draws", "2"]
+    assert cli.main(single) == 1                     # single chain
