@@ -276,6 +276,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 _NODE_FAMILY = (SampleStrategy.NODE, SampleStrategy.NODE_LINK,
                 SampleStrategy.NODE_NON_LINK)
+_BF_FAMILY = (SampleStrategy.BF, SampleStrategy.BF_LINK,
+              SampleStrategy.BF_NON_LINK)
 
 
 def resolve_fast_defaults(args) -> None:
@@ -292,12 +294,26 @@ def resolve_fast_defaults(args) -> None:
     fast_ok = (strategy in _NODE_FAMILY
                and args.rng == RngBackend.NATIVE.value
                and args.phi_impl == PhiImpl.JNP.value)
+    # the device BF family (exact FIFO replay, ops/device_sampling.py)
+    # measured >= the host path at the bench shape — BFLink 23.5k vs
+    # 9.6k (2.4x), BF 13.8k vs 13.9k, BFNonLink 15.5k vs 14.3k
+    # (scripts/exp_bf_rate.py, N=317k K=256) — and unlocks the fused
+    # eval series; shared draws / windows stay Node-family-only (the
+    # only measured configs)
+    bf_ok = (strategy in _BF_FAMILY
+             and args.rng == RngBackend.NATIVE.value
+             and args.phi_impl == PhiImpl.JNP.value)
     if args.device_sampling is None:
-        args.device_sampling = fast_ok
+        args.device_sampling = fast_ok or bf_ok
         if fast_ok:
             log.info("device sampling auto-enabled (Node-family "
                      "strategy, native RNG); --no-device-sampling "
                      "restores host sampling")
+        elif bf_ok:
+            log.info("device sampling auto-enabled (breadth-first "
+                     "family, exact host-FIFO replay; measured >= the "
+                     "host path, scripts/exp_bf_rate.py); "
+                     "--no-device-sampling restores host sampling")
     if args.shared_neighbors is None:
         # shared draws keep per-node gradients unbiased but are a
         # documented semantic deviation (one n-draw per step); only

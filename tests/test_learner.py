@@ -324,8 +324,18 @@ def test_cli_fast_default_resolution():
     args = cli.build_arg_parser().parse_args(
         ["--synthetic", "100,4", "-s", "BF"])
     cli.resolve_fast_defaults(args)
-    # breadth-first auto-default stays host-sampled (the fused device
-    # BF family is opt-in via an explicit --device-sampling)
+    # breadth-first auto-defaults to the fused device family (measured
+    # >= host at every BF strategy, 2.4x on BFLink —
+    # scripts/exp_bf_rate.py); shared draws / windows stay
+    # Node-family-only (the only measured configs)
+    assert args.device_sampling
+    assert not args.shared_neighbors
+    assert args.window == 0
+
+    args = cli.build_arg_parser().parse_args(
+        ["--synthetic", "100,4", "-s", "BFLink", "--rng", "reference"])
+    cli.resolve_fast_defaults(args)
+    # the bit-exact RNG backend keeps the host-sampled reference path
     assert not args.device_sampling
 
     args = cli.build_arg_parser().parse_args(
