@@ -130,6 +130,38 @@ def main():
         bl.close()
     except Exception as e:  # pragma: no cover
         print(f"# bit-exact-rng phase skipped: {e}", file=sys.stderr)
+    # device-sampled breadth-first family (round 4: the host FIFO
+    # expansion order replayed exactly inside the fused loop,
+    # ops/device_sampling._bf_expand). BFLink is the family's
+    # fast-path representative: measured 2.4x the host path
+    # (scripts/exp_bf_rate.py); the CLI fast-defaults route the BF
+    # family to device sampling on these numbers. Best-effort.
+    bf_link_ups = None
+    try:
+        from mcmc_ammsb_tpu.config import SampleStrategy
+
+        bfcfg = cfg.replace(strategy=SampleStrategy.BF_LINK,
+                            shared_neighbors=False, window=0)
+        bfl = Learner(bfcfg, graph, split)
+        t0 = time.time()
+        bfl.run(1000)
+        int(bfl.state.step_count)
+        print(f"# [device-bflink] warmup (incl. compile): "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        bf_link_ups = 0.0
+        for trial in range(2):
+            s0 = int(bfl.state.step_count)
+            t0 = time.time()
+            bfl.run(10_000)
+            steps_f = int(bfl.state.step_count) - s0
+            fdt = time.time() - t0
+            assert steps_f == 10_000, steps_f
+            bf_link_ups = max(bf_link_ups, steps_f / fdt)
+            print(f"# [device-bflink] trial {trial}: {steps_f} in "
+                  f"{fdt:.2f}s -> {steps_f/fdt:.0f}/s", file=sys.stderr)
+        bfl.close()
+    except Exception as e:  # pragma: no cover
+        print(f"# device-bflink phase skipped: {e}", file=sys.stderr)
     # stratified link/non-link coin (node_coin='alternate'): exactly-
     # 1/2 marginal, lower variance than the reference's RNG coin, and
     # each device sampler runs at half volume (config.py rationale) —
@@ -419,6 +451,8 @@ def main():
             "reference_semantics_ppx": round(ref_ppx, 4),
             "bit_exact_rng_rate": (round(bitexact_ups, 2)
                                    if bitexact_ups else None),
+            "device_bflink_rate": (round(bf_link_ups, 2)
+                                   if bf_link_ups else None),
             "autotune_table": autotune_table,
             "autotune_choice": autotune_choice,
             "roofline": roofline,
