@@ -74,12 +74,18 @@ def main():
         hcfg = base.replace(strategy=strat, device_sampling=False,
                             steps_per_call=200)
         hcfg = hcfg.finalize(n, split.total_edges, graph.max_fan_out)
+        # equal trial counts on both paths (ADVICE r4): a best-of
+        # aggregator with asymmetric trials would bias the comparison
+        # toward whichever path got more draws from the run spread.
         results[f"host:{strat.value}"] = measure(
-            hcfg, graph, split, f"host:{strat.value}", 1000, trials=2)
+            hcfg, graph, split, f"host:{strat.value}", 1000, trials=3)
 
     print("\n== summary ==")
     for k, r in results.items():
         print(f"{k:22s} {r:10.0f} updates/s")
+    print("# note: par-level deltas (<~10%) are within the documented "
+          "run-to-run spread (CLAUDE.md); only multi-x gaps like the "
+          "BFLink 2.4x are decision-grade.")
 
 
 if __name__ == "__main__":
