@@ -233,6 +233,42 @@ def main():
         print(f"# chains-c{n_chains} phase skipped: {e}",
               file=sys.stderr)
 
+    # shard_map overhead on the REAL chip (VERDICT r4 #5): the sharded
+    # engine on a degenerate 1x1 mesh runs the SAME headline config
+    # through shard_map + collective lowering on the TPU. The ratio to
+    # the plain Learner's rate bounds what the multi-chip program
+    # costs per chip before any real ICI traffic — the one multi-chip
+    # performance fact a 1-chip image can produce, grounding pod
+    # projections (reference per-kernel timing discipline,
+    # learner.cc:252-299). Best-effort.
+    sharded_1x1 = None
+    try:
+        from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+
+        mesh11 = make_mesh(1, 1)
+        sl = ShardedLearner(cfg, graph, split, mesh11)
+        t0 = time.time()
+        sl.run(cfg.steps_per_call)
+        int(sl.state.step_count)
+        print(f"# [sharded-1x1] warmup (incl. compile): "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        best = 0.0
+        for trial in range(3):
+            s0 = int(sl.state.step_count)
+            t0 = time.time()
+            sl.run(10_000)
+            steps_s = int(sl.state.step_count) - s0
+            sdt = time.time() - t0
+            assert steps_s == 10_000, steps_s
+            best = max(best, steps_s / sdt)
+            print(f"# [sharded-1x1] trial {trial}: {steps_s} in "
+                  f"{sdt:.2f}s -> {steps_s/sdt:.0f}/s", file=sys.stderr)
+        sharded_1x1 = best  # only record once ALL trials completed
+        sl.close()
+    except Exception as e:  # pragma: no cover
+        sharded_1x1 = None
+        print(f"# sharded-1x1 phase skipped: {e}", file=sys.stderr)
+
     # degree-realistic convergence: seconds to target held-out ppx on
     # a com-DBLP-shaped degree-corrected power-law surrogate
     # (N~317k, avg deg 6.6, max degree ~343 — the real metric's shape,
@@ -508,6 +544,13 @@ def main():
                                       if chains_aggregate is not None else None),
             "chains_aggregate_num_chains": n_chains,
             "chains_aggregate_node_coin": "alternate",
+            # per-chip cost of the multi-chip program (shard_map +
+            # collectives on a 1x1 mesh vs the plain Learner, same
+            # config; 1.0 = free). VERDICT r4 #5.
+            "sharded_1x1_rate": (round(sharded_1x1, 2)
+                                 if sharded_1x1 is not None else None),
+            "sharded_overhead_ratio": (round(sharded_1x1 / ups, 4)
+                                       if sharded_1x1 else None),
             "sbm_ppx_start": (round(float(ppx_start), 4)
                               if ppx_start is not None else None),
             "sbm_ppx_end": (round(float(ppx_end), 4)
