@@ -919,9 +919,15 @@ def main(argv=None) -> int:
         log.info("checkpoint saved to %s", args.checkpoint)
     if args.checkpoint_ref:
         from mcmc_ammsb_tpu.refckpt import export_reference_checkpoint
+        # sharded engines pad the eval buffers to the data axis; the
+        # reference allocates the TRUE population sizes
+        tmask = getattr(learner, "train_ppx_mask", None)
         export_reference_checkpoint(
             args.checkpoint_ref, cfg, learner.state, graph, split,
-            rows_in_block=args.ref_rows_in_block)
+            rows_in_block=args.ref_rows_in_block,
+            heldout_size=len(split.heldout_edges_u),
+            train_ppx_size=(int(np.asarray(tmask).sum())
+                            if tmask is not None else None))
         log.info("reference-format checkpoint saved to %s (step=%d)",
                  args.checkpoint_ref, int(learner.state.step_count))
     learner.close()

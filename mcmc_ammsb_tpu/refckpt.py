@@ -464,7 +464,9 @@ def export_reference_checkpoint(path: str, cfg, state,
                                 sample_parallel: bool = True,
                                 train_ppx: Optional[bool] = None,
                                 phi_wg_size: int = 32,
-                                phi_node_per_thread: bool = False
+                                phi_node_per_thread: bool = False,
+                                heldout_size: Optional[int] = None,
+                                train_ppx_size: Optional[int] = None
                                 ) -> None:
     """Write this repo's TrainState in the reference's OWN byte layout
     (the inverse of ``to_train_state``): a run trained here resumes
@@ -488,7 +490,12 @@ def export_reference_checkpoint(path: str, cfg, state,
     per-node-lane streams export into the leading lanes. See
     PARITY.md's wg-mode caveat.
     """
-    heldout = int(np.asarray(state.ppx_per_edge).shape[0])
+    # sharded engines pad eval buffers to the data axis; the reference
+    # allocates exactly its population sizes — slice to the true counts
+    ppx_per_edge = np.asarray(state.ppx_per_edge, np.float32)
+    heldout = (int(heldout_size) if heldout_size is not None
+               else len(ppx_per_edge))
+    ppx_per_edge = ppx_per_edge[:heldout]
     tp_size = 0
     if train_ppx is None:
         train_ppx = bool(getattr(cfg, "calc_train_ppx", False))
@@ -499,6 +506,8 @@ def export_reference_checkpoint(path: str, cfg, state,
             raise ValueError("train_ppx layout requested but the state "
                              "has no train_ppx_per_edge buffer")
         train_ppx_per_edge = np.asarray(tpe, np.float32)
+        if train_ppx_size is not None:
+            train_ppx_per_edge = train_ppx_per_edge[:int(train_ppx_size)]
         tp_size = len(train_ppx_per_edge)
     layout = ReferenceLayout.from_config(
         cfg, heldout, rows_in_block=rows_in_block, train_ppx=train_ppx,
@@ -541,7 +550,7 @@ def export_reference_checkpoint(path: str, cfg, state,
         # file stores exactly N (bf16 storage upcasts losslessly)
         pi=np.asarray(state.pi, np.float32)[: cfg.N],
         phi_sum=np.asarray(state.phi_sum, np.float32)[: cfg.N],
-        ppx_per_edge=np.asarray(state.ppx_per_edge, np.float32),
+        ppx_per_edge=ppx_per_edge,
         train_ppx_per_edge=train_ppx_per_edge,
         train_ppx_count=int(getattr(state, "train_ppx_count", 0) or 0),
         phi_seeds=phi_seeds, beta_seeds=beta_seeds,

@@ -329,3 +329,37 @@ def test_strict_parse_catches_truncation_and_trailing(tmp_path):
     with pytest.raises(ReferenceParseError):
         simulate_reference_parse(fat, layout)
     lrn.close()
+
+
+@pytest.mark.slow
+def test_strict_parse_accepts_mesh_export(tmp_path):
+    """--mesh runs pad eval buffers to the data axis; the export must
+    slice back to the TRUE population sizes the reference allocates
+    (perplexity.cc:194) or its Parse rejects the size mismatch."""
+    from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
+    from mcmc_ammsb_tpu.parallel import ShardedLearner, make_mesh
+    from mcmc_ammsb_tpu.refckpt import export_reference_checkpoint
+
+    nn, u, v = synthetic_edges(70, 6, seed=14)
+    split = generate_sets(nn, u, v, heldout_ratio=0.2, seed=15)
+    graph = Graph.from_edges(nn, split.training_u, split.training_v)
+    cfg = Config(K=8, mini_batch_size=4, num_node_sample=4,
+                 device_sampling=True, steps_per_call=5).finalize(
+        nn, split.total_edges, graph.max_fan_out)
+    h = len(split.heldout_edges_u)
+    # pick a data-axis width that does NOT divide h, so the padding
+    # path is genuinely exercised
+    n_data = next(d for d in (4, 2, 8) if h % d)
+    mesh = make_mesh(n_data, 8 // n_data)
+    lrn = ShardedLearner(cfg, graph, split, mesh)
+    lrn.run(10)
+    lrn.heldout_perplexity()
+    assert int(np.asarray(lrn.state.ppx_per_edge).shape[0]) > h  # padded
+
+    path = str(tmp_path / "mesh.ckpt")
+    export_reference_checkpoint(path, cfg, lrn.state, graph, split,
+                                heldout_size=h)
+    layout = ReferenceLayout.from_config(cfg, h)
+    props = simulate_reference_parse(path, layout)
+    assert props["learner_props"][1][0] == int(lrn.state.step_count)
+    lrn.close()
