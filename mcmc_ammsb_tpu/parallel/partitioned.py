@@ -597,3 +597,96 @@ def to_datasplit(pdata: PartitionedData):
         total_edges=pdata.num_edges)
     graph = Graph.from_edges(pdata.num_nodes, tu, tv)
     return graph, split
+
+
+def _local_packed_training_edges(pdata: PartitionedData) -> np.ndarray:
+    """This process's view of the training edge set as sorted unique
+    canonical-packed uint64 (each shard CSR row contributes its
+    adjacency; undirected edges appearing from both endpoint rows
+    dedup here). O(local shard edges) memory — never the full list."""
+    pairs = []
+    for s in pdata.shards.values():
+        for r in range(s.row_hi - s.row_lo):
+            cols = s.cols[s.offsets[r]: s.offsets[r + 1]]
+            row = np.full(len(cols), s.row_lo + r, np.int32)
+            pairs.append(_pack(np.minimum(row, cols),
+                               np.maximum(row, cols)))
+    if not pairs:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(pairs))
+
+
+def make_training_ppx_edges_partitioned(
+        pdata: PartitionedData, ratio: float, seed: int = 777
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Training-perplexity population in partitioned mode — BIT-EQUAL
+    to ``data.make_training_ppx_edges(to_datasplit(pdata)[1], ratio)``
+    (MakeEdgesForTrainingPerplexity, learner.cc:48-74) without ever
+    materializing the full edge list:
+
+      - the replicated population's link half is the first num_links
+        training edges in global canonical-packed order (to_datasplit
+        sorts by packed id); here each process contributes its local
+        num_links-smallest and a k-smallest union over one allgather
+        reproduces the same head — O(P * num_links) communicated;
+      - the non-link half replays the replicated RandomState rejection
+        stream exactly: identical rounds and draws, with the
+        training-membership test answered by local searchsorted +
+        allreduce-OR instead of a host edge set.
+
+    Every process returns the identical arrays (collective)."""
+    n = pdata.num_nodes
+    e = pdata.num_edges
+    train_count = e - len(pdata.heldout_u)
+    total = n * (n - 1) // 2
+    num_links = int(ratio * train_count)
+    num_non_links = int(num_links * total / float(e))
+
+    local = _local_packed_training_edges(pdata)
+    head = np.unique(_allgather_concat(local[:num_links]))
+    if len(head) < num_links:
+        raise ValueError(
+            f"training graph has only {len(head)} edges visible; "
+            f"needs {num_links} for training_ppx_ratio={ratio}")
+    lu, lv = _unpack(head[:num_links])
+
+    ho = np.sort(_pack(pdata.heldout_u, pdata.heldout_v))
+
+    def member(sorted_arr: np.ndarray, p: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(sorted_arr, p)
+        ok = idx < len(sorted_arr)
+        out = np.zeros(len(p), np.bool_)
+        out[ok] = sorted_arr[idx[ok]] == p[ok]
+        return out
+
+    rng = np.random.RandomState(seed)
+    fu = np.empty(num_non_links, np.int32)
+    fv = np.empty(num_non_links, np.int32)
+    count = 0
+    rounds = 0
+    while count < num_non_links:
+        rounds += 1
+        if rounds > 200:
+            raise ValueError(
+                f"make_training_ppx_edges_partitioned: found only "
+                f"{count}/{num_non_links} non-edges after 200 "
+                "rejection rounds — the graph is too dense")
+        need = num_non_links - count
+        ra = rng.randint(0, n, size=2 * need + 16)
+        rb = rng.randint(0, n, size=2 * need + 16)
+        keep = ra != rb
+        cu = np.minimum(ra[keep], rb[keep])
+        cv = np.maximum(ra[keep], rb[keep])
+        p = _pack(cu, cv)
+        # training membership is sharded; heldout is replicated host
+        hit = member(local, p) | member(ho, p)
+        hit = _allreduce_any_rows(hit)
+        for j in range(len(p)):
+            if hit[j]:
+                continue
+            fu[count], fv[count] = cu[j], cv[j]
+            count += 1
+            if count == num_non_links:
+                break
+    return (np.concatenate([lu, fu]).astype(np.int32),
+            np.concatenate([lv, fv]).astype(np.int32))

