@@ -429,12 +429,17 @@ def _pad_bf(cfg: Config, eu, ev, mask):
 def _sample_bf_link_batch(cfg: Config, adj, key, s_len: int):
     """[S] BFLink draws (sample.cc:210-239 / sampling.py::_bf_link):
     breadth-first training-edge collection from a random pivot,
-    weight E/m. Candidate partners = the popped node's CSR row; rows
-    longer than the 2m gather cap are truncated (a hub's first 2m
-    neighbors always cover the <= m fresh edges one expansion can
-    contribute plus the <= m-1 possible dict dups; pushes past the
-    queue cap are unreachable anyway), so stream parity holds for
-    max_fan_out <= 2m and degrades gracefully on heavy tails."""
+    weight E/m. Candidate partners = the popped node's CSR row,
+    truncated at the 2m gather cap — EXACT at any degree (r5 proof):
+    the host walk breaks out of an expansion once the edge dict holds
+    m entries, and one expansion processes at most (m - e0) fresh
+    neighbors plus at most e0 dups (a dup is an existing dict entry
+    involving u, each matched by exactly one distinct neighbor v), so
+    <= m <= 2m row positions are ever consumed — a hub's truncated
+    tail is unreachable, and queue pushes (emitted only while the dict
+    is short) are bounded the same way. Pinned bit-for-bit against the
+    UNBOUNDED host walk on a max_fan_out >> 2m power-law graph
+    (tests/test_device_bf.py::test_bf_link_hub_graph_bitwise)."""
     r_cap = max(1, min(cfg.max_fan_out, 2 * cfg.mini_batch_size))
 
     def cand_fn(u, expand, _):
