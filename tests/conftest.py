@@ -21,6 +21,22 @@ import jax  # noqa: E402  (after env setup)
 # plugin in this image; the config API wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: different tests (and the multihost
+# subprocess tests) re-trace identical programs through fresh Learner
+# closures, which miss the in-memory jit cache but hash to the same
+# HLO — the on-disk cache dedupes those compiles within one suite run
+# and across edit-test iterations. A FRESH run (empty cache) pays
+# full compile cost; CLAUDE.md quotes both times. Opt out with
+# MCMC_TPU_NO_COMPILE_CACHE=1 (e.g. when measuring fresh-run time).
+if not os.environ.get("MCMC_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "MCMC_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "mcmc_ammsb_tpu_xla"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 from mcmc_ammsb_tpu.config import Config
 from mcmc_ammsb_tpu.data import Graph, generate_sets, synthetic_edges
 
