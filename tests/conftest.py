@@ -12,6 +12,26 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+# Persistent XLA compile cache — MUST be set before `import jax` (the
+# config reads these env vars at import time). Different tests (and
+# the multihost / graft-entry SUBPROCESS tests — env vars inherit,
+# config calls don't) re-trace identical programs through fresh
+# Learner closures, which miss the in-memory jit cache but hash to
+# the same HLO — the on-disk cache dedupes those compiles within one
+# suite run and across edit-test iterations. Even a FRESH run (empty
+# cache) benefits from the intra-run dedup; a warm rerun skips most
+# compiles. Opt out with MCMC_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("MCMC_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "MCMC_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "mcmc_ammsb_tpu_xla"))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 import numpy as np
 import pytest
 
@@ -21,19 +41,13 @@ import jax  # noqa: E402  (after env setup)
 # plugin in this image; the config API wins.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compile cache: different tests (and the multihost
-# subprocess tests) re-trace identical programs through fresh Learner
-# closures, which miss the in-memory jit cache but hash to the same
-# HLO — the on-disk cache dedupes those compiles within one suite run
-# and across edit-test iterations. A FRESH run (empty cache) pays
-# full compile cost; CLAUDE.md quotes both times. Opt out with
-# MCMC_TPU_NO_COMPILE_CACHE=1 (e.g. when measuring fresh-run time).
+# The axon sitecustomize imports jax at interpreter start, BEFORE this
+# conftest runs — so the cache env vars above were read too late for
+# THIS process (they still reach subprocesses, whose jax import sees
+# them). Apply the same settings through the config API here.
 if not os.environ.get("MCMC_TPU_NO_COMPILE_CACHE"):
-    _cache_dir = os.environ.get(
-        "MCMC_TPU_COMPILE_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "mcmc_ammsb_tpu_xla"))
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -240,6 +240,7 @@ def test_bf_non_link_properties(setup):
         assert set(nodes.tolist()) == set(eu.tolist()) | set(ev.tolist())
 
 
+@pytest.mark.slow  # statistical coin property; oracle bitwise tests cover quick
 def test_bf_coin_selects_both(setup):
     n, split, graph, tr, ho = setup
     cfg = _cfg(setup, SampleStrategy.BF)
@@ -259,6 +260,7 @@ def test_bf_coin_selects_both(setup):
     assert any(kinds) and not all(kinds)    # coin hit both branches
 
 
+@pytest.mark.slow  # sampler-output alternation e2e
 def test_bf_alternate_coin_strict(setup):
     n, split, graph, tr, ho = setup
     cfg = _cfg(setup, SampleStrategy.BF, node_coin="alternate")
@@ -275,6 +277,7 @@ def test_bf_alternate_coin_strict(setup):
         assert all(in_train) == (s % 2 == 0)    # even steps = links
 
 
+@pytest.mark.slow  # e2e fused-loop train
 def test_bf_link_fused_loop_trains(setup):
     n, split, graph, tr, ho = setup
     cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
@@ -290,6 +293,7 @@ def test_bf_link_fused_loop_trains(setup):
     lrn.close()
 
 
+@pytest.mark.slow  # e2e fused-loop comparison
 def test_bf_mixed_fused_loop_matches_host_behavior(setup):
     """The mixed BF strategy does NOT monotonically reduce held-out ppx
     on tiny graphs (the BFNonLink weight (N(N-1)/2-E)/m dwarfs the link

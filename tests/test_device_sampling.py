@@ -171,6 +171,7 @@ def test_alternate_coin_chain_period(setup):
         assert (link_like[s] == (s % 2 == 0)).all(), (s, w[s])
 
 
+@pytest.mark.slow  # e2e train; test_fused_loop_trains is the quick-tier canary
 def test_alternate_coin_trains_and_rejects_host_sampling(setup):
     n, split, graph, tr, ho = setup
     cfg = Config(K=8, mini_batch_size=8, num_node_sample=8,
@@ -360,6 +361,7 @@ def test_link_cap_off_is_bit_exact():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # e2e powerlaw train; unit cap tests cover quick
 def test_link_cap_fused_loop_trains_on_powerlaw():
     """End-to-end: the fused device-sampled loop trains on a
     heavy-tailed graph with buffers sized by the cap, not the hub."""

@@ -139,6 +139,7 @@ def test_ziggurat_tables_structural():
     assert wtab[126] * 2**24 == pytest.approx(ref.PARAM_R, rel=1e-5)
 
 
+@pytest.mark.slow  # e2e Learner run; the unit bit-exactness tests above are the quick tier
 def test_learner_with_reference_backend():
     """End-to-end: training with the reference RNG backend converges and
     is deterministic across runs (same seeds -> same trajectory)."""

@@ -33,7 +33,7 @@ def make_cfg(n_nodes=256, seed=91, **kw):
     return cfg, graph, split
 
 
-@pytest.mark.parametrize("window", [4, 8])
+@pytest.mark.parametrize("window", [8])  # single-chip module sweeps 2,8; one sharded T suffices
 def test_sharded_windowed_matches_sequential_sharded(window):
     """window=T on a (2,2) mesh reproduces the window=0 sharded
     trajectory: identical per-lane RNG streams and update math, only

@@ -81,7 +81,7 @@ def test_dirty_windows_unit():
     assert not got3[0]
 
 
-@pytest.mark.parametrize("window", [2, 4, 8])
+@pytest.mark.parametrize("window", [2, 8])  # boundary Ts; 4 adds no distinct schedule
 def test_windowed_jnp_matches_sequential(window):
     """The windowed jnp schedule reproduces the sequential scan's
     trajectory on collision-heavy data (24 steps, windows of T —
@@ -144,8 +144,7 @@ def test_windowed_fused_ppx_series_matches():
 
 
 @pytest.mark.parametrize("m,n_smpl,k,window", [
-    (5, 7, 12, 3),      # everything odd / non-power-of-two
-    (13, 3, 24, 5),     # wide-ish batch, tiny neighbor set, K%8!=0
+    (5, 7, 12, 3),      # everything odd / non-power-of-two, K%8!=0, tail
     (2, 2, 2, 2),       # degenerate minimum (wg-sum-test.cc wg=2)
 ])
 def test_windowed_odd_shapes(m, n_smpl, k, window):

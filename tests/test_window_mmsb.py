@@ -175,7 +175,7 @@ def test_mmsb_window_kernel_single_step_tight():
                                rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("window", [2, 4, 8])
+@pytest.mark.parametrize("window", [2, 8])  # boundary Ts
 def test_mmsb_windowed_matches_sequential(window):
     """The windowed kernel (interpret mode on CPU; the same kernel
     compiles for TPU) tracks the sequential scan's trajectory on
