@@ -423,7 +423,12 @@ def main():
         # amortize, so probe rates read ~2x low. Record the probe
         # geometry and the production/probe scale factor for the
         # chosen T so the artifact is self-consistent.
-        chosen_probe_rate = table.get(best_cfg.window)
+        # the scale is production(T_headline) / probe(T_headline) —
+        # computed at the HEADLINE's window (always probed), not the
+        # tuner's pick, so it is never null even when probe noise
+        # ranks a different T first (the top candidates sit within
+        # the probes' own trial spread)
+        headline_probe_rate = table.get(cfg.window)
         autotune_table = {
             "rates_by_window": {str(w): (round(r, 1) if r else None)
                                 for w, r in table.items()},
@@ -434,9 +439,9 @@ def main():
                      "probes under-read the production rate; compare "
                      "production_over_probe_scale, not absolute rates"),
             "production_over_probe_scale": (
-                round(ups / chosen_probe_rate, 2)
-                if (chosen_probe_rate and best_cfg.window == cfg.window)
-                else None),
+                round(ups / headline_probe_rate, 2)
+                if headline_probe_rate else None),
+            "production_window": cfg.window,
         }
         autotune_choice = best_cfg.window
         print(f"# autotune table: {autotune_table['rates_by_window']} "
