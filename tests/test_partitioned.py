@@ -288,10 +288,14 @@ def test_ingest_from_snap_file(tmp_path):
     assert got == full
 
 
-def test_cli_partitioned_ingest(tmp_path, caplog):
+@pytest.mark.parametrize("strategy", ["Node", "BFLink"])
+def test_cli_partitioned_ingest(tmp_path, caplog, strategy):
     """--partitioned-ingest drives the full capacity path from the
     command line (single process, virtual mesh): byte-range parse,
-    hash split, sharded-CSR learner, decreasing ppx series."""
+    hash split, sharded-CSR learner, decreasing ppx series. The
+    BFLink variant pins the CLI plumbing for the breadth-first family
+    in partitioned mode (fast defaults route BF to device sampling,
+    which partitioned mode requires)."""
     import logging
 
     from mcmc_ammsb_tpu import cli
@@ -309,6 +313,7 @@ def test_cli_partitioned_ingest(tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="mcmc_ammsb_tpu"):
         rc = cli.main(["--file", str(p), "--partitioned-ingest",
                        "--mesh", "2,4", "-k", "8", "-m", "8", "-n", "4",
+                       "-s", strategy,
                        "--heldout-ratio", "0.1", "-x", "20", "-i", "10",
                        "--steps-per-call", "5"])
     assert rc == 0
