@@ -309,8 +309,9 @@ def resolve_fast_defaults(args) -> None:
                and args.rng == RngBackend.NATIVE.value
                and args.phi_impl == PhiImpl.JNP.value)
     # the device BF family (exact FIFO replay, ops/device_sampling.py)
-    # measured >= the host path at the bench shape — BFLink 23.5k vs
-    # 9.6k (2.4x), BF 13.8k vs 13.9k, BFNonLink 15.5k vs 14.3k
+    # measured >= the host path at the bench shape — BFLink 23.4k vs
+    # 13.0k (1.8x, equal-trials round-5 re-measure; 2.4x in the
+    # round-4 asymmetric-trials run), BF and BFNonLink par
     # (scripts/exp_bf_rate.py, N=317k K=256) — and unlocks the fused
     # eval series; shared draws / windows stay Node-family-only (the
     # only measured configs)
